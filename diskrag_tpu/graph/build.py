@@ -1,0 +1,268 @@
+"""Wave-batched Vamana graph construction.
+
+The reference builds sequentially: for each point (in random order), greedy
+search from the medoid, RobustPrune the visited set, insert reverse edges
+with re-prune on overflow — twice, with alpha=1.0 then the user's alpha
+(reference pydiskann/cython_utils.pyx:269-369, vamana_graph.py:464-533).
+That loop is inherently serial and scalar.
+
+TPU-native design: points are inserted in *waves* of W at a time. Each wave
+runs the batched beam search against the pre-wave graph, a vectorized
+RobustPrune over the whole wave, a scatter of the new out-edges, and a
+segment-grouped reverse-edge fixup (union + conditional re-prune for
+overflowing nodes). Because the graph is initialized random-R-regular over
+all points up front — as the reference does
+(cython_utils.pyx:182-208) — every wave sees a fully-connected graph, and
+two refinement passes converge to Vamana-quality graphs. Wave batching
+changes the exact edge set versus sequential insertion; the acceptance
+criterion is recall parity at equal R/L/alpha (SURVEY.md §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diskrag_tpu.graph.prune import robust_prune_batch
+from diskrag_tpu.graph.search import _gathered_distance, beam_search
+from diskrag_tpu.graph.types import VamanaIndex
+from diskrag_tpu.ops.distance import Metric
+from diskrag_tpu.ops.medoid import approximate_medoid
+from diskrag_tpu.ops.topk import INVALID_ID, sort_topk_unique
+
+logger = logging.getLogger(__name__)
+
+INF = jnp.inf
+
+
+@functools.partial(jax.jit, static_argnames=("n", "degree_bound"))
+def random_regular_init(key: jax.Array, n: int, degree_bound: int) -> jax.Array:
+    """Random initial adjacency, no self-loops (duplicates possible but rare;
+    adjacency has set semantics downstream). Replaces the reference's
+    mt19937 loop (reference cython_utils.pyx:182-208)."""
+    n = int(n)
+    u = jax.random.randint(key, (n, degree_bound), 0, max(n - 1, 1), jnp.int32)
+    ids = jnp.arange(n, dtype=jnp.int32)[:, None]
+    return (ids + 1 + u) % n
+
+
+def _reverse_edges(
+    vectors: jax.Array,
+    adjacency: jax.Array,
+    wave_ids: jax.Array,
+    pruned: jax.Array,
+    alpha: jax.Array,
+    *,
+    max_incoming: int,
+    chunk: int,
+    metric: str,
+) -> jax.Array:
+    """Insert reverse edges wave -> graph with conditional re-prune.
+
+    For every new edge (p -> t) in `pruned`, t gains candidate in-neighbor
+    p. Edges are grouped by target with a sort + segment ranking; each
+    target keeps at most `max_incoming` new in-edges per wave (the rest are
+    dropped — hub targets will pick those points up in later passes). If
+    old-union-new exceeds the degree bound, the target is RobustPruned,
+    otherwise the plain union is written back (matching the reference's
+    add-then-prune-on-overflow semantics, cython_utils.pyx:335-353).
+    """
+    n, r = adjacency.shape
+    w = wave_ids.shape[0]
+    e = w * r
+    intmax = jnp.iinfo(jnp.int32).max
+
+    targets = pruned.reshape(-1)
+    sources = jnp.repeat(wave_ids, r)
+    valid = targets != INVALID_ID
+    sort_key = jnp.where(valid, targets, intmax)
+    order = jnp.argsort(sort_key)
+    t_s = sort_key[order]
+    s_s = sources[order]
+    v_s = t_s != intmax
+
+    pos = jnp.arange(e, dtype=jnp.int32)
+    is_first = jnp.concatenate(
+        [jnp.array([True]), t_s[1:] != t_s[:-1]]
+    ) & v_s
+    seg_id = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # [E]
+    first_pos = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_first, pos, 0)
+    )
+    rank = pos - first_pos
+    keep = v_s & (rank < max_incoming)
+
+    # incoming-source table: one row per segment (over-allocated to E rows)
+    inc = jnp.full((e, max_incoming), INVALID_ID, jnp.int32)
+    inc = inc.at[
+        jnp.where(keep, seg_id, e), jnp.where(keep, rank, 0)
+    ].set(s_s, mode="drop")
+    uniq_t = jnp.full((e,), INVALID_ID, jnp.int32)
+    uniq_t = uniq_t.at[jnp.where(is_first, seg_id, e)].set(t_s, mode="drop")
+
+    # process targets in chunks: union or re-prune
+    c2 = r + max_incoming
+    pad_e = (-e) % chunk
+    uniq_t_p = jnp.pad(uniq_t, (0, pad_e), constant_values=INVALID_ID)
+    inc_p = jnp.pad(inc, ((0, pad_e), (0, 0)), constant_values=INVALID_ID)
+
+    def fix_chunk(args):
+        t_chunk, inc_chunk = args  # [CH], [CH, K_in]
+        ch = t_chunk.shape[0]
+        t_safe = jnp.clip(t_chunk, 0, n - 1)
+        old = adjacency[t_safe]  # [CH, R]
+        cands = jnp.concatenate([old, inc_chunk], axis=1)  # [CH, C2]
+        cands = jnp.where(t_chunk[:, None] == INVALID_ID, INVALID_ID, cands)
+        cand_vecs = vectors[jnp.clip(cands, 0, n - 1)]  # [CH, C2, D]
+        t_vecs = vectors[t_safe]
+        dists = _gathered_distance(t_vecs, cand_vecs, metric)
+        dists = jnp.where(cands == INVALID_ID, INF, dists)
+        union_ids, union_dists, _ = sort_topk_unique(cands, dists, r)
+        n_unique = jnp.sum(
+            jnp.isfinite(
+                sort_topk_unique(cands, dists, c2)[1]
+            ),
+            axis=1,
+        )
+        overflow = n_unique > r
+        pruned_rows = robust_prune_batch(
+            t_chunk, cands, cand_vecs, dists, alpha,
+            degree_bound=r, metric=metric,
+        )
+        return jnp.where(overflow[:, None], pruned_rows, union_ids)
+
+    n_chunks = (e + pad_e) // chunk
+    new_rows = jax.lax.map(
+        fix_chunk,
+        (
+            uniq_t_p.reshape(n_chunks, chunk),
+            inc_p.reshape(n_chunks, chunk, max_incoming),
+        ),
+    ).reshape(-1, r)
+
+    scatter_idx = jnp.where(uniq_t_p == INVALID_ID, n, uniq_t_p)
+    return adjacency.at[scatter_idx].set(new_rows[: e + pad_e], mode="drop")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("build_width", "max_incoming", "chunk", "metric"),
+    donate_argnames=("adjacency",),
+)
+def wave_step(
+    vectors: jax.Array,
+    adjacency: jax.Array,
+    medoid: jax.Array,
+    wave_ids: jax.Array,
+    alpha: jax.Array,
+    *,
+    build_width: int,
+    max_incoming: int,
+    chunk: int,
+    metric: str,
+) -> jax.Array:
+    """Insert/refine one wave of points; returns updated adjacency."""
+    n, r = adjacency.shape
+    queries = vectors[wave_ids]
+
+    res = beam_search(
+        vectors, adjacency, medoid, queries,
+        search_width=build_width, k=build_width, metric=metric,
+    )
+
+    cur_nbrs = adjacency[wave_ids]  # [W, R]
+    cur_vecs = vectors[jnp.clip(cur_nbrs, 0, n - 1)]
+    cur_dists = jnp.where(
+        cur_nbrs == INVALID_ID,
+        INF,
+        _gathered_distance(queries, cur_vecs, metric),
+    )
+
+    pool_ids = jnp.concatenate([res.visited_ids, res.ids, cur_nbrs], axis=1)
+    pool_dists = jnp.concatenate([res.visited_dists, res.dists, cur_dists], axis=1)
+    pool_vecs = vectors[jnp.clip(pool_ids, 0, n - 1)]
+
+    pruned = robust_prune_batch(
+        wave_ids, pool_ids, pool_vecs, pool_dists, alpha,
+        degree_bound=r, metric=metric,
+    )
+    adjacency = adjacency.at[wave_ids].set(pruned)
+    return _reverse_edges(
+        vectors, adjacency, wave_ids, pruned, alpha,
+        max_incoming=max_incoming, chunk=chunk, metric=metric,
+    )
+
+
+def build_vamana(
+    vectors: np.ndarray | jax.Array,
+    *,
+    degree_bound: int = 32,
+    build_width: int = 64,
+    alpha: float = 1.2,
+    metric: str = Metric.L2.value,
+    n_passes: int = 2,
+    wave_size: int | None = None,
+    max_incoming: int | None = None,
+    seed: int = 0,
+    progress: bool = False,
+) -> VamanaIndex:
+    """Build a Vamana index (2-pass by default: alpha=1.0 then `alpha`,
+    mirroring the reference's pass schedule, cython_utils.pyx:296-310).
+
+    Args mirror the reference's `build_vamana(points, R, L, alpha)`
+    (reference pydiskann/vamana_graph.py:686): degree_bound=R,
+    build_width=L.
+    """
+    vectors = jnp.asarray(vectors, jnp.float32)
+    n = vectors.shape[0]
+    if n < 2:
+        raise ValueError("need at least 2 points")
+    degree_bound = min(degree_bound, n - 1)
+    if wave_size is None:
+        wave_size = int(min(512, max(32, n // 8)))
+    wave_size = min(wave_size, n)
+    if max_incoming is None:
+        max_incoming = min(16, degree_bound)
+    chunk = min(2048, wave_size * degree_bound)
+
+    key = jax.random.key(seed)
+    k_init, k_med, k_perm = jax.random.split(key, 3)
+    adjacency = random_regular_init(k_init, n, degree_bound)
+    medoid = approximate_medoid(vectors, k_med, metric=metric)
+
+    alphas = [1.0] * (n_passes - 1) + [float(alpha)]
+    t0 = time.perf_counter()
+    for pass_idx, a in enumerate(alphas):
+        k_perm, k_this = jax.random.split(k_perm)
+        perm = jax.random.permutation(k_this, n)
+        pad = (-n) % wave_size
+        if pad:
+            perm = jnp.concatenate([perm, perm[:pad]])
+        waves = np.asarray(perm).reshape(-1, wave_size)
+        for i, wave in enumerate(waves):
+            adjacency = wave_step(
+                vectors, adjacency, medoid, jnp.asarray(wave),
+                jnp.asarray(a, jnp.float32),
+                build_width=build_width, max_incoming=max_incoming,
+                chunk=chunk, metric=Metric(metric).value,
+            )
+            if progress and (i + 1) % 16 == 0:
+                logger.info(
+                    "pass %d/%d wave %d/%d (%.1fs)",
+                    pass_idx + 1, len(alphas), i + 1, len(waves),
+                    time.perf_counter() - t0,
+                )
+    adjacency.block_until_ready()
+    if progress:
+        logger.info("build done in %.1fs", time.perf_counter() - t0)
+    return VamanaIndex(
+        vectors=vectors,
+        adjacency=adjacency,
+        medoid=medoid,
+        metric=Metric(metric).value,
+    )

@@ -1,0 +1,211 @@
+"""Batched greedy/beam graph search as a fixed-width masked frontier loop.
+
+Behavioral model (reference, NOT ported): best-first search holding a
+size-L candidate list; repeatedly expand the closest unexpanded candidate,
+insert its neighbors, stop when every candidate in the top-L has been
+expanded (reference pydiskann/vamana_graph.py:535-640,
+cython_utils.pyx:72-122, search_engine.py:398-506 which caps steps at
+min(10*L, N)).
+
+TPU-native formulation: the candidate list is a sorted fixed-width array
+(ids/dists/expanded flags); each `lax.while_loop` step does, for a whole
+batch of queries at once:
+  argmin over unexpanded -> gather adjacency rows -> gather neighbor
+  vectors -> fused matmul distance -> duplicate masking -> top-L merge.
+All shapes static; per-query early exit is expressed as masking and the
+loop exits when every query has converged or `max_steps` is hit.
+
+The visited (= expanded) log doubles as the candidate pool for Vamana's
+RobustPrune during index build (reference vamana_graph.py:476-487 uses the
+greedy-search visited set the same way).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from diskrag_tpu.ops.distance import Metric, squared_norms
+from diskrag_tpu.ops.topk import INVALID_ID, merge_topk
+
+INF = jnp.inf
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SearchResult:
+    """Batched search output.
+
+    ids/dists: [B, k] nearest candidates found (ascending; squared L2 for
+    the L2 metric — callers take sqrt at the API edge, matching the
+    reference which returns sqrt distances from beam search,
+    reference vamana_graph.py:596).
+    visited_ids/visited_dists: [B, max_steps] log of expanded nodes
+    (-1 / +inf padded) — the RobustPrune candidate pool during build.
+    n_expanded: [B] number of nodes expanded per query.
+    n_steps: [] loop iterations actually executed (same for all queries).
+    """
+
+    ids: jax.Array
+    dists: jax.Array
+    visited_ids: jax.Array
+    visited_dists: jax.Array
+    n_expanded: jax.Array
+    n_steps: jax.Array
+
+
+def _gathered_distance(
+    queries: jax.Array, nbr_vecs: jax.Array, metric: str
+) -> jax.Array:
+    """Distance from queries [B, D] to per-query gathered vectors [B, R, D]."""
+    m = Metric(metric)
+    if m == Metric.L2:
+        qn = squared_norms(queries)[:, None]
+        vn = squared_norms(nbr_vecs)
+        qv = jnp.einsum(
+            "bd,brd->br", queries, nbr_vecs, precision=jax.lax.Precision.HIGHEST
+        )
+        return jnp.maximum(qn + vn - 2.0 * qv, 0.0)
+    if m == Metric.COSINE:
+        qh = queries * jax.lax.rsqrt(squared_norms(queries) + 1e-12)[:, None]
+        vh = nbr_vecs * jax.lax.rsqrt(squared_norms(nbr_vecs) + 1e-12)[..., None]
+        return 1.0 - jnp.einsum(
+            "bd,brd->br", qh, vh, precision=jax.lax.Precision.HIGHEST
+        )
+    return -jnp.einsum(
+        "bd,brd->br", queries, nbr_vecs, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("search_width", "k", "max_steps", "metric")
+)
+def beam_search(
+    vectors: jax.Array,
+    adjacency: jax.Array,
+    medoid: jax.Array,
+    queries: jax.Array,
+    *,
+    search_width: int,
+    k: int,
+    max_steps: int | None = None,
+    metric: str = Metric.L2.value,
+) -> SearchResult:
+    """Batched best-first graph search.
+
+    Args:
+      vectors: [N, D] database vectors (HBM resident).
+      adjacency: [N, R] int32 neighbor ids, -1 padded.
+      medoid: [] int32 entry point.
+      queries: [B, D] query batch.
+      search_width: candidate-list size L (the reference's `L` /
+        `beam_width` knob — larger = better recall, more work).
+      k: number of results to return (k <= search_width).
+      max_steps: hard bound on expansion steps; defaults to
+        2 * search_width (the loop usually exits earlier on convergence).
+      metric: distance metric name.
+    """
+    if k > search_width:
+        raise ValueError(f"k={k} must be <= search_width={search_width}")
+    if max_steps is None:
+        max_steps = 2 * search_width
+    b = queries.shape[0]
+    n, r = adjacency.shape
+    medoid = jnp.asarray(medoid, jnp.int32)
+
+    # --- initial candidate list: just the medoid -------------------------
+    med_vec = vectors[medoid][None, :]  # [1, D]
+    d0 = _gathered_distance(queries, jnp.broadcast_to(med_vec, (b, 1, med_vec.shape[-1])), metric)  # [B, 1]
+    cand_ids = jnp.full((b, search_width), INVALID_ID, jnp.int32)
+    cand_ids = cand_ids.at[:, 0].set(medoid)
+    cand_dists = jnp.full((b, search_width), INF, jnp.float32)
+    cand_dists = cand_dists.at[:, 0].set(d0[:, 0])
+    expanded = jnp.zeros((b, search_width), jnp.bool_)
+
+    visited_ids = jnp.full((b, max_steps), INVALID_ID, jnp.int32)
+    visited_dists = jnp.full((b, max_steps), INF, jnp.float32)
+    n_expanded = jnp.zeros((b,), jnp.int32)
+
+    def cond(state):
+        step, cand_ids, cand_dists, expanded, *_ = state
+        frontier = jnp.where(expanded | (cand_ids == INVALID_ID), INF, cand_dists)
+        any_active = jnp.any(jnp.min(frontier, axis=1) < INF)
+        return (step < max_steps) & any_active
+
+    def body(state):
+        (step, cand_ids, cand_dists, expanded, visited_ids, visited_dists,
+         n_expanded) = state
+
+        frontier = jnp.where(expanded | (cand_ids == INVALID_ID), INF, cand_dists)
+        best_slot = jnp.argmin(frontier, axis=1)  # [B]
+        best_dist = jnp.take_along_axis(frontier, best_slot[:, None], axis=1)[:, 0]
+        active = best_dist < INF  # [B] — this query still has work
+
+        cur_id = jnp.take_along_axis(cand_ids, best_slot[:, None], axis=1)[:, 0]
+        cur_id_safe = jnp.where(active, cur_id, 0)
+
+        # mark expanded (only for active queries)
+        one_hot = (
+            jax.lax.broadcasted_iota(jnp.int32, (b, cand_ids.shape[1]), 1)
+            == best_slot[:, None]
+        )
+        expanded = expanded | (one_hot & active[:, None])
+
+        # log visited
+        visited_ids = jax.lax.dynamic_update_slice_in_dim(
+            visited_ids,
+            jnp.where(active, cur_id, INVALID_ID)[:, None],
+            step,
+            axis=1,
+        )
+        visited_dists = jax.lax.dynamic_update_slice_in_dim(
+            visited_dists,
+            jnp.where(active, best_dist, INF)[:, None],
+            step,
+            axis=1,
+        )
+        n_expanded = n_expanded + active.astype(jnp.int32)
+
+        # expand: gather neighbor ids + vectors, compute distances
+        nbrs = adjacency[cur_id_safe]  # [B, R]
+        valid = (nbrs != INVALID_ID) & active[:, None]
+        nbr_vecs = vectors[jnp.clip(nbrs, 0, n - 1)]  # [B, R, D]
+        nbr_dists = _gathered_distance(queries, nbr_vecs, metric)
+
+        # dedup: drop neighbors already in the candidate list or already
+        # expanded (visited log)
+        in_cand = jnp.any(nbrs[:, :, None] == cand_ids[:, None, :], axis=2)
+        in_vis = jnp.any(nbrs[:, :, None] == visited_ids[:, None, :], axis=2)
+        keep = valid & ~in_cand & ~in_vis
+        nbr_dists = jnp.where(keep, nbr_dists, INF)
+        nbr_ids = jnp.where(keep, nbrs, INVALID_ID)
+
+        new_ids, new_dists, take = merge_topk(
+            cand_ids, cand_dists, nbr_ids, nbr_dists, search_width
+        )
+        payload = jnp.concatenate(
+            [expanded, jnp.zeros((b, r), jnp.bool_)], axis=1
+        )
+        new_expanded = jnp.take_along_axis(payload, take, axis=1)
+        # slots holding masked/invalid entries count as expanded (no work)
+        new_expanded = new_expanded | (new_ids == INVALID_ID)
+
+        return (step + 1, new_ids, new_dists, new_expanded, visited_ids,
+                visited_dists, n_expanded)
+
+    state = (jnp.asarray(0, jnp.int32), cand_ids, cand_dists, expanded,
+             visited_ids, visited_dists, n_expanded)
+    (step, cand_ids, cand_dists, expanded, visited_ids, visited_dists,
+     n_expanded) = jax.lax.while_loop(cond, body, state)
+
+    return SearchResult(
+        ids=cand_ids[:, :k],
+        dists=cand_dists[:, :k],
+        visited_ids=visited_ids,
+        visited_dists=visited_dists,
+        n_expanded=n_expanded,
+        n_steps=step,
+    )

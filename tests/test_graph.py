@@ -1,0 +1,115 @@
+"""Graph build/search tests: numpy oracles for RobustPrune, exact-search
+sanity on a complete graph, and the recall-parity gate for the wave-batched
+Vamana builder (the acceptance criterion from SURVEY.md §7)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from diskrag_tpu.graph import (
+    beam_search,
+    build_vamana,
+    random_regular_init,
+    robust_prune_batch,
+)
+from diskrag_tpu.ops import brute_force_topk
+import jax
+
+
+def prune_oracle(point_id, cand_ids, cand_vecs, cand_dists, alpha, r):
+    """Reference semantics of RobustPrune (sequential, numpy)."""
+    active = {}
+    for i, cid in enumerate(cand_ids):
+        if cid < 0 or cid == point_id:
+            continue
+        if cid not in active or cand_dists[i] < cand_dists[active[cid]]:
+            active[cid] = i
+    active = dict(active)
+    out = []
+    while active and len(out) < r:
+        sel_id = min(active, key=lambda c: (cand_dists[active[c]], active[c]))
+        sel_i = active.pop(sel_id)
+        out.append(sel_id)
+        for cid in list(active):
+            i = active[cid]
+            d_sel = ((cand_vecs[sel_i] - cand_vecs[i]) ** 2).sum()
+            if alpha * d_sel <= cand_dists[i]:
+                del active[cid]
+    return out + [-1] * (r - len(out))
+
+
+def test_robust_prune_matches_oracle(rng):
+    n, c, d, r = 12, 24, 8, 5
+    pts = rng.normal(size=(100, d)).astype(np.float32)
+    point_ids = rng.integers(0, 100, size=n)
+    cand_ids = rng.integers(-1, 100, size=(n, c))
+    cand_vecs = pts[np.clip(cand_ids, 0, 99)]
+    cand_dists = ((pts[point_ids][:, None, :] - cand_vecs) ** 2).sum(-1)
+    cand_dists = np.where(cand_ids < 0, np.inf, cand_dists).astype(np.float32)
+
+    got = np.asarray(
+        robust_prune_batch(
+            jnp.asarray(point_ids, jnp.int32),
+            jnp.asarray(cand_ids, jnp.int32),
+            jnp.asarray(cand_vecs),
+            jnp.asarray(cand_dists),
+            1.2,
+            degree_bound=r,
+        )
+    )
+    for i in range(n):
+        want = prune_oracle(
+            point_ids[i], cand_ids[i], cand_vecs[i], cand_dists[i], 1.2, r
+        )
+        assert list(got[i]) == want, f"row {i}: {list(got[i])} != {want}"
+
+
+def test_beam_search_exact_on_complete_graph(rng):
+    n, d = 60, 16
+    pts = rng.normal(size=(n, d)).astype(np.float32)
+    # complete graph: every node sees every other
+    adj = np.stack([np.delete(np.arange(n), i) for i in range(n)]).astype(np.int32)
+    q = rng.normal(size=(5, d)).astype(np.float32)
+    res = beam_search(
+        jnp.asarray(pts), jnp.asarray(adj), jnp.asarray(0, jnp.int32),
+        jnp.asarray(q), search_width=16, k=5,
+    )
+    want_d, want_i = brute_force_topk(jnp.asarray(q), jnp.asarray(pts), k=5)
+    np.testing.assert_array_equal(np.asarray(res.ids), np.asarray(want_i))
+    np.testing.assert_allclose(
+        np.asarray(res.dists), np.asarray(want_d), rtol=1e-4, atol=1e-4
+    )
+    assert int(res.n_steps) <= 32
+
+
+def test_random_regular_init_no_self_loops():
+    adj = np.asarray(random_regular_init(jax.random.key(0), 100, 8))
+    assert adj.shape == (100, 8)
+    assert (adj >= 0).all() and (adj < 100).all()
+    assert not (adj == np.arange(100)[:, None]).any()
+
+
+def test_build_vamana_recall(clustered_data):
+    pts = clustered_data  # [2000, 64] clustered
+    rng = np.random.default_rng(7)
+    idx = build_vamana(
+        pts, degree_bound=32, build_width=64, alpha=1.2, seed=3,
+        wave_size=256,
+    )
+    adj = np.asarray(idx.adjacency)
+    # structural sanity
+    assert adj.shape == (len(pts), 32)
+    degs = (adj >= 0).sum(1)
+    assert degs.min() >= 1
+    # recall@10 vs brute force on perturbed-point queries
+    qi = rng.integers(0, len(pts), size=128)
+    queries = pts[qi] + rng.normal(size=(128, pts.shape[1])).astype(np.float32) * 0.1
+    res = beam_search(
+        idx.vectors, idx.adjacency, idx.medoid, jnp.asarray(queries),
+        search_width=64, k=10,
+    )
+    _, gt = brute_force_topk(jnp.asarray(queries), idx.vectors, k=10)
+    got, want = np.asarray(res.ids), np.asarray(gt)
+    recall = np.mean(
+        [len(set(got[i]) & set(want[i])) / 10 for i in range(len(got))]
+    )
+    assert recall >= 0.95, f"recall@10 = {recall}"
