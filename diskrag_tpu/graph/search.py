@@ -80,45 +80,24 @@ def _gathered_distance(
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("search_width", "k", "max_steps", "metric")
-)
-def beam_search(
-    vectors: jax.Array,
+def _frontier_search(
     adjacency: jax.Array,
     medoid: jax.Array,
-    queries: jax.Array,
+    expand_fn,
+    batch: int,
     *,
     search_width: int,
     k: int,
-    max_steps: int | None = None,
-    metric: str = Metric.L2.value,
+    max_steps: int,
 ) -> SearchResult:
-    """Batched best-first graph search.
-
-    Args:
-      vectors: [N, D] database vectors (HBM resident).
-      adjacency: [N, R] int32 neighbor ids, -1 padded.
-      medoid: [] int32 entry point.
-      queries: [B, D] query batch.
-      search_width: candidate-list size L (the reference's `L` /
-        `beam_width` knob — larger = better recall, more work).
-      k: number of results to return (k <= search_width).
-      max_steps: hard bound on expansion steps; defaults to
-        2 * search_width (the loop usually exits earlier on convergence).
-      metric: distance metric name.
-    """
-    if k > search_width:
-        raise ValueError(f"k={k} must be <= search_width={search_width}")
-    if max_steps is None:
-        max_steps = 2 * search_width
-    b = queries.shape[0]
+    """Shared best-first loop. `expand_fn(ids [B, R] clipped-safe) -> dists
+    [B, R]` supplies the distance backend (exact gather-matmul or PQ/ADC)."""
+    b = batch
     n, r = adjacency.shape
     medoid = jnp.asarray(medoid, jnp.int32)
 
     # --- initial candidate list: just the medoid -------------------------
-    med_vec = vectors[medoid][None, :]  # [1, D]
-    d0 = _gathered_distance(queries, jnp.broadcast_to(med_vec, (b, 1, med_vec.shape[-1])), metric)  # [B, 1]
+    d0 = expand_fn(jnp.broadcast_to(medoid, (b, 1)))  # [B, 1]
     cand_ids = jnp.full((b, search_width), INVALID_ID, jnp.int32)
     cand_ids = cand_ids.at[:, 0].set(medoid)
     cand_dists = jnp.full((b, search_width), INF, jnp.float32)
@@ -169,11 +148,10 @@ def beam_search(
         )
         n_expanded = n_expanded + active.astype(jnp.int32)
 
-        # expand: gather neighbor ids + vectors, compute distances
+        # expand: gather neighbor ids, compute distances via the backend
         nbrs = adjacency[cur_id_safe]  # [B, R]
         valid = (nbrs != INVALID_ID) & active[:, None]
-        nbr_vecs = vectors[jnp.clip(nbrs, 0, n - 1)]  # [B, R, D]
-        nbr_dists = _gathered_distance(queries, nbr_vecs, metric)
+        nbr_dists = expand_fn(jnp.clip(nbrs, 0, n - 1))
 
         # dedup: drop neighbors already in the candidate list or already
         # expanded (visited log)
@@ -208,4 +186,123 @@ def beam_search(
         visited_dists=visited_dists,
         n_expanded=n_expanded,
         n_steps=step,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("search_width", "k", "max_steps", "metric")
+)
+def beam_search(
+    vectors: jax.Array,
+    adjacency: jax.Array,
+    medoid: jax.Array,
+    queries: jax.Array,
+    *,
+    search_width: int,
+    k: int,
+    max_steps: int | None = None,
+    metric: str = Metric.L2.value,
+) -> SearchResult:
+    """Batched best-first graph search with exact distances.
+
+    Args:
+      vectors: [N, D] database vectors (HBM resident).
+      adjacency: [N, R] int32 neighbor ids, -1 padded.
+      medoid: [] int32 entry point.
+      queries: [B, D] query batch.
+      search_width: candidate-list size L (the reference's `L` /
+        `beam_width` knob — larger = better recall, more work).
+      k: number of results to return (k <= search_width).
+      max_steps: hard bound on expansion steps; defaults to
+        2 * search_width (the loop usually exits earlier on convergence).
+      metric: distance metric name.
+    """
+    if k > search_width:
+        raise ValueError(f"k={k} must be <= search_width={search_width}")
+    if max_steps is None:
+        max_steps = 2 * search_width
+    n = vectors.shape[0]
+
+    def expand(ids):
+        return _gathered_distance(
+            queries, vectors[jnp.clip(ids, 0, n - 1)], metric
+        )
+
+    return _frontier_search(
+        adjacency, medoid, expand, queries.shape[0],
+        search_width=search_width, k=k, max_steps=max_steps,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("search_width", "k", "max_steps", "rerank", "metric"),
+)
+def beam_search_pq(
+    codes: jax.Array,
+    tables: jax.Array,
+    adjacency: jax.Array,
+    medoid: jax.Array,
+    *,
+    search_width: int,
+    k: int,
+    max_steps: int | None = None,
+    rerank: bool = True,
+    vectors: jax.Array | None = None,
+    queries: jax.Array | None = None,
+    metric: str = Metric.L2.value,
+) -> SearchResult:
+    """PQ-accelerated graph search: traversal is guided purely by ADC
+    distances looked up from per-query tables; optionally the final
+    candidate list is reranked with exact distances.
+
+    This replaces the reference's hybrid per-node exact/PQ policy
+    (reference search_engine.py:381-506: exact when list not full / PQ
+    beats 0.8x worst / 20%-random within 1.2x) with a deterministic
+    ADC-traversal + exact-rerank-of-top-L design — documented deviation,
+    better suited to batched TPU execution and at least as accurate for
+    equal L (rerank sees every surviving candidate).
+
+    Args:
+      codes: uint8/int [N, m] PQ codes (HBM resident — m bytes gathered
+        per neighbor instead of 4*D, the whole point of the PQ tier).
+      tables: [B, m, 256] per-query ADC tables.
+      adjacency / medoid: graph.
+      rerank: if True, `vectors` [N, D] and `queries` [B, D] must be given;
+        the returned ids/dists are exact top-k over the final beam.
+    """
+    from diskrag_tpu.pq.product_quantizer import adc_lookup_gathered
+
+    if k > search_width:
+        raise ValueError(f"k={k} must be <= search_width={search_width}")
+    if max_steps is None:
+        max_steps = 2 * search_width
+    n = adjacency.shape[0]
+    b = tables.shape[0]
+
+    def expand(ids):
+        return adc_lookup_gathered(tables, codes[jnp.clip(ids, 0, n - 1)])
+
+    res = _frontier_search(
+        adjacency, medoid, expand, b,
+        search_width=search_width, k=search_width, max_steps=max_steps,
+    )
+    if not rerank:
+        return SearchResult(
+            ids=res.ids[:, :k], dists=res.dists[:, :k],
+            visited_ids=res.visited_ids, visited_dists=res.visited_dists,
+            n_expanded=res.n_expanded, n_steps=res.n_steps,
+        )
+    if vectors is None or queries is None:
+        raise ValueError("rerank=True requires vectors and queries")
+    exact = _gathered_distance(
+        queries, vectors[jnp.clip(res.ids, 0, n - 1)], metric
+    )
+    exact = jnp.where(res.ids == INVALID_ID, INF, exact)
+    top_d, take = jax.lax.top_k(-exact, k)
+    top_i = jnp.take_along_axis(res.ids, take, axis=1)
+    return SearchResult(
+        ids=top_i, dists=-top_d,
+        visited_ids=res.visited_ids, visited_dists=res.visited_dists,
+        n_expanded=res.n_expanded, n_steps=res.n_steps,
     )

@@ -1,0 +1,214 @@
+"""Index persistence.
+
+Artifact set mirrors the reference's
+`collections/<name>/index/{index.dat, meta.json, pq_model.pkl, pq_codes.bin}`
+(reference scripts/tools/build_index.py:251-332, io/diskann_persist.py:11-206)
+with a TPU-friendly primary layout:
+
+    index/
+      vectors.npy        float32[N, D]
+      adjacency.npy      int32[N, R], -1 padded
+      meta.json          params + stats (superset of the reference's meta)
+      pq_codes.npy       uint8[N, m]            (when PQ enabled)
+      pq_model.npz       codebooks float32[m, 256, ds] + params
+      index.dat          optional compat records (see write_compat_records)
+
+Durability behavior matched from the reference: atomic `.tmp` -> rename
+writes with reload validation for the PQ model
+(reference io/diskann_persist.py:33-105, collection.py:98-137).
+
+The packed `index.dat` record format — float32[dim] vector ‖ uint32[R]
+neighbors, record_size 4*(dim+R) (reference io/diskann_persist.py:15-24) —
+is kept for compat tooling and the host/disk tier, with one deliberate
+change: padding slots store 0xFFFFFFFF instead of 0 (the reference's
+zero-padding aliases node 0 — SURVEY.md §7 quirks).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+
+import jax.numpy as jnp
+import numpy as np
+
+from diskrag_tpu.graph.types import VamanaIndex
+from diskrag_tpu.pq.product_quantizer import ProductQuantizer
+
+FORMAT_VERSION = "tpu-1"
+COMPAT_PAD = np.uint32(0xFFFFFFFF)
+
+
+def _atomic_write_bytes(path: pathlib.Path, data: bytes) -> None:
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    tmp.write_bytes(data)
+    os.replace(tmp, path)
+
+
+def _atomic_save_npy(path: pathlib.Path, arr: np.ndarray) -> None:
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with open(tmp, "wb") as f:
+        np.save(f, arr)
+    os.replace(tmp, path)
+
+
+class IndexStore:
+    """Filesystem layout helper for one index directory."""
+
+    def __init__(self, index_dir: str | os.PathLike):
+        self.dir = pathlib.Path(index_dir)
+
+    @property
+    def vectors_path(self):
+        return self.dir / "vectors.npy"
+
+    @property
+    def adjacency_path(self):
+        return self.dir / "adjacency.npy"
+
+    @property
+    def meta_path(self):
+        return self.dir / "meta.json"
+
+    @property
+    def pq_codes_path(self):
+        return self.dir / "pq_codes.npy"
+
+    @property
+    def pq_model_path(self):
+        return self.dir / "pq_model.npz"
+
+    @property
+    def compat_path(self):
+        return self.dir / "index.dat"
+
+    def exists(self) -> bool:
+        return self.meta_path.exists() and self.vectors_path.exists()
+
+
+def save_index(
+    index_dir: str | os.PathLike,
+    index: VamanaIndex,
+    *,
+    pq: ProductQuantizer | None = None,
+    pq_codes: np.ndarray | None = None,
+    meta_extra: dict | None = None,
+    write_compat: bool = False,
+) -> dict:
+    """Persist an index; returns the meta dict written."""
+    store = IndexStore(index_dir)
+    store.dir.mkdir(parents=True, exist_ok=True)
+
+    vectors = np.asarray(index.vectors, np.float32)
+    adjacency = np.asarray(index.adjacency, np.int32)
+    _atomic_save_npy(store.vectors_path, vectors)
+    _atomic_save_npy(store.adjacency_path, adjacency)
+
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "dimension": int(vectors.shape[1]),
+        "R": int(adjacency.shape[1]),
+        "num_points": int(vectors.shape[0]),
+        "medoid_idx": int(index.medoid),
+        "distance_metric": index.metric,
+        "use_pq": pq is not None,
+    }
+    if pq is not None:
+        if pq_codes is None:
+            raise ValueError("pq given without pq_codes")
+        pq_codes = np.asarray(pq_codes, np.uint8)
+        _atomic_save_npy(store.pq_codes_path, pq_codes)
+        tmp = store.pq_model_path.with_suffix(".npz.tmp")
+        with open(tmp, "wb") as f:
+            np.savez(f, **pq.to_arrays())
+        # reload-validate before rename, like the reference's pkl writer
+        # (io/diskann_persist.py:79-105)
+        with np.load(tmp) as loaded:
+            ProductQuantizer.from_arrays(dict(loaded))
+        os.replace(tmp, store.pq_model_path)
+        meta["n_subvectors"] = int(pq.n_subvectors)
+        meta["pq_centroids"] = int(pq.n_centroids)
+    if meta_extra:
+        meta.update(meta_extra)
+    _atomic_write_bytes(
+        store.meta_path, json.dumps(meta, indent=2).encode("utf-8")
+    )
+    if write_compat:
+        write_compat_records(store.compat_path, vectors, adjacency)
+    return meta
+
+
+def load_index(
+    index_dir: str | os.PathLike,
+    *,
+    to_device: bool = True,
+) -> tuple[VamanaIndex, ProductQuantizer | None, np.ndarray | None, dict]:
+    """Load (index, pq_model | None, pq_codes | None, meta)."""
+    store = IndexStore(index_dir)
+    if not store.exists():
+        raise FileNotFoundError(f"no index at {store.dir}")
+    meta = json.loads(store.meta_path.read_text())
+    vectors = np.load(store.vectors_path)
+    adjacency = np.load(store.adjacency_path)
+    if vectors.shape[0] != meta["num_points"]:
+        raise ValueError("meta/num_points mismatch with vectors.npy")
+    index = VamanaIndex.from_numpy(
+        vectors, adjacency, meta["medoid_idx"],
+        metric=meta.get("distance_metric", "l2"),
+    )
+    if not to_device:
+        index = VamanaIndex(
+            vectors=vectors, adjacency=adjacency,  # type: ignore[arg-type]
+            medoid=jnp.asarray(meta["medoid_idx"], jnp.int32),
+            metric=meta.get("distance_metric", "l2"),
+        )
+    pq = None
+    codes = None
+    if meta.get("use_pq") and store.pq_model_path.exists():
+        with np.load(store.pq_model_path) as loaded:
+            pq = ProductQuantizer.from_arrays(dict(loaded))
+        codes = np.load(store.pq_codes_path)
+        if codes.shape != (meta["num_points"], pq.n_subvectors):
+            raise ValueError(f"pq_codes shape {codes.shape} mismatch")
+    return index, pq, codes, meta
+
+
+def write_compat_records(
+    path: str | os.PathLike, vectors: np.ndarray, adjacency: np.ndarray
+) -> int:
+    """Write the packed per-node record file: float32[dim] ‖ uint32[R].
+
+    record_size = 4 * (dim + R) — same layout as the reference
+    (io/diskann_persist.py:15-24) except padding is 0xFFFFFFFF, not 0.
+    Returns the record size in bytes.
+    """
+    n, dim = vectors.shape
+    r = adjacency.shape[1]
+    nbrs = adjacency.astype(np.int64)
+    packed_nbrs = np.where(nbrs < 0, COMPAT_PAD, nbrs.astype(np.uint32)).astype(
+        np.uint32
+    )
+    # interleave per record: view as bytes
+    rec = np.empty((n, 4 * (dim + r)), np.uint8)
+    rec[:, : 4 * dim] = vectors.astype(np.float32).view(np.uint8).reshape(n, -1)
+    rec[:, 4 * dim:] = packed_nbrs.view(np.uint8).reshape(n, -1)
+    tmp = pathlib.Path(path).with_suffix(".dat.tmp")
+    rec.tofile(tmp)
+    os.replace(tmp, path)
+    return 4 * (dim + r)
+
+
+def read_compat_records(
+    path: str | os.PathLike, n: int, dim: int, r: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Read back the packed record file -> (vectors [N,D], adjacency [N,R]
+    int32 with -1 padding). Memory-maps; no full copy until sliced."""
+    record_size = 4 * (dim + r)
+    raw = np.memmap(path, dtype=np.uint8, mode="r", shape=(n, record_size))
+    vectors = raw[:, : 4 * dim].copy().view(np.float32).reshape(n, dim)
+    nbrs_u = raw[:, 4 * dim:].copy().view(np.uint32).reshape(n, r)
+    adjacency = np.where(nbrs_u == COMPAT_PAD, -1, nbrs_u.astype(np.int64)).astype(
+        np.int32
+    )
+    return vectors, adjacency
