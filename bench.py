@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Driver benchmark: prints ONE JSON line with the metric of record.
+
+Metric: QPS/chip at recall@10 >= 0.95 on a seeded SIFT-like clustered
+dataset (128-d), plus Vamana build time. `vs_baseline` compares against
+the reference CPU implementation measured on this machine with the same
+protocol (see benchmarks/reference_baseline.py; value stored in
+benchmarks/baseline_measured.json).
+
+Env knobs: BENCH_N (default 200000), BENCH_QUERIES (1000), BENCH_DIM (128).
+"""
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+
+def main() -> None:
+    n = int(os.environ.get("BENCH_N", "200000"))
+    dim = int(os.environ.get("BENCH_DIM", "128"))
+    n_queries = int(os.environ.get("BENCH_QUERIES", "1000"))
+    k = 10
+
+    import numpy as np
+
+    from diskrag_tpu.benchmark import (
+        best_qps_at_recall,
+        ground_truth,
+        make_dataset,
+        sweep_exact,
+        sweep_pq,
+    )
+    from diskrag_tpu.graph.build import build_vamana
+    from diskrag_tpu.pq import ProductQuantizer
+
+    pts, queries = make_dataset(n, dim, n_queries)
+
+    t0 = time.perf_counter()
+    index = build_vamana(
+        pts, degree_bound=48, build_width=80, alpha=1.2, seed=0,
+        wave_size=1024,
+    )
+    build_seconds = time.perf_counter() - t0
+
+    gt = ground_truth(pts, queries, k)
+
+    points = sweep_exact(index, queries, gt, k=k)
+    pq = ProductQuantizer(n_subvectors=32).fit(pts, seed=0)
+    codes = np.asarray(pq.encode(pts))
+    points += sweep_pq(index, pq, codes, queries, gt, k=k)
+
+    best = best_qps_at_recall(points, 0.95)
+    if best is None:
+        # report the highest-recall point so the driver still gets a line
+        best = max(points, key=lambda p: p.recall)
+
+    baseline_path = pathlib.Path(__file__).parent / "benchmarks" / "baseline_measured.json"
+    vs_baseline = None
+    if baseline_path.exists():
+        base = json.loads(baseline_path.read_text())
+        base_qps = base.get("qps_at_recall_0.95") or base.get("best_qps")
+        if base_qps:
+            vs_baseline = best.qps / base_qps
+
+    print(
+        json.dumps(
+            {
+                "metric": "qps_per_chip_at_recall10>=0.95_sift-like-%dk" % (n // 1000),
+                "value": round(best.qps, 1),
+                "unit": "qps",
+                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "recall": round(best.recall, 4),
+                "search_width": best.search_width,
+                "mode": best.mode,
+                "build_seconds": round(build_seconds, 1),
+                "sweep": [
+                    {
+                        "L": p.search_width,
+                        "recall": round(p.recall, 4),
+                        "qps": round(p.qps, 1),
+                        "mode": p.mode,
+                    }
+                    for p in points
+                ],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

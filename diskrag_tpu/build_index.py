@@ -1,0 +1,208 @@
+"""Index build orchestration — the counterpart of the reference's
+`scripts/tools/build_index.py`.
+
+Keeps the reference's adaptive parameter schedules verbatim as behavior
+(R/L scale tiers incl. the "avoid the 25k recall cliff" tier, quality
+multipliers, search-L formula — reference build_index.py:15-64) and its
+validation gates (PQ reconstruction/round-trip/consistency checks,
+build_index.py:203-282), while the actual graph build and PQ training run
+on TPU (diskrag_tpu.graph.build / diskrag_tpu.pq).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import time
+
+import numpy as np
+
+from diskrag_tpu.graph.build import build_vamana
+from diskrag_tpu.index.persist import IndexStore, save_index
+from diskrag_tpu.pq import ProductQuantizer, calculate_adaptive_pq_params
+
+logger = logging.getLogger(__name__)
+
+
+def calculate_adaptive_build_params(
+    n_points: int, target_quality: str = "balanced"
+) -> dict:
+    """R/L/alpha schedule by dataset scale and quality tier
+    (behavior parity with reference build_index.py:15-48)."""
+    if n_points <= 10_000:
+        base_r, base_l = 16, 32
+    elif n_points <= 50_000:
+        base_r, base_l = 20, 48  # avoid the 25k recall cliff
+    elif n_points <= 200_000:
+        base_r, base_l = 24, 64
+    else:
+        base_r, base_l = 28, 80
+
+    if target_quality == "fast":
+        r, l, alpha, target_recall = int(base_r * 0.8), int(base_l * 0.8), 1.0, 0.7
+    elif target_quality == "high":
+        r, l, alpha, target_recall = int(base_r * 1.2), int(base_l * 1.4), 1.2, 0.95
+    else:  # balanced
+        r, l, alpha, target_recall = base_r, base_l, 1.2, 0.85
+    return {"R": r, "L": l, "alpha": alpha, "target_recall": target_recall}
+
+
+def calculate_adaptive_search_L(
+    n_points: int, target_recall: float = 0.85
+) -> int:
+    """Recommended query-time L (parity with reference build_index.py:50-64)."""
+    if n_points <= 10_000:
+        base_l = 10 * (8 + math.log10(max(n_points, 10)))
+    elif n_points <= 100_000:
+        base_l = 10 * (15 + 2 * math.log10(n_points))
+    else:
+        base_l = 10 * (20 + 3 * math.log10(n_points))
+    if target_recall >= 0.9:
+        base_l *= 2.0
+    elif target_recall >= 0.85:
+        base_l *= 1.5
+    return max(20, min(int(base_l), n_points // 3))
+
+
+def _vector_stats(vectors: np.ndarray) -> dict:
+    norms = np.linalg.norm(vectors, axis=1)
+    return {
+        "mean_norm": float(norms.mean()),
+        "std_norm": float(norms.std()),
+        "min_norm": float(norms.min()),
+        "max_norm": float(norms.max()),
+        "mean": float(vectors.mean()),
+        "std": float(vectors.std()),
+    }
+
+
+def _validate_pq(
+    pq: ProductQuantizer, vectors: np.ndarray, codes: np.ndarray
+) -> dict:
+    """PQ acceptance checks (reference build_index.py:203-282): encode
+    determinism, reconstruction error, exact-vs-ADC correlation."""
+    n = len(vectors)
+    sample = np.random.default_rng(0).choice(n, size=min(256, n), replace=False)
+    codes2 = np.asarray(pq.encode(vectors[sample]))
+    consistent = bool((codes2 == codes[sample]).all())
+
+    recon_err = pq.reconstruction_error(vectors[sample])
+    base = float(np.mean(np.sum(np.square(vectors[sample]), axis=1)))
+    rel_err = recon_err / max(base, 1e-12)
+
+    # exact vs ADC correlation on sampled query/point pairs (the engine
+    # re-checks this at startup too, reference search_engine.py:214-227)
+    qs = vectors[sample[: min(16, len(sample))]]
+    import jax.numpy as jnp
+
+    tables = pq.compute_distance_tables(qs)
+    adc = np.asarray(pq.asymmetric_distance_sq(tables, jnp.asarray(codes[sample])))
+    exact = ((qs[:, None, :] - vectors[sample][None, :, :]) ** 2).sum(-1)
+    corrs = [
+        float(np.corrcoef(adc[i], exact[i])[0, 1]) for i in range(len(qs))
+    ]
+    corr = float(np.nanmean(corrs))
+    return {
+        "encode_consistent": consistent,
+        "reconstruction_error": float(recon_err),
+        "relative_reconstruction_error": float(rel_err),
+        "exact_adc_correlation": corr,
+        "selectivity": pq.estimate_selectivity(n),
+        "passed": bool(consistent and corr >= 0.5),
+    }
+
+
+def build_index_from_vectors(
+    vectors: np.ndarray,
+    index_dir,
+    *,
+    target_quality: str = "balanced",
+    metric: str = "l2",
+    force_rebuild: bool = False,
+    write_compat: bool = False,
+    seed: int = 0,
+    params_override: dict | None = None,
+) -> dict:
+    """Build + persist a full index (graph and, when recommended, PQ).
+
+    Mirrors the reference flow (build_index.py:66-360): dtype/shape fixups,
+    min-size gate, skip-if-exists, adaptive params, PQ train+validate,
+    Vamana build, persist with meta.
+    """
+    store = IndexStore(index_dir)
+    if store.exists() and not force_rebuild:
+        logger.info("index already exists at %s (use force_rebuild)", store.dir)
+        import json
+
+        return json.loads(store.meta_path.read_text())
+
+    vectors = np.asarray(vectors)
+    if vectors.dtype != np.float32:
+        vectors = vectors.astype(np.float32)
+    if vectors.ndim == 1:
+        vectors = vectors.reshape(1, -1)
+    n, dim = vectors.shape
+    if n < 16:
+        raise ValueError(
+            f"need at least 16 vectors to build an index, got {n} "
+            "(reference build_index.py:121)"
+        )
+
+    params = calculate_adaptive_build_params(n, target_quality)
+    if params_override:
+        params.update(params_override)
+    r, l, alpha = params["R"], params["L"], params["alpha"]
+    logger.info("build params: N=%d R=%d L=%d alpha=%.2f", n, r, l, alpha)
+
+    pq_rec = calculate_adaptive_pq_params(n, dim, _pq_target(target_quality))
+    pq = None
+    codes = None
+    pq_validation = None
+    use_pq = pq_rec.recommendation != "brute_force"
+    if use_pq:
+        t0 = time.perf_counter()
+        pq = ProductQuantizer(n_subvectors=pq_rec.n_subvectors).fit(
+            vectors, seed=seed
+        )
+        codes = np.asarray(pq.encode(vectors))
+        pq_validation = _validate_pq(pq, vectors, codes)
+        logger.info(
+            "PQ m=%d trained in %.1fs (corr=%.3f)",
+            pq_rec.n_subvectors, time.perf_counter() - t0,
+            pq_validation["exact_adc_correlation"],
+        )
+        if not pq_validation["passed"]:
+            logger.warning("PQ validation failed — keeping PQ but flagging meta")
+
+    t0 = time.perf_counter()
+    index = build_vamana(
+        vectors, degree_bound=r, build_width=l, alpha=alpha,
+        metric=metric, seed=seed, progress=True,
+    )
+    build_seconds = time.perf_counter() - t0
+
+    meta = save_index(
+        index_dir, index, pq=pq, pq_codes=codes,
+        write_compat=write_compat,
+        meta_extra={
+            "L": l,
+            "alpha": alpha,
+            "target_quality": target_quality,
+            "target_recall": params["target_recall"],
+            "recommended_search_L": calculate_adaptive_search_L(
+                n, params["target_recall"]
+            ),
+            "vector_stats": _vector_stats(vectors),
+            "pq_validation": pq_validation,
+            "build_seconds": build_seconds,
+        },
+    )
+    logger.info("index built in %.1fs -> %s", build_seconds, store.dir)
+    return meta
+
+
+def _pq_target(target_quality: str) -> str:
+    return {
+        "fast": "space_saving",
+        "high": "high_accuracy",
+    }.get(target_quality, "balanced")

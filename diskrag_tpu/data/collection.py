@@ -1,0 +1,379 @@
+"""Collection management — counterpart of the reference's
+`preprocessing/collection.py`.
+
+Same on-disk layout:
+    collections/<name>/
+      vectors.npy            float32[N, D]
+      metadata.parquet       columns: text, text_hash, vector_index, metadata
+                             (metadata is a JSON string — the reference
+                             normalizes Struct columns to strings too,
+                             collection.py:228-249)
+      collection_info.json   CollectionInfo (atomic .tmp->rename with .bak
+                             backup/restore, collection.py:98-137)
+      index/                 built index artifacts
+
+Differences from the reference (intentional fixes, SURVEY.md §7 quirks):
+  - metadata.parquet is cached per collection after first read;
+    `get_text_by_index` no longer re-reads the whole file per result
+    (reference collection.py:455 re-read every call).
+  - parquet IO via pandas/pyarrow instead of polars (polars unavailable).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import logging
+import os
+import pathlib
+import shutil
+from typing import Any, Optional
+
+import numpy as np
+import pandas as pd
+
+from diskrag_tpu.data.config import CollectionInfo, get_text_hash
+
+logger = logging.getLogger(__name__)
+
+
+def _now() -> str:
+    return datetime.datetime.now().isoformat()
+
+
+class CollectionManager:
+    """Manages collections of vectors + texts + metadata."""
+
+    def __init__(self, base_dir: str | os.PathLike = "collections"):
+        self.base_dir = pathlib.Path(base_dir)
+        self.base_dir.mkdir(parents=True, exist_ok=True)
+        self._metadata_cache: dict[str, pd.DataFrame] = {}
+
+    # --- paths -----------------------------------------------------------
+    def _collection_dir(self, name: str) -> pathlib.Path:
+        return self.base_dir / name
+
+    def get_vectors_path(self, name: str) -> pathlib.Path:
+        return self._collection_dir(name) / "vectors.npy"
+
+    def get_metadata_path(self, name: str) -> pathlib.Path:
+        return self._collection_dir(name) / "metadata.parquet"
+
+    def get_info_path(self, name: str) -> pathlib.Path:
+        return self._collection_dir(name) / "collection_info.json"
+
+    def get_index_dir(self, name: str) -> pathlib.Path:
+        return self._collection_dir(name) / "index"
+
+    # --- info ------------------------------------------------------------
+    def list_collections(self) -> list[CollectionInfo]:
+        out = []
+        for path in sorted(self.base_dir.iterdir()):
+            if path.is_dir() and (path / "collection_info.json").exists():
+                try:
+                    info = self.get_collection_info(path.name)
+                    if info:
+                        out.append(info)
+                except Exception as e:  # noqa: BLE001
+                    logger.warning("cannot read collection %s: %s", path.name, e)
+        return sorted(out, key=lambda i: i.created_at, reverse=True)
+
+    def get_collection_info(self, name: str) -> Optional[CollectionInfo]:
+        path = self.get_info_path(name)
+        if not path.exists():
+            return self._restore_info_backup(name)
+        try:
+            return CollectionInfo.load(path)
+        except Exception as e:  # noqa: BLE001
+            logger.warning("collection_info.json corrupt for %s: %s", name, e)
+            return self._restore_info_backup(name)
+
+    def _restore_info_backup(self, name: str) -> Optional[CollectionInfo]:
+        bak = self.get_info_path(name).with_suffix(".json.bak")
+        if bak.exists():
+            try:
+                info = CollectionInfo.load(bak)
+                shutil.copy2(bak, self.get_info_path(name))
+                logger.info("restored collection_info.json from backup for %s", name)
+                return info
+            except Exception:  # noqa: BLE001
+                return None
+        return None
+
+    def save_collection_info(self, info: CollectionInfo) -> None:
+        """Atomic write with .bak backup (reference collection.py:98-137)."""
+        path = self.get_info_path(info.name)
+        if path.exists():
+            shutil.copy2(path, path.with_suffix(".json.bak"))
+        tmp = path.with_suffix(".json.tmp")
+        info.save(tmp)
+        os.replace(tmp, path)
+
+    # --- creation / update ----------------------------------------------
+    def create_collection(
+        self,
+        name: str,
+        dimension: int,
+        config: dict | None = None,
+        source_file: str | None = None,
+    ) -> CollectionInfo:
+        cdir = self._collection_dir(name)
+        cdir.mkdir(parents=True, exist_ok=True)
+        info = CollectionInfo(
+            name=name,
+            config=config or {},
+            dimension=dimension,
+            num_vectors=0,
+            created_at=_now(),
+            updated_at=_now(),
+            source_files=[source_file] if source_file else [],
+        )
+        np.save(self.get_vectors_path(name), np.empty((0, dimension), np.float32))
+        self._write_metadata(
+            name,
+            pd.DataFrame(
+                {
+                    "text": pd.Series([], dtype="string"),
+                    "text_hash": pd.Series([], dtype="string"),
+                    "vector_index": pd.Series([], dtype="int64"),
+                    "metadata": pd.Series([], dtype="string"),
+                }
+            ),
+        )
+        self.save_collection_info(info)
+        return info
+
+    def update_collection(
+        self,
+        name: str,
+        vectors: np.ndarray,
+        texts: list[str],
+        metadata_list: list[dict[str, Any]],
+        source_file: str | None = None,
+    ) -> CollectionInfo:
+        """Dedup-append new (vector, text, metadata) rows
+        (reference collection.py:195-389 semantics)."""
+        info = self.get_collection_info(name)
+        if not info:
+            raise ValueError(f"collection {name} not found")
+        vectors = np.asarray(vectors, np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != info.dimension:
+            raise ValueError(
+                f"vector shape {vectors.shape} does not match dimension "
+                f"{info.dimension}"
+            )
+        if not (len(vectors) == len(texts) == len(metadata_list)):
+            raise ValueError("vectors/texts/metadata length mismatch")
+
+        df = self._read_metadata(name)
+        existing = set(df["text_hash"].tolist())
+
+        keep_rows = []
+        keep_vecs = []
+        next_index = int(info.num_vectors)
+        for i, text in enumerate(texts):
+            h = get_text_hash(text)
+            if h in existing:
+                continue
+            existing.add(h)
+            meta = metadata_list[i]
+            keep_rows.append(
+                {
+                    "text": text,
+                    "text_hash": h,
+                    "vector_index": next_index,
+                    "metadata": json.dumps(meta, ensure_ascii=False)
+                    if not isinstance(meta, str)
+                    else meta,
+                }
+            )
+            keep_vecs.append(vectors[i])
+            info.text_hashes.add(h)
+            info.vector_offsets[h] = next_index
+            next_index += 1
+
+        if not keep_rows:
+            logger.warning("no new texts to add to %s (all duplicates)", name)
+            return info
+
+        old_vecs = np.load(self.get_vectors_path(name))
+        if old_vecs.ndim == 1:
+            old_vecs = old_vecs.reshape(-1, info.dimension)
+        all_vecs = np.vstack([old_vecs, np.stack(keep_vecs)])
+        tmp = self.get_vectors_path(name).with_suffix(".npy.tmp")
+        with open(tmp, "wb") as f:
+            np.save(f, all_vecs)
+        os.replace(tmp, self.get_vectors_path(name))
+
+        new_df = pd.concat([df, pd.DataFrame(keep_rows)], ignore_index=True)
+        self._write_metadata(name, new_df)
+
+        info.num_vectors = next_index
+        info.updated_at = _now()
+        if source_file and source_file not in info.source_files:
+            info.source_files.append(source_file)
+        self.save_collection_info(info)
+        logger.info(
+            "collection %s: +%d vectors (now %d)", name, len(keep_rows),
+            info.num_vectors,
+        )
+        return info
+
+    def rebuild_collection(self, name: str) -> CollectionInfo:
+        """Rebuild collection_info from the metadata parquet + vectors
+        (reference collection.py:391-434)."""
+        df = self._read_metadata(name)
+        vecs = np.load(self.get_vectors_path(name))
+        info = self.get_collection_info(name)
+        dim = vecs.shape[1] if vecs.ndim == 2 else (info.dimension if info else 0)
+        created = info.created_at if info else _now()
+        new_info = CollectionInfo(
+            name=name,
+            config=info.config if info else {},
+            dimension=int(dim),
+            num_vectors=int(len(vecs)),
+            created_at=created,
+            updated_at=_now(),
+            source_files=info.source_files if info else [],
+            text_hashes=set(df["text_hash"].tolist()),
+            vector_offsets={
+                r["text_hash"]: int(r["vector_index"])
+                for _, r in df.iterrows()
+            },
+            chunk_stats=info.chunk_stats if info else {},
+        )
+        self.save_collection_info(new_info)
+        return new_info
+
+    def delete_collection(self, name: str) -> bool:
+        cdir = self._collection_dir(name)
+        if not cdir.exists():
+            return False
+        shutil.rmtree(cdir)
+        self._metadata_cache.pop(name, None)
+        return True
+
+    def merge_collections(
+        self, sources: list[str], dest: str
+    ) -> CollectionInfo:
+        """Merge collections: vstack vectors, concat + dedup metadata with
+        re-assigned vector_index (reference diskrag.py:295-348)."""
+        if not sources:
+            raise ValueError("no source collections")
+        infos = []
+        for s in sources:
+            info = self.get_collection_info(s)
+            if not info:
+                raise ValueError(f"collection {s} not found")
+            infos.append(info)
+        dim = infos[0].dimension
+        if any(i.dimension != dim for i in infos):
+            raise ValueError("dimension mismatch between collections")
+
+        self.create_collection(dest, dim, config=infos[0].config)
+        for s in sources:
+            vecs = np.load(self.get_vectors_path(s))
+            df = self._read_metadata(s)
+            order = df.sort_values("vector_index")
+            texts = order["text"].tolist()
+            metas = order["metadata"].tolist()
+            idxs = order["vector_index"].to_numpy()
+            self.update_collection(
+                dest, vecs[idxs], texts, metas, source_file=f"merge:{s}"
+            )
+        return self.get_collection_info(dest)
+
+    # --- lookup ----------------------------------------------------------
+    def get_text_by_index(
+        self, name: str, vector_index: int
+    ) -> Optional[tuple[str, dict]]:
+        """Text + metadata for a vector index. Unlike the reference, the
+        parquet is read once and cached (fix for collection.py:455)."""
+        df = self._read_metadata(name)
+        rows = df[df["vector_index"] == int(vector_index)]
+        if rows.empty:
+            return None
+        row = rows.iloc[0]
+        return row["text"], self._unwrap_metadata(row["metadata"], row, vector_index)
+
+    def get_text_by_hash(self, name: str, text_hash: str) -> Optional[tuple[str, dict]]:
+        df = self._read_metadata(name)
+        rows = df[df["text_hash"] == text_hash]
+        if rows.empty:
+            return None
+        row = rows.iloc[0]
+        return row["text"], self._unwrap_metadata(
+            row["metadata"], row, int(row["vector_index"])
+        )
+
+    def get_texts_by_indices(
+        self, name: str, indices: list[int]
+    ) -> list[Optional[tuple[str, dict]]]:
+        """Batched lookup for a result list — one pass over the cached df."""
+        df = self._read_metadata(name)
+        by_idx = df.set_index("vector_index")
+        out: list[Optional[tuple[str, dict]]] = []
+        for idx in indices:
+            if int(idx) in by_idx.index:
+                row = by_idx.loc[int(idx)]
+                if isinstance(row, pd.DataFrame):
+                    row = row.iloc[0]
+                out.append(
+                    (row["text"], self._unwrap_metadata(row["metadata"], row, idx))
+                )
+            else:
+                out.append(None)
+        return out
+
+    @staticmethod
+    def _unwrap_metadata(meta, row, vector_index) -> dict:
+        """JSON-decode and unwrap nested metadata (the reference stores FAQ
+        metadata nested under a "metadata" key in some paths and unwraps it
+        on read, collection.py:467-505)."""
+        if isinstance(meta, str):
+            try:
+                meta = json.loads(meta)
+            except (ValueError, TypeError):
+                meta = {"raw": meta}
+        if not isinstance(meta, dict):
+            meta = {"value": meta}
+        # unwrap one level of nesting if present
+        inner = meta.get("metadata")
+        if isinstance(inner, dict):
+            merged = dict(meta)
+            merged.pop("metadata")
+            merged.update(inner)
+            meta = merged
+        elif isinstance(inner, str):
+            try:
+                parsed = json.loads(inner)
+                if isinstance(parsed, dict):
+                    merged = dict(meta)
+                    merged.pop("metadata")
+                    merged.update(parsed)
+                    meta = merged
+            except (ValueError, TypeError):
+                pass
+        meta.setdefault("vector_index", int(vector_index))
+        return meta
+
+    # --- parquet IO ------------------------------------------------------
+    def _read_metadata(self, name: str) -> pd.DataFrame:
+        cached = self._metadata_cache.get(name)
+        path = self.get_metadata_path(name)
+        if cached is not None:
+            return cached
+        if not path.exists():
+            raise FileNotFoundError(f"no metadata.parquet for {name}")
+        df = pd.read_parquet(path)
+        if "metadata" in df.columns and df["metadata"].dtype != object:
+            df["metadata"] = df["metadata"].astype("string")
+        self._metadata_cache[name] = df
+        return df
+
+    def _write_metadata(self, name: str, df: pd.DataFrame) -> None:
+        path = self.get_metadata_path(name)
+        tmp = path.with_suffix(".parquet.tmp")
+        df.to_parquet(tmp, compression="snappy", index=False)
+        os.replace(tmp, path)
+        self._metadata_cache[name] = df

@@ -1,0 +1,187 @@
+"""Configuration system — behavior parity with the reference's
+`preprocessing/config.py`: dataclass config tree, YAML load/save, the
+supported-dimension whitelist, sha256 text hashing, and CollectionInfo
+with text-hash dedup state.
+
+One deliberate change: the reference's `SUPPORTED_DIMENSIONS` whitelist
+{128, 256, 768, 960, 1536} (config.py:87-92) is kept as the *default*
+but a dimension is also accepted when it merely has a valid PQ split —
+the hard whitelist rejected perfectly fine dims for no TPU reason; we
+log instead of raising for those (documented deviation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import logging
+import pathlib
+from typing import Any, Optional
+
+import yaml
+
+logger = logging.getLogger(__name__)
+
+SUPPORTED_DIMENSIONS = {128, 256, 768, 960, 1536}
+
+
+def validate_vector_dimension(dimension: int) -> bool:
+    """True if the dimension is in the tested whitelist
+    (reference config.py:87-92)."""
+    return dimension in SUPPORTED_DIMENSIONS
+
+
+def get_text_hash(text: str) -> str:
+    """sha256 of the text — the ingest dedup key (reference config.py:94-96)."""
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+@dataclasses.dataclass
+class EmbeddingConfig:
+    provider: str = "openai"  # "openai" | "mock" (mock = offline testing)
+    model: str = "text-embedding-3-small"
+    project_id: Optional[str] = None
+    api_key: Optional[str] = None
+    max_retries: int = 3
+    retry_delay: int = 2
+    dimension: Optional[int] = None  # for the mock provider
+
+
+@dataclasses.dataclass
+class QuestionGenerationConfig:
+    enabled: bool = True
+    provider: str = "openai"
+    model: str = "gpt-3.5-turbo"
+    max_questions: int = 5
+    temperature: float = 0.7
+    max_retries: int = 3
+    retry_delay: int = 2
+    project_id: Optional[str] = None
+
+
+@dataclasses.dataclass
+class ChunkConfig:
+    size: int = 300
+    overlap: int = 50
+    min_size: int = 50
+
+
+@dataclasses.dataclass
+class OutputConfig:
+    format: str = "parquet"
+    compression: str = "snappy"
+
+
+@dataclasses.dataclass
+class IndexConfig:
+    """Index build knobs. The reference *documents* an `index:` block in
+    config.yaml but silently ignores it (SURVEY.md §5.6); we honor it."""
+
+    target_quality: str = "balanced"  # fast | balanced | high
+    metric: str = "l2"
+    force_pq: Optional[bool] = None  # None = adaptive decision
+
+
+@dataclasses.dataclass
+class PreprocessingConfig:
+    collection: str
+    embedding: EmbeddingConfig = dataclasses.field(default_factory=EmbeddingConfig)
+    question_generation: QuestionGenerationConfig = dataclasses.field(
+        default_factory=QuestionGenerationConfig
+    )
+    chunk: ChunkConfig = dataclasses.field(default_factory=ChunkConfig)
+    output: OutputConfig = dataclasses.field(default_factory=OutputConfig)
+    index: IndexConfig = dataclasses.field(default_factory=IndexConfig)
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def load_config(config_path: str | pathlib.Path) -> PreprocessingConfig:
+    with open(config_path, "r", encoding="utf-8") as f:
+        data = yaml.safe_load(f) or {}
+    return PreprocessingConfig(
+        collection=data["collection"],
+        embedding=EmbeddingConfig(**data.get("embedding", {})),
+        question_generation=QuestionGenerationConfig(
+            **data.get("question_generation", {})
+        ),
+        chunk=ChunkConfig(**data.get("chunk", {})),
+        output=OutputConfig(**data.get("output", {})),
+        index=IndexConfig(**data.get("index", {})),
+    )
+
+
+def save_config(config: PreprocessingConfig, config_path: str | pathlib.Path) -> None:
+    with open(config_path, "w", encoding="utf-8") as f:
+        yaml.safe_dump(config.to_dict(), f, allow_unicode=True, sort_keys=False)
+
+
+@dataclasses.dataclass
+class CollectionInfo:
+    """Per-collection state incl. the sha256 dedup set and text-hash ->
+    vector-index map (reference config.py:98-179)."""
+
+    name: str
+    config: dict[str, Any]
+    dimension: int
+    num_vectors: int
+    created_at: str
+    updated_at: str
+    source_files: list[str]
+    text_hashes: set[str] = dataclasses.field(default_factory=set)
+    vector_offsets: dict[str, int] = dataclasses.field(default_factory=dict)
+    chunk_stats: dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    def __post_init__(self):
+        if not validate_vector_dimension(self.dimension):
+            # deviation from the reference (which raises): warn only —
+            # any dim with a valid PQ split works on TPU
+            logger.warning(
+                "dimension %d outside the tested whitelist %s",
+                self.dimension, sorted(SUPPORTED_DIMENSIONS),
+            )
+
+    def add_text(self, text: str, vector_index: int) -> bool:
+        """Record a text; False if it was already present (dedup)."""
+        h = get_text_hash(text)
+        if h in self.text_hashes:
+            return False
+        self.text_hashes.add(h)
+        self.vector_offsets[h] = vector_index
+        return True
+
+    def get_vector_index(self, text: str) -> Optional[int]:
+        return self.vector_offsets.get(get_text_hash(text))
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "name": self.name,
+            "config": self.config,
+            "dimension": self.dimension,
+            "num_vectors": self.num_vectors,
+            "created_at": self.created_at,
+            "updated_at": self.updated_at,
+            "source_files": self.source_files,
+            "text_hashes": sorted(self.text_hashes),
+            "vector_offsets": self.vector_offsets,
+            "chunk_stats": self.chunk_stats,
+        }
+
+    @classmethod
+    def from_dict(cls, data: dict[str, Any]) -> "CollectionInfo":
+        data = dict(data)
+        data["text_hashes"] = set(data.get("text_hashes", []))
+        data["vector_offsets"] = data.get("vector_offsets", {})
+        data["chunk_stats"] = data.get("chunk_stats", {})
+        return cls(**data)
+
+    @classmethod
+    def load(cls, path: pathlib.Path) -> "CollectionInfo":
+        with open(path, "r", encoding="utf-8") as f:
+            return cls.from_dict(json.load(f))
+
+    def save(self, path: pathlib.Path) -> None:
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(self.to_dict(), f, ensure_ascii=False, indent=2)

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from diskrag_tpu.ops.distance import Metric, squared_norms
-from diskrag_tpu.ops.topk import INVALID_ID, merge_topk
+from diskrag_tpu.ops.topk import INVALID_ID, mask_duplicates, merge_topk
 
 INF = jnp.inf
 
@@ -295,12 +295,16 @@ def beam_search_pq(
         )
     if vectors is None or queries is None:
         raise ValueError("rerank=True requires vectors and queries")
+    # rerank pool = final beam ∪ visited log: ADC noise evicts true
+    # neighbors from the beam, but anything ever expanded is recoverable
+    # from the visited log at the cost of one more gather.
+    pool_ids = jnp.concatenate([res.ids, res.visited_ids], axis=1)
     exact = _gathered_distance(
-        queries, vectors[jnp.clip(res.ids, 0, n - 1)], metric
+        queries, vectors[jnp.clip(pool_ids, 0, n - 1)], metric
     )
-    exact = jnp.where(res.ids == INVALID_ID, INF, exact)
+    exact = mask_duplicates(pool_ids, jnp.where(pool_ids == INVALID_ID, INF, exact))
     top_d, take = jax.lax.top_k(-exact, k)
-    top_i = jnp.take_along_axis(res.ids, take, axis=1)
+    top_i = jnp.take_along_axis(pool_ids, take, axis=1)
     return SearchResult(
         ids=top_i, dists=-top_d,
         visited_ids=res.visited_ids, visited_dists=res.visited_dists,
