@@ -1,0 +1,327 @@
+"""Search engine — counterpart of the reference's `search_engine.py`
+(SearchEngineCorrect): loads the index artifact set for a collection,
+runs a startup diagnostic self-check, serves `search` / `faq_search` with
+timing + cumulative statistics, and degrades gracefully to brute-force
+when the index or PQ artifacts are missing.
+
+TPU-native differences (design, not behavior):
+  - queries are searched in device batches (`search_batch`); the
+    single-query `search()` wraps a batch of 1 (the reference is strictly
+    one-at-a-time, search_engine.py:431);
+  - the PQ mode is ADC-guided traversal + exact rerank of beam∪visited
+    (replacing the per-node probabilistic exact/PQ policy,
+    search_engine.py:381-397 — documented deviation);
+  - the full-precision vectors live in HBM next to the codes; the
+    host/disk tier is handled by the storage layer, not mmap-per-node.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from diskrag_tpu.data.collection import CollectionManager
+from diskrag_tpu.graph.search import beam_search, beam_search_pq
+from diskrag_tpu.index.persist import load_index
+from diskrag_tpu.ops.distance import brute_force_topk
+
+logger = logging.getLogger(__name__)
+
+
+class SearchEngine:
+    """Per-collection search engine."""
+
+    def __init__(
+        self,
+        collection_name: str,
+        base_dir: str = "collections",
+        use_lock: bool = True,
+        run_diagnostics: bool = True,
+    ):
+        self.collection_name = collection_name
+        self.manager = CollectionManager(base_dir)
+        info = self.manager.get_collection_info(collection_name)
+        if info is None:
+            raise ValueError(f"collection {collection_name} not found")
+        self.info = info
+
+        self._lock = threading.Lock() if use_lock else None
+        self._stats: dict[str, float] = {
+            "total_searches": 0,
+            "total_exact_computations": 0,
+            "total_pq_computations": 0,
+            "total_nodes_visited": 0,
+            "total_search_time": 0.0,
+        }
+
+        self.index = None
+        self.pq = None
+        self.codes = None
+        self.codes_j = None
+        self.meta: dict = {}
+        self.use_pq = False
+        self.brute_force_mode = False
+        self._load_artifacts()
+        self.diagnostics: Optional[dict] = None
+        if run_diagnostics and not self.brute_force_mode:
+            try:
+                self.diagnostics = self._run_diagnostic_check()
+            except Exception as e:  # noqa: BLE001 — diagnostic is non-fatal
+                logger.warning("startup diagnostic failed (non-fatal): %s", e)
+
+    # --- bring-up --------------------------------------------------------
+    def _load_artifacts(self) -> None:
+        index_dir = self.manager.get_index_dir(self.collection_name)
+        try:
+            self.index, self.pq, self.codes, self.meta = load_index(index_dir)
+        except (FileNotFoundError, ValueError) as e:
+            # graceful degradation to brute force over raw vectors
+            # (reference search_engine.py:49-72)
+            logger.warning(
+                "index not loadable (%s) — brute-force mode over vectors.npy", e
+            )
+            self.brute_force_mode = True
+            vecs = np.load(self.manager.get_vectors_path(self.collection_name))
+            self._bf_vectors = jnp.asarray(vecs, jnp.float32)
+            return
+        self.use_pq = self.pq is not None
+        if self.use_pq:
+            self.codes_j = jnp.asarray(self.codes)
+        self.recommended_l = int(self.meta.get("recommended_search_L", 64))
+
+    def _run_diagnostic_check(self) -> dict:
+        """Startup self-check (reference search_engine.py:142-253): vector
+        stats sanity + exact-vs-ADC distance correlation >= 0.5."""
+        vecs = self.index.vectors
+        stats = {
+            "n_points": int(vecs.shape[0]),
+            "dimension": int(vecs.shape[1]),
+            "mean_norm": float(jnp.mean(jnp.linalg.norm(vecs, axis=1))),
+        }
+        result = {"vector_stats": stats, "passed": True}
+        if self.use_pq:
+            rng = np.random.default_rng(0)
+            n = int(vecs.shape[0])
+            sample = rng.choice(n, size=min(512, n), replace=False)
+            qidx = sample[: min(8, len(sample))]
+            q = vecs[jnp.asarray(qidx)]
+            tables = self.pq.compute_distance_tables(q)
+            adc = np.asarray(
+                self.pq.asymmetric_distance_sq(tables, self.codes_j[jnp.asarray(sample)])
+            )
+            exact = np.asarray(
+                jnp.sum(
+                    jnp.square(q[:, None, :] - vecs[jnp.asarray(sample)][None, :, :]),
+                    axis=-1,
+                )
+            )
+            corrs = [
+                float(np.corrcoef(adc[i], exact[i])[0, 1]) for i in range(len(qidx))
+            ]
+            corr = float(np.nanmean(corrs))
+            result["pq_exact_correlation"] = corr
+            result["passed"] = bool(corr >= 0.5)
+            if corr < 0.5:
+                logger.warning(
+                    "PQ/exact correlation %.3f < 0.5 — PQ quality suspect", corr
+                )
+        return result
+
+    # --- stats (reference search_engine.py:87-140) -----------------------
+    def _update_stats(self, **updates: float) -> None:
+        if self._lock:
+            with self._lock:
+                for k, v in updates.items():
+                    self._stats[k] = self._stats.get(k, 0) + v
+        else:
+            for k, v in updates.items():
+                self._stats[k] = self._stats.get(k, 0) + v
+
+    def get_search_statistics(self) -> dict[str, Any]:
+        if self._lock:
+            with self._lock:
+                stats = dict(self._stats)
+        else:
+            stats = dict(self._stats)
+        n = max(stats["total_searches"], 1)
+        stats["avg_search_time"] = stats["total_search_time"] / n
+        stats["avg_nodes_visited"] = stats["total_nodes_visited"] / n
+        exact = stats["total_exact_computations"]
+        pq = stats["total_pq_computations"]
+        stats["computation_reduction_rate"] = (
+            pq / max(exact + pq, 1) if (exact + pq) else 0.0
+        )
+        return stats
+
+    # --- core batched search --------------------------------------------
+    def search_batch(
+        self,
+        query_vectors: np.ndarray,
+        k: int = 5,
+        l_search: Optional[int] = None,
+        use_pq_search: bool = True,
+    ) -> tuple[np.ndarray, np.ndarray, dict]:
+        """Batched vector search. Returns (dists [B,k] sqrt for L2,
+        ids [B,k], stats)."""
+        t0 = time.perf_counter()
+        q = jnp.asarray(np.atleast_2d(np.asarray(query_vectors, np.float32)))
+        b = q.shape[0]
+        if l_search is None:
+            l_search = max(2 * k, 20)  # reference default (search_engine.py:539)
+        l_search = max(l_search, k)
+
+        if self.brute_force_mode:
+            dists, ids = brute_force_topk(q, self._bf_vectors, k=k)
+            search_type = "brute_force"
+            nodes_visited = self._bf_vectors.shape[0] * b
+            n_exact = nodes_visited
+            n_pq = 0
+        elif use_pq_search and self.use_pq:
+            tables = self.pq.compute_distance_tables(q)
+            res = beam_search_pq(
+                self.codes_j, tables, self.index.adjacency, self.index.medoid,
+                search_width=l_search, k=k, rerank=True,
+                vectors=self.index.vectors, queries=q,
+                metric=self.index.metric,
+            )
+            dists, ids = res.dists, res.ids
+            search_type = "pq_accelerated"
+            nodes_visited = int(np.sum(np.asarray(res.n_expanded)))
+            n_pq = nodes_visited * self.index.degree_bound
+            n_exact = b * (l_search + res.visited_ids.shape[1])
+        else:
+            res = beam_search(
+                self.index.vectors, self.index.adjacency, self.index.medoid,
+                q, search_width=l_search, k=k, metric=self.index.metric,
+            )
+            dists, ids = res.dists, res.ids
+            search_type = "exact"
+            nodes_visited = int(np.sum(np.asarray(res.n_expanded)))
+            n_exact = nodes_visited * self.index.degree_bound
+            n_pq = 0
+
+        ids = np.asarray(ids)
+        dists = np.asarray(dists, np.float64)
+        metric = self.info.config.get("metric", "l2") if self.brute_force_mode else (
+            self.index.metric if self.index is not None else "l2"
+        )
+        if metric == "l2":
+            dists = np.sqrt(np.maximum(dists, 0.0))  # reference returns sqrt
+        dt = time.perf_counter() - t0
+        self._update_stats(
+            total_searches=b,
+            total_search_time=dt,
+            total_nodes_visited=nodes_visited,
+            total_exact_computations=n_exact,
+            total_pq_computations=n_pq,
+        )
+        stats = {
+            "search_type": search_type,
+            "nodes_visited": nodes_visited,
+            "search_time": dt,
+            "k": k,
+            "L_search": l_search,
+        }
+        return dists, ids, stats
+
+    # --- public text API (reference search_engine.py:530-614) ------------
+    def search(
+        self,
+        query: str,
+        k: int = 5,
+        embedding_fn: Optional[Callable[[str], np.ndarray]] = None,
+        l_search: Optional[int] = None,
+        use_pq_search: bool = True,
+    ) -> dict[str, Any]:
+        if embedding_fn is None:
+            raise ValueError("embedding_fn is required to embed the query")
+        t_total = time.perf_counter()
+        t_emb = time.perf_counter()
+        qv = np.asarray(embedding_fn(query), np.float32)
+        embedding_time = time.perf_counter() - t_emb
+        if qv.ndim != 1 or qv.shape[0] != self.info.dimension:
+            raise ValueError(
+                f"query vector dimension mismatch: expected "
+                f"{self.info.dimension}, got {qv.shape}"
+            )
+        dists, ids, stats = self.search_batch(
+            qv[None, :], k=k, l_search=l_search, use_pq_search=use_pq_search
+        )
+        results = self._attach_texts(ids[0], dists[0])
+        total_time = time.perf_counter() - t_total
+        return {
+            "results": results,
+            "timing": {
+                "embedding_time": embedding_time,
+                "search_time": stats["search_time"],
+                "total_time": total_time,
+            },
+            "stats": stats,
+        }
+
+    def faq_search(
+        self,
+        query: str,
+        k: int = 5,
+        embedding_fn: Optional[Callable[[str], np.ndarray]] = None,
+        l_search: Optional[int] = None,
+    ) -> dict[str, Any]:
+        """FAQ search: over-fetch 3k, dedup by qa_id, keep type=='faq'
+        (reference search_engine.py:694-812)."""
+        fetch_k = k * 3
+        out = self.search(
+            query, k=fetch_k, embedding_fn=embedding_fn, l_search=l_search
+        )
+        seen_qa: set[str] = set()
+        deduped = []
+        for r in out["results"]:
+            meta = r.get("metadata") or {}
+            if meta.get("type") != "faq":
+                continue
+            qa_id = meta.get("qa_id")
+            if qa_id is not None:
+                if qa_id in seen_qa:
+                    continue
+                seen_qa.add(qa_id)
+            deduped.append(r)
+            if len(deduped) >= k:
+                break
+        out["results"] = deduped
+        out["stats"]["faq_dedup"] = True
+        out["stats"]["k"] = k
+        return out
+
+    def _attach_texts(self, ids: np.ndarray, dists: np.ndarray) -> list[dict]:
+        found = self.manager.get_texts_by_indices(
+            self.collection_name, [int(i) for i in ids if i >= 0]
+        )
+        results = []
+        j = 0
+        for i, idx in enumerate(ids):
+            if idx < 0:
+                continue
+            item = found[j]
+            j += 1
+            if item is None:
+                continue
+            text, metadata = item
+            if not isinstance(metadata, dict):
+                metadata = {"id": int(idx), "text": text}
+            results.append(
+                {
+                    "text": text,
+                    "distance": float(dists[i]),
+                    "metadata": metadata,
+                }
+            )
+        return results
+
+
+# parity alias (reference search_engine.py:816 `SearchEngine = SearchEngineCorrect`)
+SearchEngineCorrect = SearchEngine

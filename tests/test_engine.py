@@ -1,0 +1,132 @@
+"""End-to-end engine tests — the framework equivalent of the reference's
+`scripts/test_faq_workflow.py`: CSV -> ingest (mock embeddings) ->
+build index -> engine search -> faq_search with qa_id dedup, all offline."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from diskrag_tpu.build_index import build_index_from_vectors
+from diskrag_tpu.data import (
+    CollectionManager,
+    EmbeddingConfig,
+    EmbeddingGenerator,
+    PreprocessingConfig,
+    Preprocessor,
+    QuestionGenerationConfig,
+)
+from diskrag_tpu.data.question_generator import QuestionGenerator
+from diskrag_tpu.engine import SearchEngine
+
+
+@pytest.fixture(scope="module")
+def faq_collection(tmp_path_factory):
+    """A populated collection with a built index, via the mock provider."""
+    base = tmp_path_factory.mktemp("workspace")
+    rows = []
+    for i in range(12):
+        rows.append(
+            {
+                "id": f"faq_{i:03d}",
+                "question": f"如何使用功能{i}？",
+                "answer": f"關於功能{i}的詳細使用說明文字。" * 3,
+            }
+        )
+    csv = base / "faq.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+
+    cfg = PreprocessingConfig(
+        collection="faq",
+        embedding=EmbeddingConfig(provider="mock", model="mock", dimension=128),
+        question_generation=QuestionGenerationConfig(enabled=True, provider="mock"),
+    )
+    mgr = CollectionManager(base / "collections")
+    pre = Preprocessor(
+        cfg,
+        manager=mgr,
+        embedding_generator=EmbeddingGenerator(cfg.embedding, cache_dir=base / "cache"),
+        question_generator=QuestionGenerator({"provider": "mock", "max_questions": 4}),
+    )
+    pre.process_file(str(csv))
+    info = mgr.get_collection_info("faq")
+    assert info.num_vectors >= 12
+
+    vectors = np.load(mgr.get_vectors_path("faq"))
+    build_index_from_vectors(
+        vectors, mgr.get_index_dir("faq"),
+        params_override={"R": 8, "L": 16, "alpha": 1.2},
+    )
+    return base
+
+
+def _embed(base):
+    from diskrag_tpu.data.embedding import mock_embedding
+
+    return lambda text: mock_embedding(text, 128)
+
+
+def test_engine_search_returns_query_itself(faq_collection):
+    eng = SearchEngine("faq", base_dir=faq_collection / "collections")
+    # query with an exact ingested text -> distance ~0 to itself
+    out = eng.search(
+        "如何使用功能3?",  # normalized form of ingested question
+        k=3,
+        embedding_fn=_embed(faq_collection),
+    )
+    assert out["results"], "no results"
+    top = out["results"][0]
+    assert "功能3" in top["text"]
+    assert top["distance"] < 0.05
+    assert out["timing"]["total_time"] > 0
+    assert out["stats"]["search_type"] in ("exact", "pq_accelerated", "brute_force")
+
+
+def test_engine_faq_dedup(faq_collection):
+    eng = SearchEngine("faq", base_dir=faq_collection / "collections")
+    out = eng.faq_search(
+        "請問如何使用功能3?", k=5, embedding_fn=_embed(faq_collection)
+    )
+    qa_ids = [r["metadata"]["qa_id"] for r in out["results"]]
+    assert len(qa_ids) == len(set(qa_ids)), "qa_id dedup failed"
+    assert all(r["metadata"]["type"] == "faq" for r in out["results"])
+
+
+def test_engine_statistics(faq_collection):
+    eng = SearchEngine("faq", base_dir=faq_collection / "collections")
+    eng.search("如何使用功能1?", k=2, embedding_fn=_embed(faq_collection))
+    eng.search("如何使用功能2?", k=2, embedding_fn=_embed(faq_collection))
+    stats = eng.get_search_statistics()
+    assert stats["total_searches"] == 2
+    assert stats["avg_search_time"] > 0
+
+
+def test_engine_brute_force_fallback(tmp_path):
+    """Missing index artifacts -> engine still works (brute force),
+    matching reference graceful degradation (search_engine.py:49-72)."""
+    mgr = CollectionManager(tmp_path / "collections")
+    mgr.create_collection("tiny", dimension=128)
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(20, 128)).astype(np.float32)
+    texts = [f"text {i}" for i in range(20)]
+    metas = [{"i": i} for i in range(20)]
+    mgr.update_collection("tiny", vecs, texts, metas)
+
+    eng = SearchEngine("tiny", base_dir=tmp_path / "collections")
+    assert eng.brute_force_mode
+    out = eng.search(
+        "whatever", k=3,
+        embedding_fn=lambda t: vecs[7],
+    )
+    assert out["results"][0]["text"] == "text 7"
+    assert out["results"][0]["distance"] < 0.05
+    assert out["stats"]["search_type"] == "brute_force"
+
+
+def test_engine_batch_search(faq_collection):
+    eng = SearchEngine("faq", base_dir=faq_collection / "collections")
+    from diskrag_tpu.data.embedding import mock_embedding
+
+    q = np.stack([mock_embedding(f"如何使用功能{i}?", 128) for i in range(4)])
+    dists, ids, stats = eng.search_batch(q, k=3)
+    assert dists.shape == (4, 3) and ids.shape == (4, 3)
+    assert (dists[:, 0] < 0.05).all()  # each query finds its own text
