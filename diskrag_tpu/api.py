@@ -1,0 +1,330 @@
+"""HTTP API — counterpart of the reference's FastAPI `app.py`, serving
+the same five endpoints with the same request/response schemas:
+
+    POST /search       {collection, query, top_k, use_faq_search}
+    POST /faq-search   {collection, query, top_k}
+    GET  /collections  per-collection file-integrity report
+    GET  /health       directory/env checks
+    POST /ask          {collection, question, top_k} -> RAG answer
+
+Implemented on aiohttp (FastAPI is not available in this environment);
+request validation via pydantic models mirroring the reference's
+(app.py:68-82,356-364). Engines are cached per collection (app.py:50-66).
+The /ask LLM call normalizes refusals exactly like the reference
+(app.py:466-469).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import pathlib
+import time
+from typing import Any, Optional
+
+from pydantic import BaseModel, Field, ValidationError
+
+from diskrag_tpu.data import CollectionManager, EmbeddingConfig, EmbeddingGenerator
+from diskrag_tpu.engine import SearchEngine
+
+try:
+    from aiohttp import web
+except ImportError:  # pragma: no cover
+    web = None
+
+logger = logging.getLogger(__name__)
+
+OPENAI_CHAT_URL = "https://api.openai.com/v1/chat/completions"
+REFUSAL_KEYWORDS = ["無法回答", "不知道", "沒有相關資訊", "找不到"]
+REFUSAL_ANSWER = "抱歉，我無法根據現有資料回答這個問題。"
+
+
+class SearchRequest(BaseModel):
+    collection: str = Field(...)
+    query: str = Field(..., min_length=1, max_length=500)
+    top_k: int = Field(5, ge=1, le=20)
+    use_faq_search: bool = False
+
+
+class AskRequest(BaseModel):
+    collection: str = Field(...)
+    question: str = Field(..., min_length=1, max_length=500)
+    top_k: int = Field(2, ge=1, le=5)
+
+
+class AppState:
+    """Engine + embedding caches shared across requests."""
+
+    def __init__(
+        self,
+        base_dir: str = "collections",
+        embedding_config: Optional[EmbeddingConfig] = None,
+        llm_fn=None,
+    ):
+        self.base_dir = base_dir
+        self.manager = CollectionManager(base_dir)
+        self.engines: dict[str, SearchEngine] = {}
+        if embedding_config is None:
+            provider = "openai" if os.environ.get("OPENAI_API_KEY") else "mock"
+            embedding_config = EmbeddingConfig(provider=provider)
+        self.embedder = EmbeddingGenerator(embedding_config)
+        self.llm_fn = llm_fn  # injectable for tests; default = OpenAI REST
+
+    def get_engine(self, collection: str) -> SearchEngine:
+        if collection not in self.engines:
+            self.engines[collection] = SearchEngine(
+                collection, base_dir=self.base_dir
+            )
+        return self.engines[collection]
+
+    def embed(self, text: str):
+        return self.embedder.generate(text)
+
+    def chat(self, system: str, prompt: str) -> str:
+        if self.llm_fn is not None:
+            return self.llm_fn(system, prompt)
+        import httpx
+
+        api_key = os.environ.get("OPENAI_API_KEY")
+        if not api_key:
+            raise RuntimeError("OPENAI_API_KEY not set for /ask")
+        resp = httpx.post(
+            OPENAI_CHAT_URL,
+            headers={"Authorization": f"Bearer {api_key}"},
+            json={
+                "model": "gpt-4o-mini",
+                "messages": [
+                    {"role": "system", "content": system},
+                    {"role": "user", "content": prompt},
+                ],
+                "temperature": 0.3,
+                "max_tokens": 500,
+            },
+            timeout=60.0,
+        )
+        resp.raise_for_status()
+        return resp.json()["choices"][0]["message"]["content"].strip()
+
+
+def _json_error(status: int, detail: str):
+    return web.json_response({"detail": detail}, status=status)
+
+
+def _build_context(results: list[dict]) -> str:
+    """FAQ-aware context assembly (reference app.py:415-428)."""
+    parts = []
+    for i, r in enumerate(results, 1):
+        meta = r.get("metadata", {})
+        q = meta.get("original_question") or meta.get("question", "")
+        a = meta.get("answer", "")
+        if meta.get("type") == "faq" and q and a:
+            parts.append(f"FAQ {i}:\n問題：{q}\n答案：{a}")
+        else:
+            text = r.get("text", "")
+            if text:
+                parts.append(f"來源 {i}:\n{text}")
+    return "\n\n".join(parts)
+
+
+_ASK_SYSTEM = (
+    "你是一個專業的客服助手，根據提供的 FAQ 資料回答問題。回答要簡潔明確，"
+    "直接給出解決方案。如果資料不足以回答，請直接說不知道。"
+)
+
+_ASK_PROMPT = """你是一個專業的客服助手，請根據以下參考資料回答使用者的問題。
+如果參考資料不足以回答問題，或問題與參考資料無關，請直接回答「抱歉，我無法根據現有資料回答這個問題」。
+
+參考資料：
+{context}
+
+使用者問題：{question}
+
+請注意：
+1. 如果參考資料是 FAQ 格式，請特別注意問題和答案的對應關係
+2. 回答時要簡潔明確，直接給出解決方案
+3. 如果有多個相關答案，請整合成一個完整的回答
+4. 不需要包含「根據參考資料」等開場白
+5. 如果參考資料不足以回答問題，請直接說不知道"""
+
+
+def create_app(state: Optional[AppState] = None):
+    """Build the aiohttp application."""
+    if web is None:
+        raise RuntimeError("aiohttp is not available")
+    state = state or AppState()
+    app = web.Application()
+    app["state"] = state
+
+    async def search(request: web.Request):
+        try:
+            req = SearchRequest(**await request.json())
+        except (ValidationError, ValueError) as e:
+            return _json_error(422, str(e))
+        try:
+            engine = state.get_engine(req.collection)
+            fn = engine.faq_search if req.use_faq_search else engine.search
+            out = fn(req.query, k=req.top_k, embedding_fn=state.embed)
+            return web.json_response(out)
+        except Exception as e:  # noqa: BLE001
+            logger.exception("search failed")
+            return _json_error(500, str(e))
+
+    async def faq_search(request: web.Request):
+        try:
+            req = SearchRequest(**await request.json())
+        except (ValidationError, ValueError) as e:
+            return _json_error(422, str(e))
+        try:
+            engine = state.get_engine(req.collection)
+            out = engine.faq_search(req.query, k=req.top_k, embedding_fn=state.embed)
+            return web.json_response(out)
+        except Exception as e:  # noqa: BLE001
+            logger.exception("faq_search failed")
+            return _json_error(500, str(e))
+
+    async def collections(request: web.Request):
+        """Per-collection integrity report (reference app.py:132-293)."""
+        out = []
+        for info in state.manager.list_collections():
+            name = info.name
+            index_dir = state.manager.get_index_dir(name)
+            entry: dict[str, Any] = {
+                "name": name,
+                "num_vectors": info.num_vectors,
+                "dimension": info.dimension,
+                "updated_at": info.updated_at,
+            }
+            if not index_dir.exists():
+                entry["status"] = "no_index"
+                entry["missing_files"] = ["index directory"]
+                out.append(entry)
+                continue
+            meta_path = index_dir / "meta.json"
+            if not meta_path.exists():
+                entry["status"] = "incomplete"
+                entry["missing_files"] = ["index/meta.json"]
+                out.append(entry)
+                continue
+            try:
+                meta = json.loads(meta_path.read_text())
+            except ValueError:
+                meta = {}
+            required = {
+                "vectors.npy": state.manager.get_vectors_path(name),
+                "metadata.parquet": state.manager.get_metadata_path(name),
+                "index/vectors.npy": index_dir / "vectors.npy",
+                "index/adjacency.npy": index_dir / "adjacency.npy",
+                "index/meta.json": meta_path,
+            }
+            if meta.get("use_pq"):
+                required["index/pq_model.npz"] = index_dir / "pq_model.npz"
+                required["index/pq_codes.npy"] = index_dir / "pq_codes.npy"
+            missing = [k for k, p in required.items() if not p.exists()]
+            entry["status"] = "ready" if not missing else "incomplete"
+            if missing:
+                entry["missing_files"] = missing
+            entry["use_pq"] = meta.get("use_pq")
+            entry["num_points"] = meta.get("num_points")
+            out.append(entry)
+        return web.json_response(out)
+
+    async def health(request: web.Request):
+        """Dir/env checks (reference app.py:295-354)."""
+        base = pathlib.Path(state.base_dir)
+        writable = False
+        if base.exists():
+            probe = base / ".write_probe"
+            try:
+                probe.write_text("ok")
+                probe.unlink()
+                writable = True
+            except OSError:
+                writable = False
+        checks = {
+            "collections_dir_exists": base.exists(),
+            "collections_dir_writable": writable,
+            "openai_api_key_set": bool(os.environ.get("OPENAI_API_KEY")),
+            "embedding_provider": state.embedder.provider,
+        }
+        status = "ok" if base.exists() and writable else "degraded"
+        return web.json_response({"status": status, "checks": checks})
+
+    async def ask(request: web.Request):
+        """Full RAG: search -> context -> LLM answer (reference app.py:366-493)."""
+        try:
+            req = AskRequest(**await request.json())
+        except (ValidationError, ValueError) as e:
+            return _json_error(422, str(e))
+        t_total = time.perf_counter()
+        try:
+            engine = state.get_engine(req.collection)
+            t_emb = time.perf_counter()
+            embedding = state.embed(req.question)
+            embedding_time = time.perf_counter() - t_emb
+            t_search = time.perf_counter()
+            results = engine.search(
+                req.question, k=req.top_k,
+                embedding_fn=lambda _t: embedding,
+            )
+            diskann_time = time.perf_counter() - t_search
+            search_time = time.perf_counter() - t_total
+
+            if not results.get("results"):
+                return web.json_response(
+                    {
+                        "answer": REFUSAL_ANSWER,
+                        "timing": {
+                            "embedding_time": embedding_time,
+                            "diskann_time": diskann_time,
+                            "search_time": search_time,
+                            "llm_time": 0,
+                            "total_time": search_time,
+                        },
+                    }
+                )
+
+            context = _build_context(results["results"])
+            t_llm = time.perf_counter()
+            try:
+                answer = state.chat(
+                    _ASK_SYSTEM,
+                    _ASK_PROMPT.format(context=context, question=req.question),
+                )
+                if any(k in answer.lower() for k in REFUSAL_KEYWORDS):
+                    answer = REFUSAL_ANSWER
+            except Exception as e:  # noqa: BLE001
+                logger.exception("LLM call failed")
+                answer = "抱歉，系統處理您的問題時發生錯誤。"
+            llm_time = time.perf_counter() - t_llm
+            return web.json_response(
+                {
+                    "answer": answer,
+                    "timing": {
+                        "embedding_time": embedding_time,
+                        "diskann_time": diskann_time,
+                        "search_time": search_time,
+                        "llm_time": llm_time,
+                        "total_time": time.perf_counter() - t_total,
+                    },
+                }
+            )
+        except Exception as e:  # noqa: BLE001
+            logger.exception("ask failed")
+            return _json_error(500, str(e))
+
+    app.router.add_post("/search", search)
+    app.router.add_post("/faq-search", faq_search)
+    app.router.add_get("/collections", collections)
+    app.router.add_get("/health", health)
+    app.router.add_post("/ask", ask)
+    return app
+
+
+def main(host: str = "0.0.0.0", port: int = 8000) -> None:
+    logging.basicConfig(level=logging.INFO)
+    web.run_app(create_app(), host=host, port=port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,156 @@
+"""CLI + HTTP API tests (offline, mock providers throughout)."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from diskrag_tpu.cli import DiskRAG, main as cli_main
+from diskrag_tpu.data import (
+    EmbeddingConfig,
+    PreprocessingConfig,
+    QuestionGenerationConfig,
+    save_config,
+)
+
+
+@pytest.fixture()
+def workspace(tmp_path, monkeypatch):
+    """A config + FAQ CSV workspace using mock providers."""
+    monkeypatch.chdir(tmp_path)
+    cfg = PreprocessingConfig(
+        collection="faq",
+        embedding=EmbeddingConfig(provider="mock", model="mock", dimension=128),
+        question_generation=QuestionGenerationConfig(enabled=False),
+    )
+    save_config(cfg, tmp_path / "config.yaml")
+    rows = [
+        {"id": f"q{i}", "question": f"如何使用功能{i}？", "answer": f"功能{i}的答案。"}
+        for i in range(20)
+    ]
+    pd.DataFrame(rows).to_csv(tmp_path / "faq.csv", index=False)
+    return tmp_path
+
+
+def test_cli_process_index_search_list_delete(workspace, capsys):
+    assert cli_main(["process", "faq.csv", "--collection", "faq"]) == 0
+    assert cli_main(["index", "faq"]) == 0
+    out = capsys.readouterr().out
+    assert "index built" in out
+
+    assert cli_main(["search", "faq", "如何使用功能3?", "-k", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "功能3" in out
+
+    assert cli_main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "faq: 20 vectors" in out
+
+    assert cli_main(["delete", "faq"]) == 0
+    out = capsys.readouterr().out
+    assert "deleted" in out
+
+
+def test_cli_merge_and_doctor(workspace, capsys):
+    rag = DiskRAG("config.yaml")
+    rag.process("faq.csv", "a")
+    rag.process("faq.csv", "b")
+    info = rag.merge_collections(["a", "b"], "m")
+    # same content -> dedup leaves 20
+    assert info.num_vectors == 20
+
+    rag.build_index("m")
+    report = rag.doctor("m")
+    assert report["status"] == "ok"
+
+
+@pytest.fixture()
+def api_client(workspace):
+    """App factory over a prepared collection (fresh app per event loop)."""
+    pytest.importorskip("aiohttp")
+    from diskrag_tpu.api import AppState, create_app
+
+    rag = DiskRAG("config.yaml")
+    rag.process("faq.csv", "faq")
+    rag.build_index("faq")
+
+    def factory():
+        state = AppState(
+            base_dir="collections",
+            embedding_config=EmbeddingConfig(
+                provider="mock", model="mock", dimension=128
+            ),
+            llm_fn=lambda system, prompt: "這是模擬回答。",
+        )
+        return create_app(state)
+
+    return factory
+
+
+async def _request(app, method, path, payload=None):
+    from aiohttp.test_utils import TestClient, TestServer
+
+    async with TestClient(TestServer(app)) as client:
+        if method == "GET":
+            resp = await client.get(path)
+        else:
+            resp = await client.post(path, json=payload)
+        return resp.status, await resp.json()
+
+
+def _run(coro):
+    import asyncio
+
+    loop = asyncio.new_event_loop()
+    try:
+        return loop.run_until_complete(coro)
+    finally:
+        loop.close()
+
+
+def test_api_search(api_client):
+    status, data = _run(
+        _request(api_client(), "POST", "/search",
+                 {"collection": "faq", "query": "如何使用功能5?", "top_k": 3})
+    )
+    assert status == 200
+    assert data["results"] and "功能5" in data["results"][0]["text"]
+    assert "timing" in data and "stats" in data
+
+
+def test_api_faq_search_and_validation(api_client):
+    status, data = _run(
+        _request(api_client(), "POST", "/faq-search",
+                 {"collection": "faq", "query": "功能7怎麼用", "top_k": 2})
+    )
+    assert status == 200
+    qa_ids = [r["metadata"]["qa_id"] for r in data["results"]]
+    assert len(qa_ids) == len(set(qa_ids))
+
+    # validation error -> 422
+    status, _ = _run(
+        _request(api_client(), "POST", "/search", {"collection": "faq", "query": ""})
+    )
+    assert status == 422
+
+
+def test_api_collections_and_health(api_client):
+    status, data = _run(_request(api_client(), "GET", "/collections"))
+    assert status == 200
+    entry = next(e for e in data if e["name"] == "faq")
+    assert entry["status"] == "ready"
+
+    status, data = _run(_request(api_client(), "GET", "/health"))
+    assert status == 200
+    assert data["checks"]["collections_dir_exists"]
+
+
+def test_api_ask(api_client):
+    status, data = _run(
+        _request(api_client(), "POST", "/ask",
+                 {"collection": "faq", "question": "功能2怎麼用?", "top_k": 2})
+    )
+    assert status == 200
+    assert data["answer"] == "這是模擬回答。"
+    assert data["timing"]["total_time"] > 0
