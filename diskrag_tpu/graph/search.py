@@ -98,15 +98,20 @@ def _frontier_search(
 
     # --- initial candidate list: just the medoid -------------------------
     d0 = expand_fn(jnp.broadcast_to(medoid, (b, 1)))  # [B, 1]
-    cand_ids = jnp.full((b, search_width), INVALID_ID, jnp.int32)
+    # `zero_*` derive from d0 so the initial carry inherits d0's varying
+    # mesh axes under shard_map (constants would be axis-invariant and
+    # fail the while_loop carry type check).
+    zero_f = d0[:, :1] * 0.0  # [B, 1]
+    zero_i = zero_f.astype(jnp.int32)
+    cand_ids = jnp.full((b, search_width), INVALID_ID, jnp.int32) + zero_i
     cand_ids = cand_ids.at[:, 0].set(medoid)
-    cand_dists = jnp.full((b, search_width), INF, jnp.float32)
+    cand_dists = jnp.full((b, search_width), INF, jnp.float32) + zero_f
     cand_dists = cand_dists.at[:, 0].set(d0[:, 0])
-    expanded = jnp.zeros((b, search_width), jnp.bool_)
+    expanded = jnp.zeros((b, search_width), jnp.bool_) | (zero_i != 0)
 
-    visited_ids = jnp.full((b, max_steps), INVALID_ID, jnp.int32)
-    visited_dists = jnp.full((b, max_steps), INF, jnp.float32)
-    n_expanded = jnp.zeros((b,), jnp.int32)
+    visited_ids = jnp.full((b, max_steps), INVALID_ID, jnp.int32) + zero_i
+    visited_dists = jnp.full((b, max_steps), INF, jnp.float32) + zero_f
+    n_expanded = jnp.zeros((b,), jnp.int32) + zero_i[:, 0]
 
     def cond(state):
         step, cand_ids, cand_dists, expanded, *_ = state

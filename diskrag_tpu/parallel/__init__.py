@@ -1,0 +1,29 @@
+"""Multi-chip scale-out. The reference has NO distributed components
+(SURVEY.md §2.6) — its scale story is mmap + PQ compression. The
+TPU-native equivalents designed here:
+
+  - index sharding: partitioned Vamana sub-indexes across devices
+    (`jax.sharding` + `shard_map`), per-shard top-k searched locally and
+    merged with an ICI all-gather — the analog of what GPU ANN systems do
+    with NCCL;
+  - data-parallel query batching over a second mesh axis;
+  - per-shard independent builds (embarrassingly parallel wave steps).
+"""
+
+from diskrag_tpu.parallel.mesh import make_mesh
+from diskrag_tpu.parallel.sharded import (
+    ShardedIndex,
+    build_sharded,
+    sharded_build_wave,
+    sharded_search,
+    shard_to_mesh,
+)
+
+__all__ = [
+    "make_mesh",
+    "ShardedIndex",
+    "build_sharded",
+    "sharded_build_wave",
+    "sharded_search",
+    "shard_to_mesh",
+]

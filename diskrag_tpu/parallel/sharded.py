@@ -1,0 +1,243 @@
+"""Sharded Vamana index: partitioned sub-indexes + ICI-merged top-k.
+
+Design (TPU-native; no reference counterpart — SURVEY.md §2.6):
+  - vectors are partitioned round-robin into S shards; each shard gets an
+    independent Vamana graph (local ids) plus a local->global id map;
+  - at query time every device searches its own shard with the batched
+    frontier loop, then per-shard top-k lists are all-gathered over the
+    "shard" mesh axis (ICI) and merged on every device;
+  - queries can additionally be data-parallel over a "data" mesh axis
+    (each data row sees the full shard set);
+  - builds are embarrassingly parallel over shards (each shard's wave
+    steps touch only local arrays).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from diskrag_tpu.graph.build import build_vamana
+from diskrag_tpu.graph.search import _frontier_search, _gathered_distance
+from diskrag_tpu.ops.distance import Metric
+from diskrag_tpu.ops.topk import INVALID_ID
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedIndex:
+    """Stacked per-shard index arrays (leading axis = shard).
+
+    vectors:    float32[S, Ns, D]
+    adjacency:  int32[S, Ns, R]   (local ids)
+    medoids:    int32[S]
+    global_ids: int32[S, Ns]      (local -> global; -1 for padding rows)
+    """
+
+    vectors: jax.Array
+    adjacency: jax.Array
+    medoids: jax.Array
+    global_ids: jax.Array
+    metric: str = dataclasses.field(default=Metric.L2.value, metadata={"static": True})
+
+    @property
+    def n_shards(self) -> int:
+        return self.vectors.shape[0]
+
+
+def build_sharded(
+    vectors: np.ndarray,
+    n_shards: int,
+    *,
+    degree_bound: int = 32,
+    build_width: int = 64,
+    alpha: float = 1.2,
+    metric: str = Metric.L2.value,
+    seed: int = 0,
+    wave_size: int | None = None,
+) -> ShardedIndex:
+    """Partition + build per-shard Vamana graphs.
+
+    Runs shard builds sequentially on the available device(s); on a pod
+    each host would build its own shards (the build itself is the
+    embarrassingly-parallel part).
+    """
+    vectors = np.asarray(vectors, np.float32)
+    n, d = vectors.shape
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    per = -(-n // n_shards)  # ceil
+    pad = per * n_shards - n
+    # pad with wrap-around copies; padding rows masked out via global_ids=-1
+    perm_padded = np.concatenate([perm, perm[:pad]])
+    shard_gids = perm_padded.reshape(n_shards, per).astype(np.int32)
+    valid = np.ones_like(shard_gids, dtype=bool)
+    if pad:
+        valid[-1, per - pad:] = False
+
+    vecs, adjs, meds, gids = [], [], [], []
+    for s in range(n_shards):
+        local_vecs = vectors[shard_gids[s]]
+        idx = build_vamana(
+            local_vecs, degree_bound=degree_bound, build_width=build_width,
+            alpha=alpha, metric=metric, seed=seed + s, wave_size=wave_size,
+        )
+        vecs.append(np.asarray(idx.vectors))
+        adjs.append(np.asarray(idx.adjacency))
+        meds.append(int(idx.medoid))
+        g = shard_gids[s].copy()
+        g[~valid[s]] = INVALID_ID
+        gids.append(g)
+    return ShardedIndex(
+        vectors=jnp.asarray(np.stack(vecs)),
+        adjacency=jnp.asarray(np.stack(adjs)),
+        medoids=jnp.asarray(np.asarray(meds, np.int32)),
+        global_ids=jnp.asarray(np.stack(gids)),
+        metric=Metric(metric).value,
+    )
+
+
+def shard_to_mesh(index: ShardedIndex, mesh: Mesh) -> ShardedIndex:
+    """Place the stacked arrays with the shard axis on the mesh's "shard"
+    axis (vectors/adjacency/global_ids sharded; medoids replicated-per-
+    shard via the same leading axis)."""
+    spec3 = NamedSharding(mesh, P("shard", None, None))
+    spec2 = NamedSharding(mesh, P("shard", None))
+    spec1 = NamedSharding(mesh, P("shard"))
+    return ShardedIndex(
+        vectors=jax.device_put(index.vectors, spec3),
+        adjacency=jax.device_put(index.adjacency, spec3),
+        medoids=jax.device_put(index.medoids, spec1),
+        global_ids=jax.device_put(index.global_ids, spec2),
+        metric=index.metric,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("search_width", "k", "max_steps", "metric", "mesh"),
+)
+def _sharded_search_impl(
+    vectors, adjacency, medoids, global_ids, queries,
+    *, search_width: int, k: int, max_steps: int, metric: str, mesh: Mesh,
+):
+    def local_search(vecs, adj, med, gid, q):
+        # block shapes: vecs [1, Ns, D], adj [1, Ns, R], med [1], gid [1, Ns],
+        # q [Bd, D]
+        vecs, adj, gid = vecs[0], adj[0], gid[0]
+        med = med[0]
+        ns = vecs.shape[0]
+
+        def expand(ids):
+            return _gathered_distance(
+                q, vecs[jnp.clip(ids, 0, ns - 1)], metric
+            )
+
+        res = _frontier_search(
+            adj, med, expand, q.shape[0],
+            search_width=search_width, k=k, max_steps=max_steps,
+        )
+        local_ids, local_dists = res.ids, res.dists  # [Bd, k]
+        gids = jnp.where(
+            local_ids == INVALID_ID, INVALID_ID,
+            gid[jnp.clip(local_ids, 0, ns - 1)],
+        )
+        dists = jnp.where(gids == INVALID_ID, jnp.inf, local_dists)
+        # ICI all-gather of per-shard top-k, then merge on every device
+        all_gids = jax.lax.all_gather(gids, "shard", axis=1, tiled=True)   # [Bd, S*k]
+        all_dists = jax.lax.all_gather(dists, "shard", axis=1, tiled=True)
+        top_d, take = jax.lax.top_k(-all_dists, k)
+        top_i = jnp.take_along_axis(all_gids, take, axis=1)
+        return top_i, -top_d
+
+    return jax.shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(
+            P("shard", None, None),
+            P("shard", None, None),
+            P("shard"),
+            P("shard", None),
+            P("data", None),
+        ),
+        out_specs=(P("data", None), P("data", None)),
+        # outputs ARE replicated over "shard" (every device merges the same
+        # all-gathered lists), but the static varying-axes checker cannot
+        # infer that through top_k — disable the check.
+        check_vma=False,
+    )(vectors, adjacency, medoids, global_ids, queries)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("build_width", "max_incoming", "chunk", "metric", "mesh"),
+)
+def sharded_build_wave(
+    vectors, adjacency, medoids, wave_local_ids, alpha,
+    *, build_width: int, max_incoming: int, chunk: int, metric: str,
+    mesh: Mesh,
+):
+    """One index-build step over the mesh: every shard refines one wave of
+    its local points (the embarrassingly-parallel "training step" of this
+    workload). vectors/adjacency/medoids/wave ids all sharded over
+    "shard"; returns the updated adjacency with the same sharding."""
+    from diskrag_tpu.graph.build import wave_step
+
+    def local_wave(vecs, adj, med, wave, a):
+        new_adj = wave_step(
+            vecs[0], adj[0], med[0], wave[0], a,
+            build_width=build_width, max_incoming=max_incoming,
+            chunk=chunk, metric=metric,
+        )
+        return new_adj[None]
+
+    return jax.shard_map(
+        local_wave,
+        mesh=mesh,
+        in_specs=(
+            P("shard", None, None),
+            P("shard", None, None),
+            P("shard"),
+            P("shard", None),
+            P(),
+        ),
+        out_specs=P("shard", None, None),
+        check_vma=False,
+    )(vectors, adjacency, medoids, wave_local_ids,
+      jnp.asarray(alpha, jnp.float32))
+
+
+def sharded_search(
+    index: ShardedIndex,
+    queries,
+    mesh: Mesh,
+    *,
+    search_width: int,
+    k: int,
+    max_steps: int | None = None,
+):
+    """Search all shards; returns (global ids [B, k], dists [B, k]).
+
+    The query batch is split over the "data" mesh axis; every device
+    searches its shard for its query block and the per-shard candidate
+    lists are merged with an all-gather over the "shard" axis.
+    """
+    if max_steps is None:
+        max_steps = 2 * search_width
+    queries = jnp.asarray(queries, jnp.float32)
+    b = queries.shape[0]
+    n_data = mesh.shape["data"]
+    if b % n_data:
+        raise ValueError(f"batch {b} not divisible by data axis {n_data}")
+    q = jax.device_put(queries, NamedSharding(mesh, P("data", None)))
+    ids, dists = _sharded_search_impl(
+        index.vectors, index.adjacency, index.medoids, index.global_ids, q,
+        search_width=search_width, k=k, max_steps=max_steps,
+        metric=index.metric, mesh=mesh,
+    )
+    return ids, dists

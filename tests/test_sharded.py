@@ -1,0 +1,47 @@
+"""Multi-chip sharded index tests on the emulated 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diskrag_tpu.ops import brute_force_topk
+from diskrag_tpu.parallel import (
+    build_sharded,
+    make_mesh,
+    shard_to_mesh,
+    sharded_search,
+)
+
+
+def test_mesh_shape():
+    mesh = make_mesh(n_shards=4, n_data=2)
+    assert mesh.shape["data"] == 2 and mesh.shape["shard"] == 4
+
+
+def test_sharded_search_recall(clustered_data):
+    pts = clustered_data  # [2000, 64]
+    rng = np.random.default_rng(3)
+    sharded = build_sharded(
+        pts, n_shards=4, degree_bound=24, build_width=48, wave_size=128,
+    )
+    # padding rows only in the last shard; global ids cover all points
+    gids = np.asarray(sharded.global_ids)
+    valid = gids[gids >= 0]
+    assert len(np.unique(valid)) == len(pts)
+
+    mesh = make_mesh(n_shards=4, n_data=2)
+    sharded = shard_to_mesh(sharded, mesh)
+    qi = rng.integers(0, len(pts), size=64)
+    queries = pts[qi] + rng.normal(size=(64, pts.shape[1])).astype(np.float32) * 0.1
+    ids, dists = sharded_search(
+        sharded, queries, mesh, search_width=48, k=10
+    )
+    ids = np.asarray(ids)
+    _, gt = brute_force_topk(jnp.asarray(queries), jnp.asarray(pts), k=10)
+    gt = np.asarray(gt)
+    recall = np.mean(
+        [len(set(ids[i]) & set(gt[i])) / 10 for i in range(len(ids))]
+    )
+    assert recall >= 0.9, f"sharded recall@10 = {recall}"
+    # merged dists ascending
+    assert (np.diff(np.asarray(dists), axis=1) >= -1e-6).all()
