@@ -46,10 +46,16 @@ def main() -> None:
 
     gt = ground_truth(pts, queries, k)
 
-    points = sweep_exact(index, queries, gt, k=k)
+    points = sweep_exact(
+        index, queries, gt, k=k, widths=(32, 48, 64, 96),
+        expand_widths=(1, 4, 8),
+    )
     pq = ProductQuantizer(n_subvectors=32).fit(pts, seed=0)
     codes = np.asarray(pq.encode(pts))
-    points += sweep_pq(index, pq, codes, queries, gt, k=k)
+    points += sweep_pq(
+        index, pq, codes, queries, gt, k=k, widths=(48, 96),
+        expand_widths=(4,),
+    )
 
     best = best_qps_at_recall(points, 0.95)
     if best is None:
@@ -78,6 +84,7 @@ def main() -> None:
                 "sweep": [
                     {
                         "L": p.search_width,
+                        "E": p.expand_width,
                         "recall": round(p.recall, 4),
                         "qps": round(p.qps, 1),
                         "mode": p.mode,

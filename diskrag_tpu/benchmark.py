@@ -53,6 +53,7 @@ class SweepPoint:
     qps: float
     mean_latency_ms: float
     mode: str
+    expand_width: int = 1
 
 
 def ground_truth(points: np.ndarray, queries: np.ndarray, k: int) -> np.ndarray:
@@ -71,38 +72,42 @@ def ground_truth(points: np.ndarray, queries: np.ndarray, k: int) -> np.ndarray:
 
 def sweep_exact(
     index, queries: np.ndarray, gt: np.ndarray, *, k: int,
-    widths=(32, 48, 64, 96, 128), repeats: int = 3,
+    widths=(32, 48, 64, 96, 128), expand_widths=(1,), repeats: int = 3,
 ) -> list[SweepPoint]:
     """In-memory exact-distance search sweep (reference
-    dataset_benchmark.py:104-130 protocol)."""
+    dataset_benchmark.py:104-130 protocol), optionally over beam
+    expansion widths."""
     from diskrag_tpu.graph import beam_search
 
     q = jnp.asarray(queries)
     points = []
     for w in widths:
-        res = beam_search(
-            index.vectors, index.adjacency, index.medoid, q,
-            search_width=w, k=k, metric=index.metric,
-        )
-        res.ids.block_until_ready()  # compile warmup
-        t0 = time.perf_counter()
-        for _ in range(repeats):
-            res = beam_search(
-                index.vectors, index.adjacency, index.medoid, q,
-                search_width=w, k=k, metric=index.metric,
+        for e in expand_widths:
+            def run():
+                return beam_search(
+                    index.vectors, index.adjacency, index.medoid, q,
+                    search_width=w, k=k, metric=index.metric, expand_width=e,
+                )
+
+            res = run()
+            res.ids.block_until_ready()  # compile warmup
+            t0 = time.perf_counter()
+            for _ in range(repeats):
+                res = run()
+                res.ids.block_until_ready()
+            dt = (time.perf_counter() - t0) / repeats
+            rec = recall_at_k(np.asarray(res.ids), gt, k)
+            points.append(
+                SweepPoint(w, rec, len(queries) / dt,
+                           dt / len(queries) * 1e3, "exact", e)
             )
-            res.ids.block_until_ready()
-        dt = (time.perf_counter() - t0) / repeats
-        rec = recall_at_k(np.asarray(res.ids), gt, k)
-        points.append(
-            SweepPoint(w, rec, len(queries) / dt, dt / len(queries) * 1e3, "exact")
-        )
     return points
 
 
 def sweep_pq(
     index, pq, codes: np.ndarray, queries: np.ndarray, gt: np.ndarray, *,
-    k: int, widths=(32, 48, 64, 96, 128), repeats: int = 3,
+    k: int, widths=(32, 48, 64, 96, 128), expand_widths=(1,),
+    repeats: int = 3,
 ) -> list[SweepPoint]:
     """PQ-traversal + exact-rerank sweep (the PQ-accelerated mode,
     reference search_engine.py:398-506 protocol-equivalent)."""
@@ -112,25 +117,28 @@ def sweep_pq(
     codes_j = jnp.asarray(codes)
     points = []
     for w in widths:
-        def run():
-            tables = pq.compute_distance_tables(q)
-            return beam_search_pq(
-                codes_j, tables, index.adjacency, index.medoid,
-                search_width=w, k=k, rerank=True,
-                vectors=index.vectors, queries=q, metric=index.metric,
-            )
+        for e in expand_widths:
+            def run():
+                tables = pq.compute_distance_tables(q)
+                return beam_search_pq(
+                    codes_j, tables, index.adjacency, index.medoid,
+                    search_width=w, k=k, rerank=True,
+                    vectors=index.vectors, queries=q, metric=index.metric,
+                    expand_width=e,
+                )
 
-        res = run()
-        res.ids.block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(repeats):
             res = run()
             res.ids.block_until_ready()
-        dt = (time.perf_counter() - t0) / repeats
-        rec = recall_at_k(np.asarray(res.ids), gt, k)
-        points.append(
-            SweepPoint(w, rec, len(queries) / dt, dt / len(queries) * 1e3, "pq+rerank")
-        )
+            t0 = time.perf_counter()
+            for _ in range(repeats):
+                res = run()
+                res.ids.block_until_ready()
+            dt = (time.perf_counter() - t0) / repeats
+            rec = recall_at_k(np.asarray(res.ids), gt, k)
+            points.append(
+                SweepPoint(w, rec, len(queries) / dt,
+                           dt / len(queries) * 1e3, "pq+rerank", e)
+            )
     return points
 
 
