@@ -1,0 +1,34 @@
+"""Host-tier (disk-style) index tests: codes in 'HBM', vectors served
+from the packed record file, recall checked against brute force."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from diskrag_tpu.build_index import build_index_from_vectors
+from diskrag_tpu.index.host_tier import HostTierIndex
+from diskrag_tpu.ops import brute_force_topk
+
+
+def test_host_tier_search_recall(tmp_path, clustered_data):
+    pts = clustered_data  # [2000, 64]
+    rng = np.random.default_rng(9)
+    build_index_from_vectors(
+        pts, tmp_path / "idx", write_compat=True,
+        params_override={"R": 32, "L": 64, "alpha": 1.2},
+    )
+    ht = HostTierIndex.from_store(tmp_path / "idx")
+    qi = rng.integers(0, len(pts), size=32)
+    queries = pts[qi] + rng.normal(size=(32, pts.shape[1])).astype(np.float32) * 0.1
+    dists, ids, stats = ht.search(queries, search_width=64, k=10)
+    assert stats["search_type"] == "host_tier"
+    assert stats["host_vectors_fetched"] > 0
+
+    _, gt = brute_force_topk(jnp.asarray(queries), jnp.asarray(pts), k=10)
+    gt = np.asarray(gt)
+    recall = np.mean([len(set(ids[i]) & set(gt[i])) / 10 for i in range(len(ids))])
+    assert recall >= 0.85, f"host-tier recall@10 = {recall}"
+    # exact rerank: distances ascending and match recomputed values
+    assert (np.diff(dists, axis=1) >= -1e-5).all()
+    d0 = ((queries[0] - pts[ids[0, 0]]) ** 2).sum()
+    np.testing.assert_allclose(dists[0, 0], d0, rtol=1e-3, atol=1e-3)
