@@ -1,0 +1,37 @@
+# diskrag_tpu ops targets (counterpart of the reference Makefile:12-86)
+
+PY ?= python
+TEST_ENV = PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
+
+.PHONY: install native test bench baseline demo run-api verify clean
+
+install:
+	$(PY) -m pip install -e .
+
+native:
+	$(PY) -m diskrag_tpu.native.build
+
+test: native
+	$(TEST_ENV) $(PY) -m pytest tests/ -x -q
+
+bench:
+	$(PY) bench.py
+
+baseline:
+	$(PY) benchmarks/measure_baseline.py
+
+demo:
+	$(PY) -m diskrag_tpu.cli --config examples/config.yaml process examples/faq_data.csv -c demo
+	$(PY) -m diskrag_tpu.cli --config examples/config.yaml index demo
+	$(PY) -m diskrag_tpu.cli --config examples/config.yaml search demo "如何使用?"
+
+run-api:
+	$(PY) -m diskrag_tpu.api
+
+verify:
+	$(PY) -c "import diskrag_tpu; print('diskrag_tpu', diskrag_tpu.__version__)"
+	$(PY) -c "from diskrag_tpu.native import native_available; print('native:', native_available())"
+
+clean:
+	rm -rf collections .cache diskrag_tpu/native/libdiskrag_io.so
+	find . -name __pycache__ -type d -exec rm -rf {} +

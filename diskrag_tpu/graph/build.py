@@ -151,7 +151,9 @@ def _reverse_edges(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("build_width", "max_incoming", "chunk", "metric"),
+    static_argnames=(
+        "build_width", "max_incoming", "chunk", "metric", "expand_width"
+    ),
     donate_argnames=("adjacency",),
 )
 def wave_step(
@@ -165,6 +167,7 @@ def wave_step(
     max_incoming: int,
     chunk: int,
     metric: str,
+    expand_width: int = 8,
 ) -> jax.Array:
     """Insert/refine one wave of points; returns updated adjacency."""
     n, r = adjacency.shape
@@ -173,6 +176,7 @@ def wave_step(
     res = beam_search(
         vectors, adjacency, medoid, queries,
         search_width=build_width, k=build_width, metric=metric,
+        expand_width=expand_width,
     )
 
     cur_nbrs = adjacency[wave_ids]  # [W, R]
@@ -208,6 +212,7 @@ def build_vamana(
     n_passes: int = 2,
     wave_size: int | None = None,
     max_incoming: int | None = None,
+    expand_width: int = 8,
     seed: int = 0,
     progress: bool = False,
 ) -> VamanaIndex:
@@ -228,7 +233,7 @@ def build_vamana(
     wave_size = min(wave_size, n)
     if max_incoming is None:
         max_incoming = min(16, degree_bound)
-    chunk = min(2048, wave_size * degree_bound)
+    chunk = min(8192, wave_size * degree_bound)
 
     key = jax.random.key(seed)
     k_init, k_med, k_perm = jax.random.split(key, 3)
@@ -250,6 +255,7 @@ def build_vamana(
                 jnp.asarray(a, jnp.float32),
                 build_width=build_width, max_incoming=max_incoming,
                 chunk=chunk, metric=Metric(metric).value,
+                expand_width=expand_width,
             )
             if progress and (i + 1) % 16 == 0:
                 logger.info(
