@@ -1,0 +1,58 @@
+"""Tools tests: index verification, installation report, perf harness."""
+
+import numpy as np
+
+from diskrag_tpu.build_index import build_index_from_vectors
+from diskrag_tpu.tools.verify_index import verify_index
+from diskrag_tpu.tools.verify_installation import verify_installation
+from diskrag_tpu.utils.profiling import PhaseTimer, block_and_time
+
+
+def test_verify_index_ok(tmp_path, clustered_data):
+    pts = clustered_data[:500]
+    build_index_from_vectors(
+        pts, tmp_path / "idx", write_compat=True,
+        params_override={"R": 16, "L": 32, "alpha": 1.2},
+    )
+    report = verify_index(tmp_path / "idx")
+    failed = {k: v for k, v in report["checks"].items() if not v["passed"]}
+    assert report["ok"], f"failed checks: {failed}"
+
+
+def test_verify_index_detects_corruption(tmp_path, clustered_data):
+    pts = clustered_data[:500]
+    build_index_from_vectors(
+        pts, tmp_path / "idx", write_compat=True,
+        params_override={"R": 16, "L": 32, "alpha": 1.2},
+    )
+    # truncate the record file -> size check must fail
+    rec = tmp_path / "idx" / "index.dat"
+    data = rec.read_bytes()
+    rec.write_bytes(data[: len(data) // 2])
+    report = verify_index(tmp_path / "idx")
+    assert not report["ok"]
+    assert not report["checks"]["record_file_size"]["passed"]
+
+
+def test_verify_installation():
+    report = verify_installation()
+    assert report["packages"]["jax"]
+    assert report["diskrag_tpu"] == "0.1.0"
+    assert report["default_backend"] == "cpu"  # tests run on emulated CPU
+
+
+def test_phase_timer():
+    t = PhaseTimer()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    s = t.summary()
+    assert s["a"]["count"] == 2 and s["a"]["total_s"] >= 0
+
+
+def test_block_and_time():
+    import jax.numpy as jnp
+
+    dt, out = block_and_time(lambda x: jnp.sum(x * 2), jnp.ones(16), repeats=2)
+    assert dt >= 0 and float(out) == 32.0
