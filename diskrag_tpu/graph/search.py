@@ -29,11 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from diskrag_tpu.ops.distance import Metric, squared_norms
-from diskrag_tpu.ops.topk import (
-    INVALID_ID,
-    mask_duplicates,
-    merge_unique_topk_sorted,
-)
+from diskrag_tpu.ops.topk import INVALID_ID, mask_duplicates
 
 INF = jnp.inf
 
@@ -103,12 +99,24 @@ def _frontier_search(
     budget stays ~the same (max_steps rounds of E), but E x fewer
     sequential rounds: the dominant latency win on TPU, where each round
     costs a fixed pipeline of gather/merge kernels regardless of E.
+
+    Seen-set design: a per-query *bitfield* over all N nodes
+    (uint32[B, ceil(N/32)], 25 KB/query at N=200k) marks every id at the
+    moment it is INSERTED into the candidate list — the same
+    mark-on-insert semantics as the reference's `visited` set (reference
+    cython_utils.pyx:88-106: neighbors are added to `visited` when first
+    generated). Checking is a word gather + bit test, marking is a
+    scatter-add of single bits (safe: intra-round duplicates are removed
+    first, so each bit is added at most once). This removes any need for
+    sort-based dedup in the merge — the candidate list stays unique by
+    construction and the merge is a plain concat + top_k.
     """
     b = batch
     n, r = adjacency.shape
     e = expand_width
     medoid = jnp.asarray(medoid, jnp.int32)
     visited_cap = max_steps * e
+    n_words = -(-n // 32)
 
     # --- initial candidate list: just the medoid -------------------------
     d0 = expand_fn(jnp.broadcast_to(medoid, (b, 1)))  # [B, 1]
@@ -123,9 +131,14 @@ def _frontier_search(
     cand_dists = cand_dists.at[:, 0].set(d0[:, 0])
     expanded = jnp.zeros((b, search_width), jnp.bool_) | (zero_i != 0)
 
+    seen = jnp.zeros((b, n_words), jnp.uint32) + zero_i.astype(jnp.uint32)
+    seen = seen.at[:, medoid // 32].add(jnp.uint32(1) << (medoid % 32).astype(jnp.uint32))
+
     visited_ids = jnp.full((b, visited_cap), INVALID_ID, jnp.int32) + zero_i
     visited_dists = jnp.full((b, visited_cap), INF, jnp.float32) + zero_f
     n_expanded = jnp.zeros((b,), jnp.int32) + zero_i[:, 0]
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (b, e * r), 0)
 
     def cond(state):
         step, cand_ids, cand_dists, expanded, *_ = state
@@ -134,8 +147,8 @@ def _frontier_search(
         return (step < max_steps) & any_active
 
     def body(state):
-        (step, cand_ids, cand_dists, expanded, visited_ids, visited_dists,
-         n_expanded) = state
+        (step, cand_ids, cand_dists, expanded, seen, visited_ids,
+         visited_dists, n_expanded) = state
 
         frontier = jnp.where(expanded | (cand_ids == INVALID_ID), INF, cand_dists)
         # E closest unexpanded candidates this round
@@ -167,34 +180,48 @@ def _frontier_search(
 
         # expand: gather neighbor ids [B, E, R] -> [B, E*R]
         nbrs = adjacency[cur_ids_safe].reshape(b, e * r)
+        nbrs_safe = jnp.clip(nbrs, 0, n - 1)
         valid = (nbrs != INVALID_ID) & jnp.repeat(active, r, axis=1)
-        nbr_dists = expand_fn(jnp.clip(nbrs, 0, n - 1))
 
-        # drop neighbors already expanded (visited log); duplicates against
-        # the live candidate list are handled by the sort-merge below
-        in_vis = jnp.any(
-            nbrs[:, :, None] == visited_ids[:, None, :], axis=2
-        )
-        keep = valid & ~in_vis
+        # seen-bit check (mark-on-insert semantics)
+        word = nbrs_safe // 32
+        bit = (nbrs_safe % 32).astype(jnp.uint32)
+        cur_words = jnp.take_along_axis(seen, word, axis=1)
+        already = ((cur_words >> bit) & 1).astype(jnp.bool_)
+        # intra-round duplicate removal (two parents proposing the same id)
+        eq = nbrs[:, :, None] == nbrs[:, None, :]
+        lower = jax.lax.broadcasted_iota(jnp.int32, (e * r, e * r), 0) > \
+            jax.lax.broadcasted_iota(jnp.int32, (e * r, e * r), 1)
+        dup = jnp.any(eq & lower, axis=2)
+        keep = valid & ~already & ~dup
+
+        nbr_dists = expand_fn(nbrs_safe)
         nbr_dists = jnp.where(keep, nbr_dists, INF)
         nbr_ids = jnp.where(keep, nbrs, INVALID_ID)
 
+        # mark kept ids seen: scatter-add of single bits (each at most once)
+        add = jnp.where(keep, jnp.uint32(1) << bit, jnp.uint32(0))
+        seen = seen.at[row_iota, word].add(add)
+
+        # merge: candidate list is unique by construction -> concat + top_k
         all_ids = jnp.concatenate([cand_ids, nbr_ids], axis=1)
         all_dists = jnp.concatenate([cand_dists, nbr_dists], axis=1)
-        all_pay = jnp.concatenate(
-            [expanded.astype(jnp.int32), jnp.zeros((b, e * r), jnp.int32)], axis=1
+        all_exp = jnp.concatenate(
+            [expanded, jnp.zeros((b, e * r), jnp.bool_)], axis=1
         )
-        new_ids, new_dists, new_pay = merge_unique_topk_sorted(
-            all_ids, all_dists, all_pay, search_width
-        )
-        new_expanded = (new_pay != 0) | (new_ids == INVALID_ID)
+        neg_top, take = jax.lax.top_k(-all_dists, search_width)
+        new_dists = -neg_top
+        new_ids = jnp.take_along_axis(all_ids, take, axis=1)
+        new_ids = jnp.where(jnp.isinf(new_dists), INVALID_ID, new_ids)
+        new_expanded = jnp.take_along_axis(all_exp, take, axis=1)
+        new_expanded = new_expanded | (new_ids == INVALID_ID)
 
-        return (step + 1, new_ids, new_dists, new_expanded, visited_ids,
-                visited_dists, n_expanded)
+        return (step + 1, new_ids, new_dists, new_expanded, seen,
+                visited_ids, visited_dists, n_expanded)
 
     state = (jnp.asarray(0, jnp.int32), cand_ids, cand_dists, expanded,
-             visited_ids, visited_dists, n_expanded)
-    (step, cand_ids, cand_dists, expanded, visited_ids, visited_dists,
+             seen, visited_ids, visited_dists, n_expanded)
+    (step, cand_ids, cand_dists, expanded, seen, visited_ids, visited_dists,
      n_expanded) = jax.lax.while_loop(cond, body, state)
 
     return SearchResult(
