@@ -99,24 +99,12 @@ def _frontier_search(
     budget stays ~the same (max_steps rounds of E), but E x fewer
     sequential rounds: the dominant latency win on TPU, where each round
     costs a fixed pipeline of gather/merge kernels regardless of E.
-
-    Seen-set design: a per-query *bitfield* over all N nodes
-    (uint32[B, ceil(N/32)], 25 KB/query at N=200k) marks every id at the
-    moment it is INSERTED into the candidate list — the same
-    mark-on-insert semantics as the reference's `visited` set (reference
-    cython_utils.pyx:88-106: neighbors are added to `visited` when first
-    generated). Checking is a word gather + bit test, marking is a
-    scatter-add of single bits (safe: intra-round duplicates are removed
-    first, so each bit is added at most once). This removes any need for
-    sort-based dedup in the merge — the candidate list stays unique by
-    construction and the merge is a plain concat + top_k.
     """
     b = batch
     n, r = adjacency.shape
     e = expand_width
     medoid = jnp.asarray(medoid, jnp.int32)
     visited_cap = max_steps * e
-    n_words = -(-n // 32)
 
     # --- initial candidate list: just the medoid -------------------------
     d0 = expand_fn(jnp.broadcast_to(medoid, (b, 1)))  # [B, 1]
@@ -131,14 +119,9 @@ def _frontier_search(
     cand_dists = cand_dists.at[:, 0].set(d0[:, 0])
     expanded = jnp.zeros((b, search_width), jnp.bool_) | (zero_i != 0)
 
-    seen = jnp.zeros((b, n_words), jnp.uint32) + zero_i.astype(jnp.uint32)
-    seen = seen.at[:, medoid // 32].add(jnp.uint32(1) << (medoid % 32).astype(jnp.uint32))
-
     visited_ids = jnp.full((b, visited_cap), INVALID_ID, jnp.int32) + zero_i
     visited_dists = jnp.full((b, visited_cap), INF, jnp.float32) + zero_f
     n_expanded = jnp.zeros((b,), jnp.int32) + zero_i[:, 0]
-
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (b, e * r), 0)
 
     def cond(state):
         step, cand_ids, cand_dists, expanded, *_ = state
@@ -147,8 +130,8 @@ def _frontier_search(
         return (step < max_steps) & any_active
 
     def body(state):
-        (step, cand_ids, cand_dists, expanded, seen, visited_ids,
-         visited_dists, n_expanded) = state
+        (step, cand_ids, cand_dists, expanded, visited_ids, visited_dists,
+         n_expanded) = state
 
         frontier = jnp.where(expanded | (cand_ids == INVALID_ID), INF, cand_dists)
         # E closest unexpanded candidates this round
@@ -180,34 +163,43 @@ def _frontier_search(
 
         # expand: gather neighbor ids [B, E, R] -> [B, E*R]
         nbrs = adjacency[cur_ids_safe].reshape(b, e * r)
-        nbrs_safe = jnp.clip(nbrs, 0, n - 1)
         valid = (nbrs != INVALID_ID) & jnp.repeat(active, r, axis=1)
+        nbr_dists = expand_fn(jnp.clip(nbrs, 0, n - 1))
+        nbr_dists = jnp.where(valid, nbr_dists, INF)
 
-        # seen-bit check (mark-on-insert semantics)
-        word = nbrs_safe // 32
-        bit = (nbrs_safe % 32).astype(jnp.uint32)
-        cur_words = jnp.take_along_axis(seen, word, axis=1)
-        already = ((cur_words >> bit) & 1).astype(jnp.bool_)
-        # intra-round duplicate removal (two parents proposing the same id)
-        eq = nbrs[:, :, None] == nbrs[:, None, :]
-        lower = jax.lax.broadcasted_iota(jnp.int32, (e * r, e * r), 0) > \
-            jax.lax.broadcasted_iota(jnp.int32, (e * r, e * r), 1)
+        # two-stage merge: first cut the E*R fresh candidates down to the
+        # L' best BEFORE any dedup compares — at most L' can enter the
+        # list anyway, and this shrinks every subsequent compare/sort from
+        # E*R wide to L' wide.
+        l_new = min(search_width, e * r)
+        neg_new, new_take = jax.lax.top_k(-nbr_dists, l_new)
+        sel_new_dists = -neg_new
+        sel_new_ids = jnp.take_along_axis(nbrs, new_take, axis=1)
+
+        # dedup the selected few against: the visited log, the live
+        # candidate list, and themselves (duplicate neighbor from two
+        # parents in the same round)
+        in_vis = jnp.any(
+            sel_new_ids[:, :, None] == visited_ids[:, None, :], axis=2
+        )
+        in_cand = jnp.any(
+            sel_new_ids[:, :, None] == cand_ids[:, None, :], axis=2
+        )
+        eq = sel_new_ids[:, :, None] == sel_new_ids[:, None, :]
+        lower = (
+            jax.lax.broadcasted_iota(jnp.int32, (l_new, l_new), 0)
+            > jax.lax.broadcasted_iota(jnp.int32, (l_new, l_new), 1)
+        )
         dup = jnp.any(eq & lower, axis=2)
-        keep = valid & ~already & ~dup
+        drop = in_vis | in_cand | dup | jnp.isinf(sel_new_dists)
+        sel_new_dists = jnp.where(drop, INF, sel_new_dists)
+        sel_new_ids = jnp.where(drop, INVALID_ID, sel_new_ids)
 
-        nbr_dists = expand_fn(nbrs_safe)
-        nbr_dists = jnp.where(keep, nbr_dists, INF)
-        nbr_ids = jnp.where(keep, nbrs, INVALID_ID)
-
-        # mark kept ids seen: scatter-add of single bits (each at most once)
-        add = jnp.where(keep, jnp.uint32(1) << bit, jnp.uint32(0))
-        seen = seen.at[row_iota, word].add(add)
-
-        # merge: candidate list is unique by construction -> concat + top_k
-        all_ids = jnp.concatenate([cand_ids, nbr_ids], axis=1)
-        all_dists = jnp.concatenate([cand_dists, nbr_dists], axis=1)
+        # final merge: [L + L'] -> top L (both parts unique and disjoint)
+        all_ids = jnp.concatenate([cand_ids, sel_new_ids], axis=1)
+        all_dists = jnp.concatenate([cand_dists, sel_new_dists], axis=1)
         all_exp = jnp.concatenate(
-            [expanded, jnp.zeros((b, e * r), jnp.bool_)], axis=1
+            [expanded, jnp.zeros((b, l_new), jnp.bool_)], axis=1
         )
         neg_top, take = jax.lax.top_k(-all_dists, search_width)
         new_dists = -neg_top
@@ -216,12 +208,12 @@ def _frontier_search(
         new_expanded = jnp.take_along_axis(all_exp, take, axis=1)
         new_expanded = new_expanded | (new_ids == INVALID_ID)
 
-        return (step + 1, new_ids, new_dists, new_expanded, seen,
-                visited_ids, visited_dists, n_expanded)
+        return (step + 1, new_ids, new_dists, new_expanded, visited_ids,
+                visited_dists, n_expanded)
 
     state = (jnp.asarray(0, jnp.int32), cand_ids, cand_dists, expanded,
-             seen, visited_ids, visited_dists, n_expanded)
-    (step, cand_ids, cand_dists, expanded, seen, visited_ids, visited_dists,
+             visited_ids, visited_dists, n_expanded)
+    (step, cand_ids, cand_dists, expanded, visited_ids, visited_dists,
      n_expanded) = jax.lax.while_loop(cond, body, state)
 
     return SearchResult(
