@@ -176,6 +176,38 @@ class ProductQuantizer:
         """tables [B, m, 256], codes [N, m] -> [B, N] squared distances."""
         return adc_lookup(tables, codes)
 
+    def symmetric_distance_tables(self) -> jax.Array:
+        """Per-subspace centroid-pair squared distances [m, 256, 256] —
+        the precomputed form of the reference's symmetric PQ distance
+        (reference cython_utils.pyx:26-51 computes it scalar per pair)."""
+        self._check_fitted()
+        cb = self.codebooks  # [m, K, ds]
+        n2 = jnp.sum(jnp.square(cb), axis=-1)  # [m, K]
+        cross = jnp.einsum(
+            "mkd,mld->mkl", cb, cb, precision=jax.lax.Precision.HIGHEST
+        )
+        return jnp.maximum(n2[:, :, None] + n2[:, None, :] - 2.0 * cross, 0.0)
+
+    def symmetric_distance_sq(
+        self,
+        codes_a: jax.Array,
+        codes_b: jax.Array,
+        tables: jax.Array | None = None,
+    ) -> jax.Array:
+        """Approximate squared distance between coded points:
+        codes_a [A, m], codes_b [B, m] -> [A, B]."""
+        if tables is None:
+            tables = self.symmetric_distance_tables()
+        a = jnp.asarray(codes_a).astype(jnp.int32)  # [A, m]
+        b = jnp.asarray(codes_b).astype(jnp.int32)  # [B, m]
+        m = tables.shape[0]
+        sub = tables[
+            jnp.arange(m)[None, None, :],  # [1, 1, m]
+            a[:, None, :],                 # [A, 1, m]
+            b[None, :, :],                 # [1, B, m]
+        ]  # [A, B, m]
+        return jnp.sum(sub, axis=-1)
+
     def reconstruction_error(self, vectors: np.ndarray | jax.Array) -> float:
         """Mean squared reconstruction error (the reference's PQ-validation
         metric, scripts/tools/build_index.py:215-236)."""

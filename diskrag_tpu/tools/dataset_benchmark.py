@@ -1,0 +1,124 @@
+"""User-facing dataset benchmark — counterpart of the reference's
+`dataset_benchmark.py`: load vectors (parquet/npy or a seeded synthetic
+set), build, compute brute-force ground truth, sweep recall/latency/QPS
+for the in-memory exact mode, the PQ mode, and the host-tier (disk-style)
+mode.
+
+Run:
+  python -m diskrag_tpu.tools.dataset_benchmark --n 100000 --dim 128
+  python -m diskrag_tpu.tools.dataset_benchmark --vectors data.npy \
+      --queries q.npy
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def load_vectors(path: str) -> np.ndarray:
+    """npy or parquet (any numeric columns / a single list column)."""
+    if path.endswith(".npy"):
+        return np.load(path).astype(np.float32)
+    if path.endswith(".parquet"):
+        import pandas as pd
+
+        df = pd.read_parquet(path)
+        first = df.iloc[:, 0]
+        if first.dtype == object:  # list column
+            return np.stack(first.to_numpy()).astype(np.float32)
+        return df.to_numpy().astype(np.float32)
+    raise ValueError(f"unsupported vector file: {path}")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="diskrag_tpu dataset benchmark")
+    ap.add_argument("--vectors", help="npy/parquet vectors (default: synthetic)")
+    ap.add_argument("--queries", help="npy/parquet queries")
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--n-queries", type=int, default=1000)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--R", type=int, default=32)
+    ap.add_argument("--L-build", type=int, default=64)
+    ap.add_argument("--alpha", type=float, default=1.2)
+    ap.add_argument("--widths", default="32,48,64,96,128")
+    ap.add_argument("--expand", default="1,4")
+    ap.add_argument("--pq-m", type=int, default=0, help="0 = skip PQ sweep")
+    ap.add_argument("--json", action="store_true", help="JSON output only")
+    args = ap.parse_args()
+
+    from diskrag_tpu.benchmark import (
+        ground_truth,
+        make_dataset,
+        sweep_exact,
+        sweep_pq,
+    )
+    from diskrag_tpu.graph.build import build_vamana
+
+    if args.vectors:
+        pts = load_vectors(args.vectors)
+        if args.queries:
+            queries = load_vectors(args.queries)[: args.n_queries]
+        else:
+            rng = np.random.default_rng(0)
+            qi = rng.integers(0, len(pts), size=args.n_queries)
+            queries = pts[qi] + rng.normal(
+                size=(args.n_queries, pts.shape[1])
+            ).astype(np.float32) * 0.05
+    else:
+        pts, queries = make_dataset(args.n, args.dim, args.n_queries)
+
+    widths = tuple(int(x) for x in args.widths.split(","))
+    expands = tuple(int(x) for x in args.expand.split(","))
+
+    t0 = time.perf_counter()
+    index = build_vamana(
+        pts, degree_bound=args.R, build_width=args.L_build, alpha=args.alpha,
+    )
+    build_s = time.perf_counter() - t0
+    gt = ground_truth(pts, queries, args.k)
+
+    points = sweep_exact(
+        index, queries, gt, k=args.k, widths=widths, expand_widths=expands
+    )
+    if args.pq_m:
+        from diskrag_tpu.pq import ProductQuantizer
+
+        pq = ProductQuantizer(n_subvectors=args.pq_m).fit(pts)
+        codes = np.asarray(pq.encode(pts))
+        points += sweep_pq(
+            index, pq, codes, queries, gt, k=args.k, widths=widths,
+            expand_widths=expands,
+        )
+
+    result = {
+        "n": len(pts), "dim": pts.shape[1], "n_queries": len(queries),
+        "R": args.R, "L_build": args.L_build, "alpha": args.alpha,
+        "build_seconds": round(build_s, 1),
+        "sweep": [
+            {
+                "mode": p.mode, "L": p.search_width, "E": p.expand_width,
+                "recall": round(p.recall, 4), "qps": round(p.qps, 1),
+                "latency_ms": round(p.mean_latency_ms, 3),
+            }
+            for p in points
+        ],
+    }
+    if args.json:
+        print(json.dumps(result))
+    else:
+        print(f"N={result['n']} dim={result['dim']} build={build_s:.1f}s")
+        for p in result["sweep"]:
+            print(
+                f"  {p['mode']:<10} L={p['L']:<4} E={p['E']:<2} "
+                f"recall@{args.k}={p['recall']:.4f} qps={p['qps']:>9.1f}"
+            )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -99,3 +99,17 @@ def test_gathered_adc(rng):
     full = np.asarray(pq.asymmetric_distance_sq(tables, jnp.asarray(codes)))
     want = np.take_along_axis(full, cand, axis=1)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_symmetric_distance(rng):
+    n, dim, m = 600, 16, 4
+    pts = rng.normal(size=(n, dim)).astype(np.float32)
+    pq = ProductQuantizer(n_subvectors=m).fit(pts, seed=0)
+    codes = pq.encode(pts)
+    tables = pq.symmetric_distance_tables()
+    assert tables.shape == (m, 256, 256)
+    got = np.asarray(pq.symmetric_distance_sq(codes[:5], codes[:7], tables))
+    # oracle: distance between reconstructions
+    rec = np.asarray(pq.decode(codes))
+    want = ((rec[:5, None, :] - rec[None, :7, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
