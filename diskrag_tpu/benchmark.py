@@ -70,36 +70,74 @@ def ground_truth(points: np.ndarray, queries: np.ndarray, k: int) -> np.ndarray:
     return np.concatenate(out)
 
 
+def _measure(run_chunks, n_queries: int, repeats: int):
+    """Warm up, then time `repeats` full passes. `run_chunks()` returns a
+    list of result pytrees (one per pipelined sub-batch) — every chunk is
+    dispatched before any blocking so independent frontier chains overlap
+    on device (the latency-bound gathers of one chunk hide behind
+    another's compute)."""
+    out = run_chunks()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = run_chunks()
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / repeats
+    return dt, out
+
+
+def _chunked(q, pipeline: int):
+    b = q.shape[0]
+    step = -(-b // pipeline)
+    return [q[i : i + step] for i in range(0, b, step)]
+
+
 def sweep_exact(
     index, queries: np.ndarray, gt: np.ndarray, *, k: int,
     widths=(32, 48, 64, 96, 128), expand_widths=(1,), repeats: int = 3,
+    pipeline: int = 4, bf16: bool = False,
 ) -> list[SweepPoint]:
-    """In-memory exact-distance search sweep (reference
-    dataset_benchmark.py:104-130 protocol), optionally over beam
-    expansion widths."""
+    """In-memory search sweep (reference dataset_benchmark.py:104-130
+    protocol) over (L, expand_width). `pipeline` splits the batch into
+    independently-dispatched chunks; `bf16` uses the compressed-traversal
+    + f32-rerank path."""
     from diskrag_tpu.graph import beam_search
+    from diskrag_tpu.graph.search import beam_search_reranked
 
     q = jnp.asarray(queries)
+    chunks = _chunked(q, pipeline)
+    tv = index.vectors.astype(jnp.bfloat16) if bf16 else None
+    mode = "exact-bf16" if bf16 else "exact"
     points = []
     for w in widths:
         for e in expand_widths:
-            def run():
-                return beam_search(
-                    index.vectors, index.adjacency, index.medoid, q,
-                    search_width=w, k=k, metric=index.metric, expand_width=e,
-                )
+            if bf16:
+                def run():
+                    return [
+                        beam_search_reranked(
+                            tv, index.vectors, index.adjacency, index.medoid,
+                            c, search_width=w, k=k, metric=index.metric,
+                            expand_width=e,
+                        ).ids
+                        for c in chunks
+                    ]
+            else:
+                def run():
+                    return [
+                        beam_search(
+                            index.vectors, index.adjacency, index.medoid, c,
+                            search_width=w, k=k, metric=index.metric,
+                            expand_width=e,
+                        ).ids
+                        for c in chunks
+                    ]
 
-            res = run()
-            res.ids.block_until_ready()  # compile warmup
-            t0 = time.perf_counter()
-            for _ in range(repeats):
-                res = run()
-                res.ids.block_until_ready()
-            dt = (time.perf_counter() - t0) / repeats
-            rec = recall_at_k(np.asarray(res.ids), gt, k)
+            dt, out = _measure(run, len(queries), repeats)
+            ids = np.concatenate([np.asarray(o) for o in out])
+            rec = recall_at_k(ids, gt, k)
             points.append(
                 SweepPoint(w, rec, len(queries) / dt,
-                           dt / len(queries) * 1e3, "exact", e)
+                           dt / len(queries) * 1e3, mode, e)
             )
     return points
 
@@ -107,7 +145,7 @@ def sweep_exact(
 def sweep_pq(
     index, pq, codes: np.ndarray, queries: np.ndarray, gt: np.ndarray, *,
     k: int, widths=(32, 48, 64, 96, 128), expand_widths=(1,),
-    repeats: int = 3,
+    repeats: int = 3, pipeline: int = 4,
 ) -> list[SweepPoint]:
     """PQ-traversal + exact-rerank sweep (the PQ-accelerated mode,
     reference search_engine.py:398-506 protocol-equivalent)."""
@@ -115,26 +153,27 @@ def sweep_pq(
 
     q = jnp.asarray(queries)
     codes_j = jnp.asarray(codes)
+    chunks = _chunked(q, pipeline)
     points = []
     for w in widths:
         for e in expand_widths:
             def run():
-                tables = pq.compute_distance_tables(q)
-                return beam_search_pq(
-                    codes_j, tables, index.adjacency, index.medoid,
-                    search_width=w, k=k, rerank=True,
-                    vectors=index.vectors, queries=q, metric=index.metric,
-                    expand_width=e,
-                )
+                out = []
+                for c in chunks:
+                    tables = pq.compute_distance_tables(c)
+                    out.append(
+                        beam_search_pq(
+                            codes_j, tables, index.adjacency, index.medoid,
+                            search_width=w, k=k, rerank=True,
+                            vectors=index.vectors, queries=c,
+                            metric=index.metric, expand_width=e,
+                        ).ids
+                    )
+                return out
 
-            res = run()
-            res.ids.block_until_ready()
-            t0 = time.perf_counter()
-            for _ in range(repeats):
-                res = run()
-                res.ids.block_until_ready()
-            dt = (time.perf_counter() - t0) / repeats
-            rec = recall_at_k(np.asarray(res.ids), gt, k)
+            dt, out = _measure(run, len(queries), repeats)
+            ids = np.concatenate([np.asarray(o) for o in out])
+            rec = recall_at_k(ids, gt, k)
             points.append(
                 SweepPoint(w, rec, len(queries) / dt,
                            dt / len(queries) * 1e3, "pq+rerank", e)

@@ -60,23 +60,62 @@ class SearchResult:
 def _gathered_distance(
     queries: jax.Array, nbr_vecs: jax.Array, metric: str
 ) -> jax.Array:
-    """Distance from queries [B, D] to per-query gathered vectors [B, R, D]."""
+    """Distance from queries [B, D] to per-query gathered vectors [B, R, D].
+
+    Accepts bf16 `nbr_vecs` (the low-bandwidth traversal path): queries
+    are cast to match and the contraction accumulates in f32.
+    """
     m = Metric(metric)
+    queries = queries.astype(nbr_vecs.dtype)
     if m == Metric.L2:
-        qn = squared_norms(queries)[:, None]
-        vn = squared_norms(nbr_vecs)
+        qn = squared_norms(queries.astype(jnp.float32))[:, None]
+        vn = squared_norms(nbr_vecs.astype(jnp.float32))
         qv = jnp.einsum(
-            "bd,brd->br", queries, nbr_vecs, precision=jax.lax.Precision.HIGHEST
+            "bd,brd->br", queries, nbr_vecs,
+            preferred_element_type=jnp.float32,
         )
         return jnp.maximum(qn + vn - 2.0 * qv, 0.0)
     if m == Metric.COSINE:
-        qh = queries * jax.lax.rsqrt(squared_norms(queries) + 1e-12)[:, None]
-        vh = nbr_vecs * jax.lax.rsqrt(squared_norms(nbr_vecs) + 1e-12)[..., None]
+        qf = queries.astype(jnp.float32)
+        qh = queries * jax.lax.rsqrt(squared_norms(qf) + 1e-12)[:, None].astype(
+            nbr_vecs.dtype
+        )
+        vf = nbr_vecs.astype(jnp.float32)
+        vh = nbr_vecs * jax.lax.rsqrt(squared_norms(vf) + 1e-12)[..., None].astype(
+            nbr_vecs.dtype
+        )
         return 1.0 - jnp.einsum(
-            "bd,brd->br", qh, vh, precision=jax.lax.Precision.HIGHEST
+            "bd,brd->br", qh, vh, preferred_element_type=jnp.float32
         )
     return -jnp.einsum(
-        "bd,brd->br", queries, nbr_vecs, precision=jax.lax.Precision.HIGHEST
+        "bd,brd->br", queries, nbr_vecs, preferred_element_type=jnp.float32
+    )
+
+
+def exact_rerank(
+    vectors: jax.Array,
+    queries: jax.Array,
+    res: "SearchResult",
+    k: int,
+    metric: str = Metric.L2.value,
+) -> "SearchResult":
+    """Rerank beam ∪ visited with full-precision distances and return the
+    exact top-k. Used after bf16 or PQ/ADC traversal."""
+    n = vectors.shape[0]
+    pool_ids = jnp.concatenate([res.ids, res.visited_ids], axis=1)
+    exact = _gathered_distance(
+        queries, vectors[jnp.clip(pool_ids, 0, n - 1)], metric
+    )
+    exact = mask_duplicates(
+        pool_ids, jnp.where(pool_ids == INVALID_ID, INF, exact)
+    )
+    top_d, take = jax.lax.top_k(-exact, k)
+    top_i = jnp.take_along_axis(pool_ids, take, axis=1)
+    top_i = jnp.where(jnp.isinf(-top_d), INVALID_ID, top_i)
+    return SearchResult(
+        ids=top_i, dists=-top_d,
+        visited_ids=res.visited_ids, visited_dists=res.visited_dists,
+        n_expanded=res.n_expanded, n_steps=res.n_steps,
     )
 
 
@@ -279,6 +318,41 @@ def beam_search(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("search_width", "k", "max_steps", "metric", "expand_width"),
+)
+def beam_search_reranked(
+    traversal_vectors: jax.Array,
+    rerank_vectors: jax.Array,
+    adjacency: jax.Array,
+    medoid: jax.Array,
+    queries: jax.Array,
+    *,
+    search_width: int,
+    k: int,
+    max_steps: int | None = None,
+    metric: str = Metric.L2.value,
+    expand_width: int = 1,
+) -> SearchResult:
+    """Low-bandwidth traversal + full-precision rerank.
+
+    `traversal_vectors` is typically a bfloat16 copy of the database
+    (half the gather bytes in the latency-bound frontier loop);
+    `rerank_vectors` the float32 original. The final beam ∪ visited pool
+    is reranked exactly, so result *ordering* is float32-exact while the
+    traversal enjoys compressed bandwidth. No reference counterpart —
+    this is a TPU bandwidth optimization in the spirit of the reference's
+    PQ-then-exact hybrid (search_engine.py:381-397).
+    """
+    res = beam_search(
+        traversal_vectors, adjacency, medoid, queries,
+        search_width=search_width, k=search_width, max_steps=max_steps,
+        metric=metric, expand_width=expand_width,
+    )
+    return exact_rerank(rerank_vectors, queries, res, k, metric)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=(
         "search_width", "k", "max_steps", "rerank", "metric", "expand_width"
     ),
@@ -345,15 +419,4 @@ def beam_search_pq(
     # rerank pool = final beam ∪ visited log: ADC noise evicts true
     # neighbors from the beam, but anything ever expanded is recoverable
     # from the visited log at the cost of one more gather.
-    pool_ids = jnp.concatenate([res.ids, res.visited_ids], axis=1)
-    exact = _gathered_distance(
-        queries, vectors[jnp.clip(pool_ids, 0, n - 1)], metric
-    )
-    exact = mask_duplicates(pool_ids, jnp.where(pool_ids == INVALID_ID, INF, exact))
-    top_d, take = jax.lax.top_k(-exact, k)
-    top_i = jnp.take_along_axis(pool_ids, take, axis=1)
-    return SearchResult(
-        ids=top_i, dists=-top_d,
-        visited_ids=res.visited_ids, visited_dists=res.visited_dists,
-        n_expanded=res.n_expanded, n_steps=res.n_steps,
-    )
+    return exact_rerank(vectors, queries, res, k, metric)
