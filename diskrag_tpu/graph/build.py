@@ -33,7 +33,7 @@ from diskrag_tpu.graph.search import _gathered_distance, beam_search
 from diskrag_tpu.graph.types import VamanaIndex
 from diskrag_tpu.ops.distance import Metric
 from diskrag_tpu.ops.medoid import approximate_medoid
-from diskrag_tpu.ops.topk import INVALID_ID, sort_topk_unique
+from diskrag_tpu.ops.topk import INVALID_ID, mask_duplicates, sort_topk_unique
 
 logger = logging.getLogger(__name__)
 
@@ -189,6 +189,15 @@ def wave_step(
 
     pool_ids = jnp.concatenate([res.visited_ids, res.ids, cur_nbrs], axis=1)
     pool_dists = jnp.concatenate([res.visited_dists, res.dists, cur_dists], axis=1)
+    # cap the prune pool at the closest `pool_cap` candidates: the O(C^2)
+    # pairwise tensor dominates prune cost and far candidates never
+    # survive RobustPrune anyway (duplicates are +inf-masked inside
+    # robust_prune_batch, so top_k keeps the unique closest).
+    pool_cap = min(pool_ids.shape[1], max(2 * build_width, 4 * r))
+    masked = mask_duplicates(pool_ids, pool_dists)
+    neg, take = jax.lax.top_k(-masked, pool_cap)
+    pool_ids = jnp.take_along_axis(pool_ids, take, axis=1)
+    pool_dists = -neg
     pool_vecs = vectors[jnp.clip(pool_ids, 0, n - 1)]
 
     pruned = robust_prune_batch(
@@ -212,7 +221,7 @@ def build_vamana(
     n_passes: int = 2,
     wave_size: int | None = None,
     max_incoming: int | None = None,
-    expand_width: int = 8,
+    expand_width: int = 16,
     seed: int = 0,
     progress: bool = False,
 ) -> VamanaIndex:
@@ -229,7 +238,7 @@ def build_vamana(
         raise ValueError("need at least 2 points")
     degree_bound = min(degree_bound, n - 1)
     if wave_size is None:
-        wave_size = int(min(512, max(32, n // 8)))
+        wave_size = int(min(2048, max(32, n // 8)))
     wave_size = min(wave_size, n)
     if max_incoming is None:
         max_incoming = min(16, degree_bound)
