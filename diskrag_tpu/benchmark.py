@@ -181,6 +181,34 @@ def sweep_pq(
     return points
 
 
+def sweep_host_tier(
+    index_dir, queries: np.ndarray, gt: np.ndarray, *, k: int,
+    widths=(32, 48, 64), expand_widths=(4,), repeats: int = 3,
+) -> list[SweepPoint]:
+    """Host-offload tier sweep — the analog of the reference's disk-mode
+    beam sweep (dataset_benchmark.py:132-171): PQ codes + graph in HBM,
+    full vectors fetched from the host record file for rerank."""
+    from diskrag_tpu.index.host_tier import HostTierIndex
+
+    ht = HostTierIndex.from_store(index_dir)
+    points = []
+    for w in widths:
+        for e in expand_widths:
+            ht.search(queries[:8], search_width=w, k=k, expand_width=e)
+            t0 = time.perf_counter()
+            for _ in range(repeats):
+                dists, ids, _ = ht.search(
+                    queries, search_width=w, k=k, expand_width=e
+                )
+            dt = (time.perf_counter() - t0) / repeats
+            rec = recall_at_k(ids, gt, k)
+            points.append(
+                SweepPoint(w, rec, len(queries) / dt,
+                           dt / len(queries) * 1e3, "host-tier", e)
+            )
+    return points
+
+
 def best_qps_at_recall(
     points: list[SweepPoint], min_recall: float
 ) -> SweepPoint | None:
