@@ -30,31 +30,37 @@ def main() -> None:
         ground_truth,
         make_dataset,
         sweep_exact,
+        sweep_flat,
+        sweep_ivf,
         sweep_pq,
     )
     from diskrag_tpu.graph.build import build_vamana
     from diskrag_tpu.pq import ProductQuantizer
 
     pts, queries = make_dataset(n, dim, n_queries)
+    gt = ground_truth(pts, queries, k)
 
+    # MXU-native in-HBM modes first (flat scan + IVF tiles)
+    points = sweep_flat(pts, queries, gt, k=k)
+    ivf_points, ivf_build_seconds = sweep_ivf(pts, queries, gt, k=k)
+    points += ivf_points
+
+    # graph modes (the beyond-HBM engine, benched in-HBM for parity)
     t0 = time.perf_counter()
     index = build_vamana(
         pts, degree_bound=48, build_width=80, alpha=1.2, seed=0,
         wave_size=1024,
     )
     build_seconds = time.perf_counter() - t0
-
-    gt = ground_truth(pts, queries, k)
-
-    points = sweep_exact(
-        index, queries, gt, k=k, widths=(32, 48, 64, 96),
-        expand_widths=(1, 4, 8),
+    points += sweep_exact(
+        index, queries, gt, k=k, widths=(48, 64),
+        expand_widths=(4, 8),
     )
     pq = ProductQuantizer(n_subvectors=32).fit(pts, seed=0)
     codes = np.asarray(pq.encode(pts))
     points += sweep_pq(
-        index, pq, codes, queries, gt, k=k, widths=(48, 96),
-        expand_widths=(4,),
+        index, pq, codes, queries, gt, k=k, widths=(64,),
+        expand_widths=(8,),
     )
 
     best = best_qps_at_recall(points, 0.95)
@@ -81,6 +87,7 @@ def main() -> None:
                 "search_width": best.search_width,
                 "mode": best.mode,
                 "build_seconds": round(build_seconds, 1),
+                "ivf_build_seconds": round(ivf_build_seconds, 1),
                 "sweep": [
                     {
                         "L": p.search_width,

@@ -181,6 +181,55 @@ def sweep_pq(
     return points
 
 
+def sweep_flat(
+    pts: np.ndarray, queries: np.ndarray, gt: np.ndarray, *, k: int,
+    metric: str = "l2", repeats: int = 3,
+) -> list[SweepPoint]:
+    """Exhaustive MXU-scan mode (bf16 stream + f32 rerank)."""
+    from diskrag_tpu.ops.flat import FlatIndex
+
+    idx = FlatIndex(pts, metric=metric)
+    q = jnp.asarray(queries)
+
+    def run():
+        return idx.search(q, k=k)
+
+    dt, (dists, ids) = _measure(run, len(queries), repeats)
+    rec = recall_at_k(np.asarray(ids), gt, k)
+    return [
+        SweepPoint(0, rec, len(queries) / dt, dt / len(queries) * 1e3, "flat")
+    ]
+
+
+def sweep_ivf(
+    pts: np.ndarray, queries: np.ndarray, gt: np.ndarray, *, k: int,
+    metric: str = "l2", n_probes=(8, 16, 32, 64), n_cells: int | None = None,
+    repeats: int = 3,
+) -> tuple[list[SweepPoint], float]:
+    """IVF-flat mode swept over n_probe. Returns (points, build_seconds)."""
+    from diskrag_tpu.index.ivf import build_ivf
+
+    t0 = time.perf_counter()
+    idx = build_ivf(pts, n_cells=n_cells, metric=metric)
+    build_s = time.perf_counter() - t0
+    q = jnp.asarray(queries)
+    points = []
+    for p in n_probes:
+        if p > idx.n_cells:
+            continue
+
+        def run():
+            return idx.search(q, k=k, n_probe=p)
+
+        dt, (dists, ids) = _measure(run, len(queries), repeats)
+        rec = recall_at_k(np.asarray(ids), gt, k)
+        points.append(
+            SweepPoint(p, rec, len(queries) / dt,
+                       dt / len(queries) * 1e3, "ivf", 0)
+        )
+    return points, build_s
+
+
 def sweep_host_tier(
     index_dir, queries: np.ndarray, gt: np.ndarray, *, k: int,
     widths=(32, 48, 64), expand_widths=(4,), repeats: int = 3,

@@ -221,7 +221,7 @@ def build_vamana(
     n_passes: int = 2,
     wave_size: int | None = None,
     max_incoming: int | None = None,
-    expand_width: int = 16,
+    expand_width: int = 8,
     seed: int = 0,
     progress: bool = False,
 ) -> VamanaIndex:
@@ -238,7 +238,7 @@ def build_vamana(
         raise ValueError("need at least 2 points")
     degree_bound = min(degree_bound, n - 1)
     if wave_size is None:
-        wave_size = int(min(2048, max(32, n // 8)))
+        wave_size = int(min(1024, max(32, n // 8)))
     wave_size = min(wave_size, n)
     if max_incoming is None:
         max_incoming = min(16, degree_bound)

@@ -1,0 +1,57 @@
+"""Flat (exhaustive MXU scan) and IVF-flat index tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from diskrag_tpu.index.ivf import build_ivf
+from diskrag_tpu.ops import brute_force_topk
+from diskrag_tpu.ops.flat import FlatIndex
+
+
+def _recall(ids, gt):
+    k = gt.shape[1]
+    return np.mean([len(set(ids[i]) & set(gt[i])) / k for i in range(len(ids))])
+
+
+def test_flat_index_exact(clustered_data, rng):
+    pts = clustered_data
+    idx = FlatIndex(pts)
+    qi = rng.integers(0, len(pts), size=64)
+    queries = pts[qi] + rng.normal(size=(64, pts.shape[1])).astype(np.float32) * 0.1
+    dists, ids = idx.search(queries, k=10, chunk=512)  # force multi-tile
+    _, gt = brute_force_topk(jnp.asarray(queries), jnp.asarray(pts), k=10)
+    rec = _recall(np.asarray(ids), np.asarray(gt))
+    assert rec >= 0.999, f"flat recall {rec}"
+    # rerank distances are f32-exact
+    d0 = ((queries[0] - pts[np.asarray(ids)[0, 0]]) ** 2).sum()
+    np.testing.assert_allclose(float(dists[0, 0]), d0, rtol=1e-4, atol=1e-4)
+
+
+def test_flat_index_cosine(clustered_data, rng):
+    pts = clustered_data
+    idx = FlatIndex(pts, metric="cosine")
+    queries = pts[rng.integers(0, len(pts), size=16)]
+    dists, ids = idx.search(queries, k=5, chunk=1024)
+    # a point queried with itself is its own nearest (cosine distance 0)
+    assert (np.asarray(dists)[:, 0] < 1e-3).all()
+
+
+def test_ivf_build_and_search(clustered_data, rng):
+    pts = clustered_data
+    idx = build_ivf(pts, n_cells=64, seed=0)
+    # every point placed exactly once
+    ids = np.asarray(idx.tile_ids)
+    placed = ids[ids >= 0]
+    assert len(placed) == len(pts)
+    assert len(np.unique(placed)) == len(pts)
+
+    qi = rng.integers(0, len(pts), size=64)
+    queries = pts[qi] + rng.normal(size=(64, pts.shape[1])).astype(np.float32) * 0.1
+    _, gt = brute_force_topk(jnp.asarray(queries), jnp.asarray(pts), k=10)
+    # probing all cells must be ~exact
+    _, got = idx.search(queries, k=10, n_probe=64)
+    assert _recall(np.asarray(got), np.asarray(gt)) >= 0.999
+    # probing a few cells should still be accurate on clustered data
+    _, got = idx.search(queries, k=10, n_probe=8)
+    rec = _recall(np.asarray(got), np.asarray(gt))
+    assert rec >= 0.9, f"ivf n_probe=8 recall {rec}"
