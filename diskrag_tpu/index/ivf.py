@@ -33,6 +33,7 @@ def _ivf_search_impl(
     centroids,      # [C, D] f32
     tiles,          # [C, cap, D] bf16
     tile_ids,       # [C, cap] int32
+    tile_norms,     # [C, cap] f32 squared norms (inf at padding)
     vectors_f32,    # [N, D] f32
     *, k: int, n_probe: int, metric: str,
 ):
@@ -61,20 +62,15 @@ def _ivf_search_impl(
         cells = probe[:, p_idx]  # [B]
         tile = tiles[cells]      # [B, cap, D] bf16 (contiguous tile reads)
         ids = tile_ids[cells]    # [B, cap]
+        vn = tile_norms[cells]   # [B, cap] precomputed
         cross = jnp.einsum(
             "bd,bcd->bc", qb, tile, preferred_element_type=jnp.float32
         )
         if m == Metric.L2:
-            vn = jnp.sum(
-                tile.astype(jnp.float32) * tile.astype(jnp.float32), -1
-            )
-            dist = jnp.maximum(qn2 + vn - 2.0 * cross, 0.0)
+            dist = qn2 + vn - 2.0 * cross
         elif m == Metric.COSINE:
-            tn = jax.lax.rsqrt(
-                jnp.sum(tile.astype(jnp.float32) ** 2, -1) + 1e-12
-            )
             qnn = jax.lax.rsqrt(qn2 + 1e-12)
-            dist = 1.0 - cross * tn * qnn
+            dist = 1.0 - cross * jax.lax.rsqrt(vn + 1e-12) * qnn
         else:
             dist = -cross
         dist = jnp.where(ids == INVALID_ID, jnp.inf, dist)
@@ -113,6 +109,7 @@ class IVFIndex:
     centroids: jax.Array    # [C, D] f32
     tiles: jax.Array        # [C, cap, D] bf16
     tile_ids: jax.Array     # [C, cap] int32, -1 pad
+    tile_norms: jax.Array   # [C, cap] f32 squared norms
     vectors: jax.Array      # [N, D] f32 (rerank master)
     metric: str = "l2"
 
@@ -128,8 +125,8 @@ class IVFIndex:
         q = jnp.asarray(np.atleast_2d(queries), jnp.float32)
         n_probe = min(n_probe, self.n_cells)
         return _ivf_search_impl(
-            q, self.centroids, self.tiles, self.tile_ids, self.vectors,
-            k=k, n_probe=n_probe, metric=self.metric,
+            q, self.centroids, self.tiles, self.tile_ids, self.tile_norms,
+            self.vectors, k=k, n_probe=n_probe, metric=self.metric,
         )
 
 
@@ -140,7 +137,7 @@ def build_ivf(
     metric: str = "l2",
     seed: int = 0,
     max_train: int = 131_072,
-    cap_factor: float = 1.5,
+    cap_factor: float = 2.0,
     kmeans_iters: int = 20,
 ) -> IVFIndex:
     """Train cells (batched k-means), assign with capacity-aware spill to
@@ -209,11 +206,14 @@ def build_ivf(
     tile_ids[a_sorted, np.minimum(pos, cap - 1)] = order
     tiles = vectors[np.clip(tile_ids, 0, n - 1)].astype(np.float32)
     tiles[tile_ids == INVALID_ID] = 0.0
+    tile_norms = np.sum(tiles * tiles, axis=-1, dtype=np.float32)
+    tile_norms[tile_ids == INVALID_ID] = np.inf
 
     return IVFIndex(
         centroids=jnp.asarray(centroids),
         tiles=jnp.asarray(tiles, jnp.bfloat16),
         tile_ids=jnp.asarray(tile_ids),
+        tile_norms=jnp.asarray(tile_norms),
         vectors=jnp.asarray(vectors),
         metric=Metric(metric).value,
     )
