@@ -70,20 +70,36 @@ def ground_truth(points: np.ndarray, queries: np.ndarray, k: int) -> np.ndarray:
     return np.concatenate(out)
 
 
-def _measure(run_chunks, n_queries: int, repeats: int):
-    """Warm up, then time `repeats` full passes. `run_chunks()` returns a
-    list of result pytrees (one per pipelined sub-batch) — every chunk is
-    dispatched before any blocking so independent frontier chains overlap
-    on device (the latency-bound gathers of one chunk hide behind
-    another's compute)."""
+def _drain(out):
+    """Force completion of everything dispatched so far by fetching one
+    leaf of the last result to host. On single-device TPU runtimes
+    programs execute in dispatch order, so one fetch of the newest output
+    drains the whole stream. This is the only reliable barrier here:
+    on the remote-tunneled platform `jax.block_until_ready` can return
+    before execution finishes, and each host fetch costs a fixed ~30-40ms
+    RPC — so measurements must amortize exactly one fetch over many
+    dispatched repeats."""
+    leaves = jax.tree_util.tree_leaves(out)
+    np.asarray(leaves[-1])
+
+
+def _measure(run_chunks, n_queries: int, repeats: int, min_seconds: float = 1.5):
+    """Warm up, then time whole passes with a single drain at the end,
+    auto-scaling the repeat count until total time >= min_seconds so the
+    fixed fetch overhead is amortized away."""
     out = run_chunks()
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        out = run_chunks()
-        jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / repeats
-    return dt, out
+    _drain(out)
+    reps = max(repeats, 1)
+    while True:
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = run_chunks()
+        _drain(out)
+        total = time.perf_counter() - t0
+        if total >= min_seconds or reps >= 512:
+            return total / reps, out
+        grow = min(16, max(2, int(min_seconds / max(total, 1e-3)) + 1))
+        reps *= grow
 
 
 def _chunked(q, pipeline: int):

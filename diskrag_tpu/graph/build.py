@@ -272,7 +272,10 @@ def build_vamana(
                     pass_idx + 1, len(alphas), i + 1, len(waves),
                     time.perf_counter() - t0,
                 )
-    adjacency.block_until_ready()
+    # drain via a host fetch: on the remote-tunneled TPU platform
+    # block_until_ready can return early; a scalar fetch is an actual
+    # barrier (programs complete in dispatch order).
+    np.asarray(adjacency[0, 0])
     if progress:
         logger.info("build done in %.1fs", time.perf_counter() - t0)
     return VamanaIndex(
