@@ -118,16 +118,23 @@ def build_index_from_vectors(
     *,
     target_quality: str = "balanced",
     metric: str = "l2",
+    index_type: str = "vamana",
     force_rebuild: bool = False,
     write_compat: bool = False,
     seed: int = 0,
     params_override: dict | None = None,
 ) -> dict:
-    """Build + persist a full index (graph and, when recommended, PQ).
+    """Build + persist a full index.
 
-    Mirrors the reference flow (build_index.py:66-360): dtype/shape fixups,
-    min-size gate, skip-if-exists, adaptive params, PQ train+validate,
-    Vamana build, persist with meta.
+    index_type:
+      - "vamana" (default): graph index + adaptive PQ — the reference's
+        behavior (build_index.py:66-360: dtype/shape fixups, min-size
+        gate, skip-if-exists, adaptive params, PQ train+validate, build,
+        persist with meta);
+      - "flat": exhaustive MXU-scan index (vectors only);
+      - "ivf": IVF-flat cells;
+      - "auto": flat under 100k points (the scan wins there on TPU),
+        else vamana.
     """
     store = IndexStore(index_dir)
     if store.exists() and not force_rebuild:
@@ -147,6 +154,37 @@ def build_index_from_vectors(
             f"need at least 16 vectors to build an index, got {n} "
             "(reference build_index.py:121)"
         )
+
+    if index_type == "auto":
+        index_type = "flat" if n < 100_000 else "vamana"
+    if index_type == "flat":
+        from diskrag_tpu.index.persist import save_flat_index
+
+        meta = save_flat_index(
+            index_dir, vectors, metric=metric,
+            meta_extra={"target_quality": target_quality,
+                        "vector_stats": _vector_stats(vectors)},
+        )
+        logger.info("flat index persisted -> %s", store.dir)
+        return meta
+    if index_type == "ivf":
+        from diskrag_tpu.index.ivf import build_ivf
+        from diskrag_tpu.index.persist import save_ivf_index
+
+        t0 = time.perf_counter()
+        ivf = build_ivf(vectors, metric=metric, seed=seed)
+        meta = save_ivf_index(
+            index_dir, ivf,
+            meta_extra={
+                "target_quality": target_quality,
+                "build_seconds": time.perf_counter() - t0,
+                "vector_stats": _vector_stats(vectors),
+            },
+        )
+        logger.info("ivf index persisted -> %s", store.dir)
+        return meta
+    if index_type != "vamana":
+        raise ValueError(f"unknown index_type: {index_type}")
 
     params = calculate_adaptive_build_params(n, target_quality)
     if params_override:

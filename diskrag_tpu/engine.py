@@ -69,7 +69,7 @@ class SearchEngine:
         self.brute_force_mode = False
         self._load_artifacts()
         self.diagnostics: Optional[dict] = None
-        if run_diagnostics and not self.brute_force_mode:
+        if run_diagnostics and not self.brute_force_mode and self.index is not None:
             try:
                 self.diagnostics = self._run_diagnostic_check()
             except Exception as e:  # noqa: BLE001 — diagnostic is non-fatal
@@ -77,18 +77,46 @@ class SearchEngine:
 
     # --- bring-up --------------------------------------------------------
     def _load_artifacts(self) -> None:
+        import json
+
         index_dir = self.manager.get_index_dir(self.collection_name)
+        self.index_type = "vamana"
+        meta_path = index_dir / "meta.json"
+        if meta_path.exists():
+            try:
+                self.index_type = json.loads(meta_path.read_text()).get(
+                    "index_type", "vamana"
+                )
+            except ValueError:
+                pass
         try:
+            if self.index_type == "flat":
+                from diskrag_tpu.ops.flat import FlatIndex
+
+                self.meta = json.loads(meta_path.read_text())
+                vecs = np.load(index_dir / "vectors.npy")
+                self.flat = FlatIndex(
+                    vecs, metric=self.meta.get("distance_metric", "l2")
+                )
+                return
+            if self.index_type == "ivf":
+                from diskrag_tpu.index.persist import load_ivf_index
+
+                self.ivf, self.meta = load_ivf_index(index_dir)
+                return
             self.index, self.pq, self.codes, self.meta = load_index(index_dir)
         except (FileNotFoundError, ValueError) as e:
             # graceful degradation to brute force over raw vectors
-            # (reference search_engine.py:49-72)
+            # (reference search_engine.py:49-72) — served by the MXU flat
+            # scan rather than an unchunked distance matrix
             logger.warning(
                 "index not loadable (%s) — brute-force mode over vectors.npy", e
             )
+            from diskrag_tpu.ops.flat import FlatIndex
+
             self.brute_force_mode = True
             vecs = np.load(self.manager.get_vectors_path(self.collection_name))
-            self._bf_vectors = jnp.asarray(vecs, jnp.float32)
+            self._bf_flat = FlatIndex(vecs)
             return
         self.use_pq = self.pq is not None
         if self.use_pq:
@@ -177,9 +205,23 @@ class SearchEngine:
         l_search = max(l_search, k)
 
         if self.brute_force_mode:
-            dists, ids = brute_force_topk(q, self._bf_vectors, k=k)
+            dists, ids = self._bf_flat.search(q, k=k)
             search_type = "brute_force"
-            nodes_visited = self._bf_vectors.shape[0] * b
+            nodes_visited = self._bf_flat.n_points * b
+            n_exact = nodes_visited
+            n_pq = 0
+        elif self.index_type == "flat":
+            dists, ids = self.flat.search(q, k=k)
+            search_type = "flat"
+            nodes_visited = self.flat.n_points * b
+            n_exact = nodes_visited
+            n_pq = 0
+        elif self.index_type == "ivf":
+            n_probe = max(8, min(l_search // 2, self.ivf.n_cells))
+            dists, ids = self.ivf.search(q, k=k, n_probe=n_probe)
+            search_type = "ivf"
+            cap = self.ivf.tile_ids.shape[1]
+            nodes_visited = n_probe * cap * b
             n_exact = nodes_visited
             n_pq = 0
         elif use_pq_search and self.use_pq:
@@ -208,9 +250,7 @@ class SearchEngine:
 
         ids = np.asarray(ids)
         dists = np.asarray(dists, np.float64)
-        metric = self.info.config.get("metric", "l2") if self.brute_force_mode else (
-            self.index.metric if self.index is not None else "l2"
-        )
+        metric = self.meta.get("distance_metric", "l2") if self.meta else "l2"
         if metric == "l2":
             dists = np.sqrt(np.maximum(dists, 0.0))  # reference returns sqrt
         dt = time.perf_counter() - t0

@@ -96,7 +96,7 @@ def save_index(
     meta_extra: dict | None = None,
     write_compat: bool = False,
 ) -> dict:
-    """Persist an index; returns the meta dict written."""
+    """Persist a Vamana index; returns the meta dict written."""
     store = IndexStore(index_dir)
     store.dir.mkdir(parents=True, exist_ok=True)
 
@@ -107,6 +107,7 @@ def save_index(
 
     meta = {
         "format_version": FORMAT_VERSION,
+        "index_type": "vamana",
         "dimension": int(vectors.shape[1]),
         "R": int(adjacency.shape[1]),
         "num_points": int(vectors.shape[0]),
@@ -172,6 +173,96 @@ def load_index(
         if codes.shape != (meta["num_points"], pq.n_subvectors):
             raise ValueError(f"pq_codes shape {codes.shape} mismatch")
     return index, pq, codes, meta
+
+
+def save_flat_index(
+    index_dir: str | os.PathLike,
+    vectors: np.ndarray,
+    *,
+    metric: str = "l2",
+    meta_extra: dict | None = None,
+) -> dict:
+    """Persist a Flat (exhaustive-scan) index: just vectors + meta."""
+    store = IndexStore(index_dir)
+    store.dir.mkdir(parents=True, exist_ok=True)
+    vectors = np.asarray(vectors, np.float32)
+    _atomic_save_npy(store.vectors_path, vectors)
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "index_type": "flat",
+        "dimension": int(vectors.shape[1]),
+        "num_points": int(vectors.shape[0]),
+        "distance_metric": metric,
+        "use_pq": False,
+    }
+    if meta_extra:
+        meta.update(meta_extra)
+    _atomic_write_bytes(
+        store.meta_path, json.dumps(meta, indent=2).encode("utf-8")
+    )
+    return meta
+
+
+def save_ivf_index(
+    index_dir: str | os.PathLike,
+    ivf,  # IVFIndex
+    *,
+    meta_extra: dict | None = None,
+) -> dict:
+    """Persist an IVF-flat index: vectors + centroids + tile id layout
+    (tiles themselves are reconstructed from vectors at load)."""
+    store = IndexStore(index_dir)
+    store.dir.mkdir(parents=True, exist_ok=True)
+    vectors = np.asarray(ivf.vectors, np.float32)
+    _atomic_save_npy(store.vectors_path, vectors)
+    _atomic_save_npy(store.dir / "ivf_centroids.npy", np.asarray(ivf.centroids))
+    _atomic_save_npy(store.dir / "ivf_tile_ids.npy", np.asarray(ivf.tile_ids))
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "index_type": "ivf",
+        "dimension": int(vectors.shape[1]),
+        "num_points": int(vectors.shape[0]),
+        "n_cells": int(ivf.n_cells),
+        "cell_capacity": int(ivf.tile_ids.shape[1]),
+        "distance_metric": ivf.metric,
+        "use_pq": False,
+    }
+    if meta_extra:
+        meta.update(meta_extra)
+    _atomic_write_bytes(
+        store.meta_path, json.dumps(meta, indent=2).encode("utf-8")
+    )
+    return meta
+
+
+def load_ivf_index(index_dir: str | os.PathLike):
+    """Load an IVF index persisted by save_ivf_index."""
+    import jax.numpy as jnp
+
+    from diskrag_tpu.index.ivf import IVFIndex, INVALID_ID
+
+    store = IndexStore(index_dir)
+    meta = json.loads(store.meta_path.read_text())
+    if meta.get("index_type") != "ivf":
+        raise ValueError(f"not an ivf index: {store.dir}")
+    vectors = np.load(store.vectors_path)
+    centroids = np.load(store.dir / "ivf_centroids.npy")
+    tile_ids = np.load(store.dir / "ivf_tile_ids.npy")
+    tiles = vectors[np.clip(tile_ids, 0, len(vectors) - 1)].astype(np.float32)
+    tiles[tile_ids == INVALID_ID] = 0.0
+    tile_norms = np.sum(tiles * tiles, axis=-1, dtype=np.float32)
+    tile_norms[tile_ids == INVALID_ID] = np.inf
+    return (
+        IVFIndex(
+            centroids=jnp.asarray(centroids),
+            tiles=jnp.asarray(tiles, jnp.bfloat16),
+            tile_ids=jnp.asarray(tile_ids),
+            tile_norms=jnp.asarray(tile_norms),
+            vectors=jnp.asarray(vectors),
+            metric=meta.get("distance_metric", "l2"),
+        ),
+        meta,
+    )
 
 
 def write_compat_records(

@@ -130,3 +130,26 @@ def test_engine_batch_search(faq_collection):
     dists, ids, stats = eng.search_batch(q, k=3)
     assert dists.shape == (4, 3) and ids.shape == (4, 3)
     assert (dists[:, 0] < 0.05).all()  # each query finds its own text
+
+
+def test_engine_flat_and_ivf_index_types(tmp_path):
+    """Engine serves flat and ivf index types transparently."""
+    from diskrag_tpu.build_index import build_index_from_vectors
+
+    rng = np.random.default_rng(2)
+    vecs = rng.normal(size=(1200, 128)).astype(np.float32)
+    texts = [f"text {i}" for i in range(1200)]
+    metas = [{"i": i} for i in range(1200)]
+
+    for itype in ("flat", "ivf"):
+        mgr = CollectionManager(tmp_path / f"coll_{itype}")
+        mgr.create_collection("c", dimension=128)
+        mgr.update_collection("c", vecs, texts, metas)
+        build_index_from_vectors(
+            vecs, mgr.get_index_dir("c"), index_type=itype
+        )
+        eng = SearchEngine("c", base_dir=tmp_path / f"coll_{itype}")
+        assert eng.index_type == itype
+        out = eng.search("q", k=3, embedding_fn=lambda t: vecs[42])
+        assert out["results"][0]["text"] == "text 42"
+        assert out["stats"]["search_type"] == itype
