@@ -145,8 +145,11 @@ class FlatIndex:
     def n_points(self) -> int:
         return self.vectors.shape[0]
 
-    def search(self, queries, k: int = 10, chunk: int = 32_768):
+    def search(self, queries, k: int = 10, chunk: int | None = None):
         q = jnp.asarray(np.atleast_2d(queries), jnp.float32)
+        if chunk is None:
+            # bound the [B, chunk] f32 distance tile to ~512 MB
+            chunk = max(32_768, int(2**27 / max(q.shape[0], 1)) * 1)
         return flat_search(
             q, self.vectors_bf16, self.norms_sq, self.vectors, k=k,
             metric=self.metric, chunk=min(chunk, self.n_points),

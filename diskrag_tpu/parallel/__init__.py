@@ -15,6 +15,7 @@ from diskrag_tpu.parallel.sharded import (
     ShardedIndex,
     build_sharded,
     sharded_build_wave,
+    sharded_flat_search,
     sharded_search,
     shard_to_mesh,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "ShardedIndex",
     "build_sharded",
     "sharded_build_wave",
+    "sharded_flat_search",
     "sharded_search",
     "shard_to_mesh",
 ]

@@ -212,6 +212,56 @@ def sharded_build_wave(
       jnp.asarray(alpha, jnp.float32))
 
 
+@functools.partial(jax.jit, static_argnames=("k", "metric", "mesh"))
+def _sharded_flat_impl(
+    vectors_bf16, norms_sq, global_ids, queries,
+    *, k: int, metric: str, mesh: Mesh,
+):
+    from diskrag_tpu.ops.flat import flat_search
+
+    def local_scan(vecs, norms, gid, q):
+        vecs, norms, gid = vecs[0], norms[0], gid[0]
+        d, li = flat_search(
+            q, vecs, norms, None, k=k, metric=metric,
+            chunk=min(32_768, vecs.shape[0]),
+        )
+        gi = jnp.where(li == -1, -1, gid[jnp.clip(li, 0, vecs.shape[0] - 1)])
+        d = jnp.where(gi == -1, jnp.inf, d)
+        all_g = jax.lax.all_gather(gi, "shard", axis=1, tiled=True)
+        all_d = jax.lax.all_gather(d, "shard", axis=1, tiled=True)
+        neg, take = jax.lax.top_k(-all_d, k)
+        return jnp.take_along_axis(all_g, take, axis=1), -neg
+
+    return jax.shard_map(
+        local_scan,
+        mesh=mesh,
+        in_specs=(
+            P("shard", None, None),
+            P("shard", None),
+            P("shard", None),
+            P("data", None),
+        ),
+        out_specs=(P("data", None), P("data", None)),
+        check_vma=False,
+    )(vectors_bf16, norms_sq, global_ids, queries)
+
+
+def sharded_flat_search(
+    vectors_bf16, norms_sq, global_ids, queries, mesh: Mesh, *, k: int,
+    metric: str = "l2",
+):
+    """Sharded exhaustive scan: each device streams its vector shard
+    through the MXU; per-shard top-k lists merge over the ICI all-gather.
+    The scale-out mode for datasets above one chip's HBM
+    (vectors_bf16 [S, Ns, D] / norms [S, Ns] / global_ids [S, Ns] sharded
+    over "shard"; queries split over "data")."""
+    queries = jnp.asarray(queries, jnp.float32)
+    q = jax.device_put(queries, NamedSharding(mesh, P("data", None)))
+    return _sharded_flat_impl(
+        vectors_bf16, norms_sq, global_ids, q, k=k, metric=metric, mesh=mesh
+    )
+
+
 def sharded_search(
     index: ShardedIndex,
     queries,

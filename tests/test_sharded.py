@@ -45,3 +45,31 @@ def test_sharded_search_recall(clustered_data):
     assert recall >= 0.9, f"sharded recall@10 = {recall}"
     # merged dists ascending
     assert (np.diff(np.asarray(dists), axis=1) >= -1e-6).all()
+
+
+def test_sharded_flat_search(clustered_data):
+    from diskrag_tpu.parallel import sharded_flat_search
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    pts = clustered_data  # [2000, 64]
+    rng = np.random.default_rng(4)
+    s, ns = 4, 500
+    perm = rng.permutation(2000)
+    gids = perm.reshape(s, ns).astype(np.int32)
+    vecs = pts[gids]  # [S, Ns, D]
+    norms = (vecs.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+
+    mesh = make_mesh(n_shards=4, n_data=2)
+    spec3 = NamedSharding(mesh, P("shard", None, None))
+    spec2 = NamedSharding(mesh, P("shard", None))
+    v = jax.device_put(jnp.asarray(vecs, jnp.bfloat16), spec3)
+    nn = jax.device_put(jnp.asarray(norms), spec2)
+    g = jax.device_put(jnp.asarray(gids), spec2)
+
+    qi = rng.integers(0, 2000, size=32)
+    queries = pts[qi] + rng.normal(size=(32, 64)).astype(np.float32) * 0.1
+    ids, dists = sharded_flat_search(v, nn, g, queries, mesh, k=10)
+    _, gt = brute_force_topk(jnp.asarray(queries), jnp.asarray(pts), k=10)
+    ids, gt = np.asarray(ids), np.asarray(gt)
+    recall = np.mean([len(set(ids[i]) & set(gt[i])) / 10 for i in range(len(ids))])
+    assert recall >= 0.95, f"sharded flat recall {recall}"
