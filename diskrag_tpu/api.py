@@ -322,7 +322,12 @@ def create_app(state: Optional[AppState] = None):
 
 
 def main(host: str = "0.0.0.0", port: int = 8000) -> None:
-    logging.basicConfig(level=logging.INFO)
+    # stream + app.log file logging, like the reference (app.py:16-24)
+    logging.basicConfig(
+        level=logging.INFO,
+        handlers=[logging.StreamHandler(), logging.FileHandler("app.log")],
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
     web.run_app(create_app(), host=host, port=port)
 
 
