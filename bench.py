@@ -54,13 +54,13 @@ def main() -> None:
     build_seconds = time.perf_counter() - t0
     points += sweep_exact(
         index, queries, gt, k=k, widths=(48, 64),
-        expand_widths=(4, 8),
+        expand_widths=(8,),
     )
     pq = ProductQuantizer(n_subvectors=32).fit(pts, seed=0)
     codes = np.asarray(pq.encode(pts))
     points += sweep_pq(
-        index, pq, codes, queries, gt, k=k, widths=(64,),
-        expand_widths=(8,),
+        index, pq, codes, queries, gt, k=k, widths=(96,),
+        expand_widths=(2,),
     )
 
     best = best_qps_at_recall(points, 0.95)
