@@ -242,7 +242,7 @@ def build_vamana(
     wave_size = min(wave_size, n)
     if max_incoming is None:
         max_incoming = min(16, degree_bound)
-    chunk = min(8192, wave_size * degree_bound)
+    chunk = min(16384, wave_size * degree_bound)
 
     key = jax.random.key(seed)
     k_init, k_med, k_perm = jax.random.split(key, 3)

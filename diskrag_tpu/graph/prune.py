@@ -46,7 +46,9 @@ def _pairwise_within(cand_vecs: jax.Array, metric: str) -> jax.Array:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("degree_bound", "metric"))
+@functools.partial(
+    jax.jit, static_argnames=("degree_bound", "metric", "block_size")
+)
 def robust_prune_batch(
     point_ids: jax.Array,
     cand_ids: jax.Array,
@@ -56,6 +58,7 @@ def robust_prune_batch(
     *,
     degree_bound: int,
     metric: str = Metric.L2.value,
+    block_size: int = 8,
 ) -> jax.Array:
     """Prune candidate lists for a wave of points.
 
@@ -69,12 +72,21 @@ def robust_prune_batch(
         reuse one compiled program with alpha 1.0 then the user's alpha
         (reference cython_utils.pyx:296-310 two-pass schedule).
       degree_bound: R, max neighbors kept.
+      block_size: candidates considered per sequential round (G). G=1
+        reproduces the reference's strictly-sequential selection; G>1
+        selects the G closest active candidates per round with exact
+        sequential elimination *within* the block (trace-unrolled, so it
+        costs no runtime rounds). The only deviation from sequential
+        order: a candidate outside the current top-G that would have been
+        reached after in-block eliminations is simply picked next round.
+        Cuts sequential rounds ~G-fold — the dominant build cost on TPU.
 
     Returns:
       int32[W, degree_bound] pruned neighbor ids, -1 padded, in selection
       order (ascending distance of selection).
     """
     w, c = cand_ids.shape
+    g = min(block_size, degree_bound)
     alpha = jnp.asarray(alpha, jnp.float32)
 
     dists = jnp.where(cand_ids == point_ids[:, None], INF, cand_dists)
@@ -82,19 +94,62 @@ def robust_prune_batch(
 
     pair = _pairwise_within(cand_vecs, metric)  # [W, C, C]
 
-    def step(active_dists, _):
-        sel = jnp.argmin(active_dists, axis=1)  # [W]
-        sel_dist = jnp.take_along_axis(active_dists, sel[:, None], axis=1)[:, 0]
-        ok = sel_dist < INF
-        sel_id = jnp.where(
-            ok, jnp.take_along_axis(cand_ids, sel[:, None], axis=1)[:, 0], INVALID_ID
-        )
-        # eliminate candidates dominated by the selected one (incl. itself:
-        # d(p*, p*) = 0 <= d(p, p*))
-        row = jnp.take_along_axis(pair, sel[:, None, None], axis=1)[:, 0, :]  # [W, C]
-        eliminate = (alpha * row <= active_dists) & ok[:, None]
-        active_dists = jnp.where(eliminate, INF, active_dists)
-        return active_dists, sel_id
+    n_rounds = -(-degree_bound // g) + 2  # slack rounds for block underfill
 
-    _, selected = jax.lax.scan(step, dists, None, length=degree_bound)
-    return jnp.transpose(selected)  # [W, degree_bound]
+    def round_step(carry, _):
+        active_dists, out_ids, n_kept = carry
+        # G closest active candidates this round
+        neg, sel = jax.lax.top_k(-active_dists, g)  # [W, G] indices into C
+        sel_dist = -neg
+        ok = sel_dist < INF  # [W, G]
+
+        # exact sequential elimination within the block (unrolled)
+        bp = jnp.take_along_axis(
+            jnp.take_along_axis(pair, sel[:, :, None], axis=1),
+            sel[:, None, :], axis=2,
+        )  # [W, G, G] pairwise among selected
+        surv = ok
+        for i in range(1, g):
+            elim_i = jnp.zeros((w,), jnp.bool_)
+            for j in range(i):
+                elim_i = elim_i | (
+                    surv[:, j] & (alpha * bp[:, j, i] <= sel_dist[:, i])
+                )
+            surv = surv.at[:, i].set(surv[:, i] & ~elim_i)
+
+        # cap survivors so total kept <= degree_bound
+        prefix = jnp.cumsum(surv.astype(jnp.int32), axis=1)
+        room = degree_bound - n_kept[:, None]
+        surv = surv & (prefix <= room)
+
+        # append survivors to the output in order
+        pos = n_kept[:, None] + prefix - 1  # position per survivor
+        sel_ids = jnp.take_along_axis(cand_ids, sel, axis=1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (w, g), 0)
+        out_ids = out_ids.at[
+            jnp.where(surv, rows, w), jnp.where(surv, pos, 0)
+        ].set(sel_ids, mode="drop")
+        n_kept = n_kept + jnp.sum(surv, axis=1, dtype=jnp.int32)
+
+        # eliminate: anything dominated by a kept block member, plus the
+        # entire selected block (kept members are consumed; rejected ones
+        # were dominated in-block and stay eliminated, matching the
+        # sequential algorithm which also discards them)
+        kept_rows = jnp.take_along_axis(pair, sel[:, :, None], axis=1)  # [W,G,C]
+        dominated = jnp.any(
+            surv[:, :, None] & (alpha * kept_rows <= active_dists[:, None, :]),
+            axis=1,
+        )
+        picked = jnp.zeros((w, c), jnp.bool_)
+        picked = picked.at[
+            jnp.where(ok, rows, w), jnp.where(ok, sel, 0)
+        ].set(True, mode="drop")
+        active_dists = jnp.where(dominated | picked, INF, active_dists)
+        return (active_dists, out_ids, n_kept), None
+
+    out_init = jnp.full((w, degree_bound), INVALID_ID, jnp.int32)
+    (_, out_ids, _kept), _ = jax.lax.scan(
+        round_step, (dists, out_init, jnp.zeros((w,), jnp.int32)), None,
+        length=n_rounds,
+    )
+    return out_ids

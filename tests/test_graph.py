@@ -54,6 +54,7 @@ def test_robust_prune_matches_oracle(rng):
             jnp.asarray(cand_dists),
             1.2,
             degree_bound=r,
+            block_size=1,  # exact sequential mode matches the oracle
         )
     )
     for i in range(n):
@@ -61,6 +62,32 @@ def test_robust_prune_matches_oracle(rng):
             point_ids[i], cand_ids[i], cand_vecs[i], cand_dists[i], 1.2, r
         )
         assert list(got[i]) == want, f"row {i}: {list(got[i])} != {want}"
+
+
+def test_blocked_prune_is_close_to_sequential(rng):
+    """block_size>1 is an approximation: it must keep the same nearest
+    candidates and produce a neighbor set mostly overlapping the exact
+    sequential result."""
+    n, c, d, r = 64, 48, 16, 8
+    pts = rng.normal(size=(300, d)).astype(np.float32)
+    point_ids = rng.integers(0, 300, size=n)
+    cand_ids = rng.integers(0, 300, size=(n, c))
+    cand_vecs = pts[cand_ids]
+    cand_dists = ((pts[point_ids][:, None, :] - cand_vecs) ** 2).sum(-1).astype(np.float32)
+    args = (
+        jnp.asarray(point_ids, jnp.int32), jnp.asarray(cand_ids, jnp.int32),
+        jnp.asarray(cand_vecs), jnp.asarray(cand_dists), 1.2,
+    )
+    exact = np.asarray(robust_prune_batch(*args, degree_bound=r, block_size=1))
+    blocked = np.asarray(robust_prune_batch(*args, degree_bound=r, block_size=8))
+    # first selection always identical (closest candidate)
+    np.testing.assert_array_equal(exact[:, 0], blocked[:, 0])
+    overlap = np.mean([
+        len(set(exact[i]) & set(blocked[i]) - {-1})
+        / max(len(set(exact[i]) - {-1}), 1)
+        for i in range(n)
+    ])
+    assert overlap >= 0.8, f"blocked/sequential overlap {overlap}"
 
 
 def test_beam_search_exact_on_complete_graph(rng):
