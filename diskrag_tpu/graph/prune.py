@@ -95,15 +95,16 @@ def robust_prune_batch(
     pair = _pairwise_within(cand_vecs, metric)  # [W, C, C]
 
     n_rounds = -(-degree_bound // g) + 2  # slack rounds for block underfill
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c), 2)
 
-    def round_step(carry, _):
-        active_dists, out_ids, n_kept = carry
+    def round_step(active_dists, _):
         # G closest active candidates this round
         neg, sel = jax.lax.top_k(-active_dists, g)  # [W, G] indices into C
         sel_dist = -neg
         ok = sel_dist < INF  # [W, G]
 
-        # exact sequential elimination within the block (unrolled)
+        # exact sequential elimination within the block (unrolled at trace
+        # time — no runtime rounds)
         bp = jnp.take_along_axis(
             jnp.take_along_axis(pair, sel[:, :, None], axis=1),
             sel[:, None, :], axis=2,
@@ -117,39 +118,32 @@ def robust_prune_batch(
                 )
             surv = surv.at[:, i].set(surv[:, i] & ~elim_i)
 
-        # cap survivors so total kept <= degree_bound
-        prefix = jnp.cumsum(surv.astype(jnp.int32), axis=1)
-        room = degree_bound - n_kept[:, None]
-        surv = surv & (prefix <= room)
-
-        # append survivors to the output in order
-        pos = n_kept[:, None] + prefix - 1  # position per survivor
-        sel_ids = jnp.take_along_axis(cand_ids, sel, axis=1)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (w, g), 0)
-        out_ids = out_ids.at[
-            jnp.where(surv, rows, w), jnp.where(surv, pos, 0)
-        ].set(sel_ids, mode="drop")
-        n_kept = n_kept + jnp.sum(surv, axis=1, dtype=jnp.int32)
-
-        # eliminate: anything dominated by a kept block member, plus the
-        # entire selected block (kept members are consumed; rejected ones
-        # were dominated in-block and stay eliminated, matching the
-        # sequential algorithm which also discards them)
+        # eliminate: anything dominated by a surviving block member plus
+        # the whole selected block (survivors are consumed; in-block
+        # rejects were dominated, matching the sequential algorithm).
+        # Compare-based masking throughout — 2D scatters are slow on TPU.
         kept_rows = jnp.take_along_axis(pair, sel[:, :, None], axis=1)  # [W,G,C]
         dominated = jnp.any(
             surv[:, :, None] & (alpha * kept_rows <= active_dists[:, None, :]),
             axis=1,
         )
-        picked = jnp.zeros((w, c), jnp.bool_)
-        picked = picked.at[
-            jnp.where(ok, rows, w), jnp.where(ok, sel, 0)
-        ].set(True, mode="drop")
+        picked = jnp.any(
+            (sel[:, :, None] == col_iota) & ok[:, :, None], axis=1
+        )
         active_dists = jnp.where(dominated | picked, INF, active_dists)
-        return (active_dists, out_ids, n_kept), None
+        sel_ids = jnp.where(surv, jnp.take_along_axis(cand_ids, sel, axis=1),
+                            INVALID_ID)
+        return active_dists, sel_ids
 
-    out_init = jnp.full((w, degree_bound), INVALID_ID, jnp.int32)
-    (_, out_ids, _kept), _ = jax.lax.scan(
-        round_step, (dists, out_init, jnp.zeros((w,), jnp.int32)), None,
-        length=n_rounds,
+    _, picks = jax.lax.scan(round_step, dists, None, length=n_rounds)
+    # picks: [rounds, W, G] in selection order (round-major, in-block
+    # ascending). Compact the first `degree_bound` valid entries per row.
+    flat = jnp.transpose(picks, (1, 0, 2)).reshape(w, n_rounds * g)
+    order_key = jnp.where(
+        flat == INVALID_ID,
+        INF,
+        jax.lax.broadcasted_iota(jnp.float32, flat.shape, 1),
     )
-    return out_ids
+    _, take = jax.lax.top_k(-order_key, degree_bound)
+    out = jnp.take_along_axis(flat, jnp.sort(take, axis=1), axis=1)
+    return out
