@@ -109,7 +109,7 @@ class DiskRAG:
     # --- index -----------------------------------------------------------
     def build_index(
         self, collection: str, target_quality: str = "balanced",
-        force_rebuild: bool = False,
+        force_rebuild: bool = False, index_type: str | None = None,
     ) -> dict:
         from diskrag_tpu.build_index import build_index_from_vectors
 
@@ -122,6 +122,7 @@ class DiskRAG:
             self.manager.get_index_dir(collection),
             target_quality=target_quality,
             metric=self.config.index.metric,
+            index_type=index_type or self.config.index.type,
             force_rebuild=force_rebuild,
         )
         # record build stats on the collection (reference build_index.py:334-351)
@@ -272,6 +273,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("collection")
     p.add_argument("--target-quality", choices=["fast", "balanced", "high"],
                    default="balanced")
+    p.add_argument("--index-type", choices=["vamana", "flat", "ivf", "auto"],
+                   default=None, help="default: config index.type (vamana)")
     p.add_argument("--force-rebuild", action="store_true")
 
     p = sub.add_parser("search", help="search a collection")
@@ -314,11 +317,13 @@ def main(argv: Optional[list[str]] = None) -> int:
         print(f"done — now run: diskrag-tpu index {name}")
     elif args.command == "index":
         meta = rag.build_index(
-            args.collection, args.target_quality, args.force_rebuild
+            args.collection, args.target_quality, args.force_rebuild,
+            index_type=args.index_type,
         )
         print(
-            f"index built: N={meta['num_points']} R={meta['R']} "
-            f"L={meta.get('L')} use_pq={meta.get('use_pq')} "
+            f"index built: type={meta.get('index_type', 'vamana')} "
+            f"N={meta['num_points']} R={meta.get('R', '-')} "
+            f"L={meta.get('L', '-')} use_pq={meta.get('use_pq')} "
             f"({meta.get('build_seconds', 0):.1f}s)"
         )
     elif args.command == "search":

@@ -80,6 +80,7 @@ class IndexConfig:
 
     target_quality: str = "balanced"  # fast | balanced | high
     metric: str = "l2"
+    type: str = "vamana"  # vamana | flat | ivf | auto
     force_pq: Optional[bool] = None  # None = adaptive decision
 
 

@@ -238,7 +238,7 @@ def build_vamana(
         raise ValueError("need at least 2 points")
     degree_bound = min(degree_bound, n - 1)
     if wave_size is None:
-        wave_size = int(min(1024, max(32, n // 8)))
+        wave_size = int(min(2048, max(32, n // 8)))
     wave_size = min(wave_size, n)
     if max_incoming is None:
         max_incoming = min(16, degree_bound)
