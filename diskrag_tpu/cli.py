@@ -128,7 +128,8 @@ class DiskRAG:
         # record build stats on the collection (reference build_index.py:334-351)
         info = self.manager.get_collection_info(collection)
         info.chunk_stats["index"] = {
-            "R": meta["R"], "L": meta.get("L"), "alpha": meta.get("alpha"),
+            "index_type": meta.get("index_type", "vamana"),
+            "R": meta.get("R"), "L": meta.get("L"), "alpha": meta.get("alpha"),
             "use_pq": meta.get("use_pq"),
             "build_seconds": meta.get("build_seconds"),
         }
