@@ -354,7 +354,8 @@ def beam_search_reranked(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "search_width", "k", "max_steps", "rerank", "metric", "expand_width"
+        "search_width", "k", "max_steps", "rerank", "metric", "expand_width",
+        "use_pallas_adc",
     ),
 )
 def beam_search_pq(
@@ -371,6 +372,7 @@ def beam_search_pq(
     queries: jax.Array | None = None,
     metric: str = Metric.L2.value,
     expand_width: int = 1,
+    use_pallas_adc: bool | None = None,
 ) -> SearchResult:
     """PQ-accelerated graph search: traversal is guided purely by ADC
     distances looked up from per-query tables; optionally the final
@@ -390,18 +392,27 @@ def beam_search_pq(
       adjacency / medoid: graph.
       rerank: if True, `vectors` [N, D] and `queries` [B, D] must be given;
         the returned ids/dists are exact top-k over the final beam.
+      use_pallas_adc: ADC lookup backend; None = auto (the Pallas VMEM
+        kernel on TPU — ~12x faster than XLA's per-element gathers — and
+        the gather path on CPU).
     """
+    from diskrag_tpu.ops.pq_scan import adc_lookup_gathered_pallas
     from diskrag_tpu.pq.product_quantizer import adc_lookup_gathered
 
     if k > search_width:
         raise ValueError(f"k={k} must be <= search_width={search_width}")
     if max_steps is None:
         max_steps = -(-2 * search_width // expand_width)
+    if use_pallas_adc is None:
+        use_pallas_adc = jax.default_backend() != "cpu"
     n = adjacency.shape[0]
     b = tables.shape[0]
 
     def expand(ids):
-        return adc_lookup_gathered(tables, codes[jnp.clip(ids, 0, n - 1)])
+        gathered = codes[jnp.clip(ids, 0, n - 1)]
+        if use_pallas_adc:
+            return adc_lookup_gathered_pallas(tables, gathered)
+        return adc_lookup_gathered(tables, gathered)
 
     res = _frontier_search(
         adjacency, medoid, expand, b,
