@@ -29,7 +29,6 @@ import jax.numpy as jnp
 from diskrag_tpu.data.collection import CollectionManager
 from diskrag_tpu.graph.search import beam_search, beam_search_pq
 from diskrag_tpu.index.persist import load_index
-from diskrag_tpu.ops.distance import brute_force_topk
 
 logger = logging.getLogger(__name__)
 

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from diskrag_tpu.graph.build import build_vamana, wave_step
+from diskrag_tpu.graph.build import wave_step
 from diskrag_tpu.graph.types import VamanaIndex
 from diskrag_tpu.ops.topk import INVALID_ID
 

@@ -10,7 +10,6 @@ shapes, so the whole index can live in HBM, be sharded with
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import jax
 import jax.numpy as jnp
