@@ -83,49 +83,3 @@ def sort_topk_unique(ids: jax.Array, dists: jax.Array, k: int):
     top_i = jnp.take_along_axis(ids, take, axis=-1)
     top_i = jnp.where(jnp.isinf(top_d), INVALID_ID, top_i)
     return top_i, top_d, take
-
-
-def merge_unique_topk_sorted(
-    ids: jax.Array,
-    dists: jax.Array,
-    payload: jax.Array,
-    k: int,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Top-k unique via sort-by-id dedup — O(K log K) per row instead of
-    the O(K^2) compare matrix in `mask_duplicates`. Relies on the
-    invariant that equal ids carry equal distances (true for candidate
-    lists, where the distance is a deterministic function of the id), so
-    any duplicate occurrence can be dropped. The kept occurrence's payload
-    is OR-merged across duplicates via a segmented max (payload is
-    boolean-like int32; for the search loop it's the expanded flag, and a
-    node is expanded iff any of its occurrences is).
-
-    ids/dists/payload: [B, K] -> (ids [B, k], dists [B, k], payload [B, k]).
-    """
-    ids_s, dists_s, pay_s = jax.lax.sort(
-        (ids, dists, payload), dimension=-1, num_keys=1
-    )
-    dup = jnp.concatenate(
-        [
-            jnp.zeros_like(ids_s[..., :1], dtype=bool),
-            ids_s[..., 1:] == ids_s[..., :-1],
-        ],
-        axis=-1,
-    )
-    # OR payload across a duplicate run onto its first element: a run of
-    # equal ids is contiguous after the sort, so a reversed cumulative max
-    # within the run works; simpler: max with the right neighbor repeatedly
-    # is overkill — duplicates only arise between the candidate list
-    # (payload meaningful) and fresh neighbors (payload 0), or among fresh
-    # neighbors (all 0), so taking the max of each element and its
-    # immediate successor suffices when at most one duplicate pair exists
-    # per id. For safety against longer runs we take a 2-step doubling max.
-    nxt = jnp.concatenate([pay_s[..., 1:], jnp.zeros_like(pay_s[..., :1])], axis=-1)
-    nxt_dup = jnp.concatenate([dup[..., 1:], jnp.zeros_like(dup[..., :1])], axis=-1)
-    pay_s = jnp.maximum(pay_s, jnp.where(nxt_dup, nxt, pay_s))
-    dists_m = jnp.where(dup | (ids_s == INVALID_ID), INF, dists_s)
-    top_d, take = topk_smallest(dists_m, k)
-    top_i = jnp.take_along_axis(ids_s, take, axis=-1)
-    top_i = jnp.where(jnp.isinf(top_d), INVALID_ID, top_i)
-    top_p = jnp.take_along_axis(pay_s, take, axis=-1)
-    return top_i, top_d, top_p
