@@ -56,3 +56,30 @@ def test_block_and_time():
 
     dt, out = block_and_time(lambda x: jnp.sum(x * 2), jnp.ones(16), repeats=2)
     assert dt >= 0 and float(out) == 32.0
+
+
+def test_performance_test_search_engine(tmp_path, clustered_data):
+    """Concurrency microbenchmark harness (reference
+    search_engine.py:818-933 counterpart)."""
+    from diskrag_tpu.data.collection import CollectionManager
+    from diskrag_tpu.engine import SearchEngine
+    from diskrag_tpu.tools.perf_test import performance_test_search_engine
+
+    pts = clustered_data[:300].astype(np.float32)
+    # pad vectors to a 128-d collection (engine checks info.dimension)
+    mgr = CollectionManager(tmp_path / "c")
+    mgr.create_collection("p", dimension=pts.shape[1])
+    mgr.update_collection(
+        "p", pts, [f"t{i}" for i in range(len(pts))],
+        [{"i": i} for i in range(len(pts))],
+    )
+    build_index_from_vectors(
+        pts, mgr.get_index_dir("p"),
+        params_override={"R": 8, "L": 16, "alpha": 1.2},
+    )
+    eng = SearchEngine("p", base_dir=tmp_path / "c")
+    report = performance_test_search_engine(eng, pts[:8], k=3, n_threads=2)
+    assert report["n_queries"] == 8
+    assert report["sequential_qps"] > 0
+    assert report["concurrent_qps"] > 0
+    assert report["batched_qps"] > 0
