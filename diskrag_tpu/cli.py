@@ -72,8 +72,19 @@ class DiskRAG:
     def _process_csv(self, path: pathlib.Path, name: str, questions: bool) -> None:
         import dataclasses
 
+        import pandas as pd
+
         from diskrag_tpu.data import EmbeddingGenerator, Preprocessor
         from diskrag_tpu.data.question_generator import QuestionGenerator
+
+        # article-format CSVs (title/paragraph_text) go through the
+        # chunker path; FAQ CSVs (question/answer) through the
+        # Preprocessor (reference auto-detects by columns,
+        # chunker.py:147-160)
+        cols = set(pd.read_csv(path, nrows=0).columns)
+        if "title" in cols and "paragraph_text" in cols:
+            self._process_article_csv(path, name)
+            return
 
         cfg = dataclasses.replace(self.config, collection=name)
         qgen = None
@@ -93,6 +104,36 @@ class DiskRAG:
             question_generator=qgen,
         )
         pre.process_file(str(path))
+
+    def _process_article_csv(self, path: pathlib.Path, name: str) -> None:
+        from diskrag_tpu.data import EmbeddingGenerator, TextChunker
+
+        chunker = TextChunker(self.config.chunk)
+        chunks = chunker.process_csv(path)
+        if not chunks:
+            print("(no chunks produced)")
+            return
+        gen = EmbeddingGenerator(self.config.embedding)
+        texts = [c.text for c in chunks]
+        vectors, valid = gen.generate_embeddings(texts)
+        kept = [chunks[i] for i in valid]
+        metas = [
+            {
+                "type": "article",
+                "source_id": c.source_id,
+                "section": c.section,
+                **(c.metadata or {}),
+            }
+            for c in kept
+        ]
+        if self.manager.get_collection_info(name) is None:
+            self.manager.create_collection(
+                name, vectors.shape[1], config=self.config.to_dict(),
+                source_file=str(path),
+            )
+        self.manager.update_collection(
+            name, vectors, [c.text for c in kept], metas, source_file=str(path)
+        )
 
     def _process_markdown(self, path: pathlib.Path, name: str) -> None:
         from diskrag_tpu.data import EmbeddingGenerator, TextChunker

@@ -154,3 +154,30 @@ def test_api_ask(api_client):
     assert status == 200
     assert data["answer"] == "這是模擬回答。"
     assert data["timing"]["total_time"] > 0
+
+
+def test_cli_process_article_csv_and_markdown(workspace, capsys):
+    rows = [
+        {"id": "a1", "title": "安裝指南",
+         "paragraph_text": "本章介紹完整的安裝流程，包括前置需求與步驟說明。" * 4,
+         "section": "第一章"},
+    ]
+    pd.DataFrame(rows).to_csv("articles.csv", index=False)
+    assert cli_main(["process", "articles.csv", "-c", "arts"]) == 0
+    rag = DiskRAG("config.yaml")
+    info = rag.manager.get_collection_info("arts")
+    assert info is not None and info.num_vectors >= 1
+    text, meta = rag.manager.get_text_by_index("arts", 0)
+    assert meta["type"] == "article" and meta["title"] == "安裝指南"
+
+    # markdown ingestion path
+    md = (
+        "# 使用\n"
+        + "這一段說明如何日常使用產品，內容足夠長以通過最小長度檢查。" * 3
+        + "\n"
+    )
+    with open("manual.md", "w") as f:
+        f.write(md)
+    assert cli_main(["process", "manual.md", "-c", "docs"]) == 0
+    info = rag.manager.get_collection_info("docs")
+    assert info is not None and info.num_vectors >= 1
