@@ -3,7 +3,16 @@
 PY ?= python
 TEST_ENV = PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
 
-.PHONY: install native test bench baseline demo run-api verify clean
+.PHONY: install native test bench baseline demo process-faq search-faq \
+        run-api verify clean
+
+# usage: make process-faq COLLECTION=my_faq CSV=examples/faq_data.csv
+process-faq:
+	bash scripts/process_faq.sh $(COLLECTION) $(CSV)
+
+# usage: make search-faq COLLECTION=my_faq QUERY="怎麼安裝?"
+search-faq:
+	bash scripts/search_faq.sh $(COLLECTION) "$(QUERY)"
 
 install:
 	$(PY) -m pip install -e .

@@ -133,7 +133,7 @@ def sweep_exact(
                         beam_search_reranked(
                             tv, index.vectors, index.adjacency, index.medoid,
                             c, search_width=w, k=k, metric=index.metric,
-                            expand_width=e,
+                            expand_width=e, entry_points=index.entry_points,
                         ).ids
                         for c in chunks
                     ]
@@ -143,7 +143,7 @@ def sweep_exact(
                         beam_search(
                             index.vectors, index.adjacency, index.medoid, c,
                             search_width=w, k=k, metric=index.metric,
-                            expand_width=e,
+                            expand_width=e, entry_points=index.entry_points,
                         ).ids
                         for c in chunks
                     ]
@@ -183,6 +183,7 @@ def sweep_pq(
                             search_width=w, k=k, rerank=True,
                             vectors=index.vectors, queries=c,
                             metric=index.metric, expand_width=e,
+                            entry_points=index.entry_points,
                         ).ids
                     )
                 return out

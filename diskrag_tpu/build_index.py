@@ -123,6 +123,7 @@ def build_index_from_vectors(
     write_compat: bool = False,
     seed: int = 0,
     params_override: dict | None = None,
+    build_method: str = "knn",
 ) -> dict:
     """Build + persist a full index.
 
@@ -213,10 +214,20 @@ def build_index_from_vectors(
             logger.warning("PQ validation failed — keeping PQ but flagging meta")
 
     t0 = time.perf_counter()
-    index = build_vamana(
-        vectors, degree_bound=r, build_width=l, alpha=alpha,
-        metric=metric, seed=seed, progress=True,
-    )
+    if build_method == "knn":
+        from diskrag_tpu.graph.knn_build import build_vamana_knn
+
+        index = build_vamana_knn(
+            vectors, degree_bound=r, alpha=alpha, metric=metric,
+            seed=seed, progress=True,
+        )
+    elif build_method == "wave":
+        index = build_vamana(
+            vectors, degree_bound=r, build_width=l, alpha=alpha,
+            metric=metric, seed=seed, progress=True,
+        )
+    else:
+        raise ValueError(f"unknown build_method: {build_method}")
     build_seconds = time.perf_counter() - t0
 
     meta = save_index(
@@ -233,6 +244,7 @@ def build_index_from_vectors(
             "vector_stats": _vector_stats(vectors),
             "pq_validation": pq_validation,
             "build_seconds": build_seconds,
+            "build_method": build_method,
         },
     )
     logger.info("index built in %.1fs -> %s", build_seconds, store.dir)

@@ -158,13 +158,21 @@ class DiskRAG:
         if info is None:
             raise ValueError(f"collection {collection} not found")
         vectors = np.load(self.manager.get_vectors_path(collection))
+        icfg = self.config.index
+        override = {
+            k: v
+            for k, v in (("R", icfg.R), ("L", icfg.L), ("alpha", icfg.alpha))
+            if v is not None
+        }
         meta = build_index_from_vectors(
             vectors,
             self.manager.get_index_dir(collection),
             target_quality=target_quality,
-            metric=self.config.index.metric,
-            index_type=index_type or self.config.index.type,
+            metric=icfg.metric,
+            index_type=index_type or icfg.type,
             force_rebuild=force_rebuild,
+            build_method=icfg.build_method,
+            params_override=override or None,
         )
         # record build stats on the collection (reference build_index.py:334-351)
         info = self.manager.get_collection_info(collection)
@@ -184,11 +192,16 @@ class DiskRAG:
         gen = EmbeddingGenerator(self.config.embedding)
         return gen.generate
 
-    def search(self, collection: str, query: str, k: int = 5) -> dict:
+    def search(
+        self, collection: str, query: str, k: int = 5, faq: bool = False
+    ) -> dict:
         from diskrag_tpu.engine import SearchEngine
 
         engine = SearchEngine(collection, base_dir=self.base_dir)
-        return engine.search(query, k=k, embedding_fn=self._embedding_fn())
+        fn = self._embedding_fn()
+        if faq:
+            return engine.faq_search(query, k=k, embedding_fn=fn)
+        return engine.search(query, k=k, embedding_fn=fn)
 
     # --- management ------------------------------------------------------
     def list_collections(self):
@@ -323,6 +336,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("collection")
     p.add_argument("query")
     p.add_argument("--top-k", "-k", type=int, default=5)
+    p.add_argument("--faq", action="store_true",
+                   help="FAQ mode: dedup by qa_id, keep type=='faq' entries")
 
     p = sub.add_parser("process-dir", help="process a whole directory")
     p.add_argument("directory")
@@ -369,7 +384,7 @@ def main(argv: Optional[list[str]] = None) -> int:
             f"({meta.get('build_seconds', 0):.1f}s)"
         )
     elif args.command == "search":
-        out = rag.search(args.collection, args.query, args.top_k)
+        out = rag.search(args.collection, args.query, args.top_k, faq=args.faq)
         _print_results(out)
     elif args.command == "list":
         infos = rag.list_collections()

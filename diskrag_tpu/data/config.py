@@ -82,6 +82,13 @@ class IndexConfig:
     metric: str = "l2"
     type: str = "vamana"  # vamana | flat | ivf | auto
     force_pq: Optional[bool] = None  # None = adaptive decision
+    # explicit graph params override the adaptive schedule when set
+    # (the reference documents R/L/alpha in its config.yaml.example
+    # index: block but ignores them — we honor them)
+    R: Optional[int] = None
+    L: Optional[int] = None
+    alpha: Optional[float] = None
+    build_method: str = "knn"  # knn (MXU kNN-based) | wave (insertion)
 
 
 @dataclasses.dataclass

@@ -230,6 +230,7 @@ class SearchEngine:
                 search_width=l_search, k=k, rerank=True,
                 vectors=self.index.vectors, queries=q,
                 metric=self.index.metric,
+                entry_points=self.index.entry_points,
             )
             dists, ids = res.dists, res.ids
             search_type = "pq_accelerated"
@@ -240,6 +241,7 @@ class SearchEngine:
             res = beam_search(
                 self.index.vectors, self.index.adjacency, self.index.medoid,
                 q, search_width=l_search, k=k, metric=self.index.metric,
+                entry_points=self.index.entry_points,
             )
             dists, ids = res.dists, res.ids
             search_type = "exact"

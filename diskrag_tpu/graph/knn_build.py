@@ -1,0 +1,353 @@
+"""kNN-graph-based Vamana construction — the MXU-native fast build path.
+
+The reference (and our wave builder, `graph/build.py`) constructs the
+graph by *sequential insertion*: each point's candidate pool comes from a
+beam search over the partially-built graph (reference
+pydiskann/cython_utils.pyx:269-369). On TPU that search is a chain of
+data-dependent gather rounds that runs at HBM latency, so even heavily
+wave-batched it costs minutes at 200k points.
+
+This module removes the sequential dependency entirely. Observation: the
+candidate pool the reference feeds RobustPrune is an *approximation* of
+the point's nearest neighbors (the beam search's visited set). On TPU we
+can compute the exact top-C neighbors for every point at once with tiled
+bf16 matmul scans over the whole database (`ops/flat.py`) — sequential
+HBM reads at full bandwidth on the MXU, no traversal at all. The build
+becomes three embarrassingly-parallel passes:
+
+  1. exact kNN: top-C neighbors per point via the flat MXU scan;
+  2. alpha-prune: vectorized RobustPrune of each point's candidate list
+     (top-C plus a few seeded random long-range candidates — these play
+     the role of the reference's random-regular init, keeping the graph
+     connected across clusters; alpha-domination keeps far edges only
+     when no kept neighbor covers them, exactly Vamana's mechanism);
+  3. reverse edges: group all chosen edges by target (one global sort),
+     keep the nearest `max_incoming` per target, then per node
+     union-or-reprune, matching the reference's add-then-prune-on-overflow
+     semantics (cython_utils.pyx:335-353).
+
+The edge set differs from sequential insertion (as does the wave
+builder's); the acceptance criterion is recall parity at equal R/L/alpha
+(SURVEY.md §7 "hard parts"). Unlike sequential insertion there is no
+2-pass alpha schedule: candidates are exact kNN, so a single prune at the
+target alpha is the principled choice (deviation from the reference's
+alpha=1.0-then-alpha schedule, cython_utils.pyx:296-310 — documented
+here; the wave builder keeps the reference schedule).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diskrag_tpu.graph.prune import robust_prune_batch
+from diskrag_tpu.graph.search import _gathered_distance
+from diskrag_tpu.graph.types import VamanaIndex
+from diskrag_tpu.ops.distance import Metric
+from diskrag_tpu.ops.flat import flat_search
+from diskrag_tpu.ops.medoid import approximate_medoid
+from diskrag_tpu.ops.topk import INVALID_ID, mask_duplicates, sort_topk_unique
+
+logger = logging.getLogger(__name__)
+
+INF = jnp.inf
+
+
+def exact_knn(
+    vectors: jax.Array,
+    k: int,
+    *,
+    metric: str = Metric.L2.value,
+    query_block: int = 4096,
+    scan_chunk: int = 32_768,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k neighbors for every database point (self excluded).
+
+    Tiled bf16 MXU scan + f32 rerank per query block (`ops/flat.py`).
+    Returns (ids int32[N, k], dists float32[N, k]) ascending.
+    """
+    n = vectors.shape[0]
+    k = min(k, n - 1)
+    vec_bf16 = vectors.astype(jnp.bfloat16)
+    norms = jnp.sum(jnp.square(vectors), axis=-1)
+    ids_out, dists_out = [], []
+    for i in range(0, n, query_block):
+        q = vectors[i : i + query_block]
+        d, ids = flat_search(
+            q, vec_bf16, norms, vectors, k=k + 1, metric=metric,
+            chunk=min(scan_chunk, n),
+        )
+        gid = jnp.arange(i, i + q.shape[0], dtype=jnp.int32)[:, None]
+        d = jnp.where(ids == gid, INF, d)
+        neg, take = jax.lax.top_k(-d, k)
+        ids_out.append(jnp.take_along_axis(ids, take, axis=1))
+        dists_out.append(-neg)
+    return jnp.concatenate(ids_out), jnp.concatenate(dists_out)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("degree_bound", "metric")
+)
+def _prune_block(
+    vectors: jax.Array,
+    block_ids: jax.Array,
+    knn_ids: jax.Array,
+    knn_dists: jax.Array,
+    rand_ids: jax.Array,
+    alpha: jax.Array,
+    *,
+    degree_bound: int,
+    metric: str,
+) -> tuple[jax.Array, jax.Array]:
+    """Alpha-prune one block of points' candidate pools.
+
+    Pool = exact kNN (ids+dists precomputed) ++ random long-range
+    candidates (distances computed here). Returns (out_ids [W, R],
+    out_dists [W, R]); out_dists of -1 slots are +inf.
+    """
+    n = vectors.shape[0]
+    queries = vectors[block_ids]
+    rand_vecs = vectors[jnp.clip(rand_ids, 0, n - 1)]
+    rand_dists = _gathered_distance(queries, rand_vecs, metric)
+    cand_ids = jnp.concatenate([knn_ids, rand_ids], axis=1)
+    cand_dists = jnp.concatenate([knn_dists, rand_dists], axis=1)
+    cand_vecs = jnp.concatenate(
+        [vectors[jnp.clip(knn_ids, 0, n - 1)], rand_vecs], axis=1
+    )
+    out_ids = robust_prune_batch(
+        block_ids, cand_ids, cand_vecs, cand_dists, alpha,
+        degree_bound=degree_bound, metric=metric,
+    )
+    # recover each kept edge's distance by compare-lookup against the pool
+    # (duplicate pool ids share one masked-min distance; scatters avoided)
+    eq = out_ids[:, :, None] == cand_ids[:, None, :]  # [W, R, C]
+    out_dists = jnp.min(
+        jnp.where(eq, cand_dists[:, None, :], INF), axis=2
+    )
+    out_dists = jnp.where(out_ids == INVALID_ID, INF, out_dists)
+    return out_ids, out_dists
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_incoming", "n")
+)
+def _incoming_tables(
+    out_ids: jax.Array,
+    out_dists: jax.Array,
+    *,
+    max_incoming: int,
+    n: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Group edges by target; keep the `max_incoming` nearest sources per
+    target. One global lexsort by (target, dist), then each target's
+    incoming run is located with a binary search and sliced with plain
+    gathers — no scatters and no long scans (both pathologically slow on
+    this platform at ~10M elements).
+
+    Returns (inc_ids int32[N, max_incoming], inc_dists float32[N, ...]).
+    """
+    r = out_ids.shape[1]
+    e = n * r
+
+    targets = out_ids.reshape(-1)
+    dists = out_dists.reshape(-1)
+    sources = jnp.repeat(jnp.arange(n, dtype=jnp.int32), r)
+    tkey = jnp.where(targets == INVALID_ID, n, targets)
+    order = jnp.lexsort((dists, tkey))
+    t_s = tkey[order]
+    s_s = sources[order]
+    d_s = dists[order]
+
+    node_ids = jnp.arange(n, dtype=jnp.int32)
+    start = jnp.searchsorted(t_s, node_ids, side="left").astype(jnp.int32)
+    end = jnp.searchsorted(t_s, node_ids, side="right").astype(jnp.int32)
+    pos = start[:, None] + jnp.arange(max_incoming, dtype=jnp.int32)[None, :]
+    ok = pos < end[:, None]
+    pos = jnp.clip(pos, 0, e - 1)
+    inc_ids = jnp.where(ok, s_s[pos], INVALID_ID)
+    inc_dists = jnp.where(ok, d_s[pos], INF)
+    return inc_ids, inc_dists
+
+
+@functools.partial(
+    jax.jit, static_argnames=("degree_bound", "metric")
+)
+def _merge_block(
+    vectors: jax.Array,
+    block_ids: jax.Array,
+    out_ids: jax.Array,
+    out_dists: jax.Array,
+    inc_ids: jax.Array,
+    inc_dists: jax.Array,
+    alpha: jax.Array,
+    *,
+    degree_bound: int,
+    metric: str,
+) -> jax.Array:
+    """Union out-edges with incoming reverse edges; RobustPrune only rows
+    that overflow the degree bound (reference add-then-prune-on-overflow
+    semantics, cython_utils.pyx:335-353)."""
+    n = vectors.shape[0]
+    r = degree_bound
+    cand_ids = jnp.concatenate([out_ids, inc_ids], axis=1)
+    cand_dists = jnp.concatenate([out_dists, inc_dists], axis=1)
+    masked = mask_duplicates(cand_ids, cand_dists)
+    n_unique = jnp.sum(jnp.isfinite(masked), axis=1)
+    union_ids, _, _ = sort_topk_unique(cand_ids, cand_dists, r)
+    cand_vecs = vectors[jnp.clip(cand_ids, 0, n - 1)]
+    pruned = robust_prune_batch(
+        block_ids, cand_ids, cand_vecs, cand_dists, alpha,
+        degree_bound=r, metric=metric,
+    )
+    return jnp.where((n_unique > r)[:, None], pruned, union_ids)
+
+
+def compute_entry_points(
+    vectors: jax.Array,
+    n_entry: int,
+    key: jax.Array,
+    *,
+    metric: str = Metric.L2.value,
+    sample_cap: int = 65_536,
+    max_iter: int = 8,
+) -> np.ndarray:
+    """Well-spread search seeds: k-means cell centers on a subsample,
+    snapped to their nearest database points. Returned unique (host-side
+    np.unique) so the search loop needs no O(S^2) dedup."""
+    from diskrag_tpu.pq.kmeans import kmeans_fit
+
+    n = vectors.shape[0]
+    n_entry = min(n_entry, n)
+    k_sub, k_km = jax.random.split(key)
+    if n > sample_cap:
+        sub = jax.random.choice(k_sub, n, (sample_cap,), replace=False)
+        sample = vectors[sub]
+    else:
+        sample = vectors
+    centers, _ = kmeans_fit(k_km, sample[None], n_entry, max_iter=max_iter)
+    norms = jnp.sum(jnp.square(vectors), axis=-1)
+    _, ids = flat_search(
+        centers[0], vectors.astype(jnp.bfloat16), norms, vectors, k=1,
+        metric=metric,
+    )
+    return np.unique(np.asarray(ids[:, 0]))
+
+
+def build_vamana_knn(
+    vectors: np.ndarray | jax.Array,
+    *,
+    degree_bound: int = 32,
+    alpha: float = 1.2,
+    metric: str = Metric.L2.value,
+    knn_k: int | None = None,
+    n_random: int = 8,
+    max_incoming: int | None = None,
+    query_block: int = 4096,
+    wave_size: int = 2048,
+    n_entry_points: int | None = None,
+    seed: int = 0,
+    progress: bool = False,
+) -> VamanaIndex:
+    """Build a Vamana-quality graph from exact kNN lists (see module doc).
+
+    Args mirror `build_vamana` (degree_bound=R); `knn_k` is the exact-kNN
+    candidate count (default max(64, 4R/3)); `n_random` seeded long-range
+    candidates per point keep the graph connected across clusters;
+    `n_entry_points` well-spread search seeds (k-means-center points,
+    default min(512, N/64)) are stored on the index and make the graph
+    navigable — searches seed from them plus the medoid.
+    """
+    vectors = jnp.asarray(vectors, jnp.float32)
+    n = vectors.shape[0]
+    if n < 2:
+        raise ValueError("need at least 2 points")
+    degree_bound = min(degree_bound, n - 1)
+    if knn_k is None:
+        knn_k = max(64, (4 * degree_bound) // 3)
+    knn_k = min(knn_k, n - 1)
+    n_random = min(n_random, max(n - 1 - knn_k, 0))
+    if max_incoming is None:
+        max_incoming = max(degree_bound // 2, 8)
+    wave_size = min(wave_size, n)
+    metric = Metric(metric).value
+    alpha_j = jnp.asarray(alpha, jnp.float32)
+
+    if n_entry_points is None:
+        n_entry_points = min(512, max(n // 64, 0))
+
+    t0 = time.perf_counter()
+    key = jax.random.key(seed)
+    k_med, k_rand, k_entry = jax.random.split(key, 3)
+    medoid = approximate_medoid(vectors, k_med, metric=metric)
+    entry_points = None
+    if n_entry_points > 1:
+        eps = compute_entry_points(
+            vectors, n_entry_points, k_entry, metric=metric
+        )
+        eps = eps[eps != int(medoid)]
+        if eps.size > 1:
+            entry_points = jnp.asarray(eps, jnp.int32)
+    if progress:
+        logger.info("entry points done (%.1fs)", time.perf_counter() - t0)
+
+    knn_ids, knn_dists = exact_knn(
+        vectors, knn_k, metric=metric, query_block=query_block
+    )
+    if progress:
+        np.asarray(knn_ids[0, 0])
+        logger.info("exact kNN done (%.1fs)", time.perf_counter() - t0)
+
+    if n_random > 0:
+        u = jax.random.randint(
+            k_rand, (n, n_random), 0, max(n - 1, 1), jnp.int32
+        )
+        rand_ids = (jnp.arange(n, dtype=jnp.int32)[:, None] + 1 + u) % n
+    else:
+        rand_ids = jnp.zeros((n, 0), jnp.int32)
+
+    pad = (-n) % wave_size
+    ids_all = jnp.arange(n, dtype=jnp.int32)
+    if pad:
+        ids_all = jnp.concatenate([ids_all, ids_all[:pad]])
+    blocks = np.asarray(ids_all).reshape(-1, wave_size)
+
+    out_ids = jnp.zeros((n, degree_bound), jnp.int32)
+    out_dists = jnp.zeros((n, degree_bound), jnp.float32)
+    for blk in blocks:
+        b = jnp.asarray(blk)
+        o_ids, o_dists = _prune_block(
+            vectors, b, knn_ids[b], knn_dists[b], rand_ids[b], alpha_j,
+            degree_bound=degree_bound, metric=metric,
+        )
+        out_ids = out_ids.at[b].set(o_ids)
+        out_dists = out_dists.at[b].set(o_dists)
+    if progress:
+        np.asarray(out_ids[0, 0])
+        logger.info("alpha-prune done (%.1fs)", time.perf_counter() - t0)
+
+    inc_ids, inc_dists = _incoming_tables(
+        out_ids, out_dists, max_incoming=max_incoming, n=n
+    )
+
+    adjacency = jnp.zeros((n, degree_bound), jnp.int32)
+    for blk in blocks:
+        b = jnp.asarray(blk)
+        rows = _merge_block(
+            vectors, b, out_ids[b], out_dists[b], inc_ids[b], inc_dists[b],
+            alpha_j, degree_bound=degree_bound, metric=metric,
+        )
+        adjacency = adjacency.at[b].set(rows)
+
+    # drain via a host fetch (block_until_ready unreliable on this platform)
+    np.asarray(adjacency[0, 0])
+    if progress:
+        logger.info("knn build done in %.1fs", time.perf_counter() - t0)
+    return VamanaIndex(
+        vectors=vectors, adjacency=adjacency, medoid=medoid, metric=metric,
+        entry_points=entry_points,
+    )

@@ -129,6 +129,7 @@ def _frontier_search(
     k: int,
     max_steps: int,
     expand_width: int = 1,
+    entry_points: jax.Array | None = None,
 ) -> SearchResult:
     """Shared best-first loop. `expand_fn(ids [B, C] clipped-safe) -> dists
     [B, C]` supplies the distance backend (exact gather-matmul or PQ/ADC).
@@ -138,6 +139,13 @@ def _frontier_search(
     budget stays ~the same (max_steps rounds of E), but E x fewer
     sequential rounds: the dominant latency win on TPU, where each round
     costs a fixed pipeline of gather/merge kernels regardless of E.
+
+    `entry_points` (int32[S], optional) seeds the candidate list with S
+    extra start nodes besides the medoid. The reference always starts at
+    the single medoid (vamana_graph.py:557); multi-seeding costs one
+    [B, S] batched distance matmul (nothing on the MXU) and makes graphs
+    whose long-range edges are sparse/unstructured — e.g. the kNN-based
+    fast build — navigable on strongly clustered data.
     """
     b = batch
     n, r = adjacency.shape
@@ -145,18 +153,44 @@ def _frontier_search(
     medoid = jnp.asarray(medoid, jnp.int32)
     visited_cap = max_steps * e
 
-    # --- initial candidate list: just the medoid -------------------------
-    d0 = expand_fn(jnp.broadcast_to(medoid, (b, 1)))  # [B, 1]
+    # --- initial candidate list: medoid (+ optional entry points) --------
+    if entry_points is None:
+        seeds = medoid[None]
+    else:
+        seeds = jnp.concatenate(
+            [medoid[None], jnp.asarray(entry_points, jnp.int32)]
+        )
+    s = seeds.shape[0]
+    seeds_b = jnp.broadcast_to(seeds[None, :], (b, s))
+    d0 = expand_fn(seeds_b)  # [B, S]
+    if s > 1:
+        # entry_points must be unique (build guarantees it); only the
+        # medoid can repeat — mask those copies. O(S), not an O(S^2) dedup.
+        dup_med = (seeds == medoid) & (jnp.arange(s) > 0)
+        d0 = jnp.where(dup_med[None, :], INF, d0)
     # `zero_*` derive from d0 so the initial carry inherits d0's varying
     # mesh axes under shard_map (constants would be axis-invariant and
     # fail the while_loop carry type check).
     zero_f = d0[:, :1] * 0.0  # [B, 1]
     zero_i = zero_f.astype(jnp.int32)
-    cand_ids = jnp.full((b, search_width), INVALID_ID, jnp.int32) + zero_i
-    cand_ids = cand_ids.at[:, 0].set(medoid)
-    cand_dists = jnp.full((b, search_width), INF, jnp.float32) + zero_f
-    cand_dists = cand_dists.at[:, 0].set(d0[:, 0])
-    expanded = jnp.zeros((b, search_width), jnp.bool_) | (zero_i != 0)
+    if s >= search_width:
+        neg, take = jax.lax.top_k(-d0, search_width)
+        cand_dists = -neg
+        cand_ids = jnp.take_along_axis(seeds_b, take, axis=1)
+        cand_ids = jnp.where(jnp.isinf(cand_dists), INVALID_ID, cand_ids)
+    else:
+        pad = search_width - s
+        cand_ids = jnp.concatenate(
+            [
+                jnp.where(jnp.isinf(d0), INVALID_ID, seeds_b),
+                jnp.full((b, pad), INVALID_ID, jnp.int32) + zero_i,
+            ],
+            axis=1,
+        )
+        cand_dists = jnp.concatenate(
+            [d0, jnp.full((b, pad), INF, jnp.float32) + zero_f], axis=1
+        )
+    expanded = (cand_ids == INVALID_ID) | (zero_i != 0)
 
     visited_ids = jnp.full((b, visited_cap), INVALID_ID, jnp.int32) + zero_i
     visited_dists = jnp.full((b, visited_cap), INF, jnp.float32) + zero_f
@@ -280,6 +314,7 @@ def beam_search(
     max_steps: int | None = None,
     metric: str = Metric.L2.value,
     expand_width: int = 1,
+    entry_points: jax.Array | None = None,
 ) -> SearchResult:
     """Batched best-first graph search with exact distances.
 
@@ -312,7 +347,7 @@ def beam_search(
     return _frontier_search(
         adjacency, medoid, expand, queries.shape[0],
         search_width=search_width, k=k, max_steps=max_steps,
-        expand_width=expand_width,
+        expand_width=expand_width, entry_points=entry_points,
     )
 
 
@@ -332,6 +367,7 @@ def beam_search_reranked(
     max_steps: int | None = None,
     metric: str = Metric.L2.value,
     expand_width: int = 1,
+    entry_points: jax.Array | None = None,
 ) -> SearchResult:
     """Low-bandwidth traversal + full-precision rerank.
 
@@ -346,7 +382,7 @@ def beam_search_reranked(
     res = beam_search(
         traversal_vectors, adjacency, medoid, queries,
         search_width=search_width, k=search_width, max_steps=max_steps,
-        metric=metric, expand_width=expand_width,
+        metric=metric, expand_width=expand_width, entry_points=entry_points,
     )
     return exact_rerank(rerank_vectors, queries, res, k, metric)
 
@@ -373,6 +409,7 @@ def beam_search_pq(
     metric: str = Metric.L2.value,
     expand_width: int = 1,
     use_pallas_adc: bool | None = None,
+    entry_points: jax.Array | None = None,
 ) -> SearchResult:
     """PQ-accelerated graph search: traversal is guided purely by ADC
     distances looked up from per-query tables; optionally the final
@@ -417,7 +454,7 @@ def beam_search_pq(
     res = _frontier_search(
         adjacency, medoid, expand, b,
         search_width=search_width, k=search_width, max_steps=max_steps,
-        expand_width=expand_width,
+        expand_width=expand_width, entry_points=entry_points,
     )
     if not rerank:
         return SearchResult(

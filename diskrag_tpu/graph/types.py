@@ -30,12 +30,21 @@ class VamanaIndex:
                  reference io/diskann_persist.py:23, SURVEY.md §7).
       medoid:    int32[] start node for search.
       metric:    distance metric (static aux data).
+      entry_points: optional int32[S] extra unique search seeds (besides
+                 the medoid), computed at build time as the database
+                 points nearest to k-means cell centers. Used by the
+                 kNN-based fast build, whose long-range edges are
+                 unstructured: one [B, S] seed matmul replaces the
+                 navigation the sequential build encodes in its edges.
+                 No reference counterpart (single-medoid entry,
+                 vamana_graph.py:557).
     """
 
     vectors: jax.Array
     adjacency: jax.Array
     medoid: jax.Array
     metric: str = dataclasses.field(default=Metric.L2.value, metadata={"static": True})
+    entry_points: jax.Array | None = None
 
     @property
     def n_points(self) -> int:
@@ -56,12 +65,18 @@ class VamanaIndex:
         adjacency: np.ndarray,
         medoid: int,
         metric: str = Metric.L2.value,
+        entry_points: np.ndarray | None = None,
     ) -> "VamanaIndex":
         return cls(
             vectors=jnp.asarray(vectors, dtype=jnp.float32),
             adjacency=jnp.asarray(adjacency, dtype=jnp.int32),
             medoid=jnp.asarray(medoid, dtype=jnp.int32),
             metric=Metric(metric).value,
+            entry_points=(
+                None
+                if entry_points is None
+                else jnp.asarray(entry_points, dtype=jnp.int32)
+            ),
         )
 
     def degrees(self) -> jax.Array:

@@ -115,6 +115,8 @@ def save_index(
         "distance_metric": index.metric,
         "use_pq": pq is not None,
     }
+    if index.entry_points is not None:
+        meta["entry_points"] = np.asarray(index.entry_points).tolist()
     if pq is not None:
         if pq_codes is None:
             raise ValueError("pq given without pq_codes")
@@ -154,15 +156,21 @@ def load_index(
     adjacency = np.load(store.adjacency_path)
     if vectors.shape[0] != meta["num_points"]:
         raise ValueError("meta/num_points mismatch with vectors.npy")
+    eps = meta.get("entry_points")
+    eps_np = None if eps is None else np.asarray(eps, np.int32)
     index = VamanaIndex.from_numpy(
         vectors, adjacency, meta["medoid_idx"],
         metric=meta.get("distance_metric", "l2"),
+        entry_points=eps_np,
     )
     if not to_device:
         index = VamanaIndex(
             vectors=vectors, adjacency=adjacency,  # type: ignore[arg-type]
             medoid=jnp.asarray(meta["medoid_idx"], jnp.int32),
             metric=meta.get("distance_metric", "l2"),
+            entry_points=(
+                None if eps_np is None else jnp.asarray(eps_np, jnp.int32)
+            ),
         )
     pq = None
     codes = None

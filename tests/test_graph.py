@@ -140,3 +140,58 @@ def test_build_vamana_recall(clustered_data):
         [len(set(got[i]) & set(want[i])) / 10 for i in range(len(got))]
     )
     assert recall >= 0.95, f"recall@10 = {recall}"
+
+
+def test_build_vamana_knn_recall(clustered_data):
+    """Recall-parity gate for the kNN-based fast builder (graph/knn_build):
+    same acceptance criterion as the wave builder, plus entry-point
+    structure checks (unique, in range, excluding the medoid)."""
+    from diskrag_tpu.graph.knn_build import build_vamana_knn
+
+    pts = clustered_data  # [2000, 64] clustered
+    rng = np.random.default_rng(11)
+    idx = build_vamana_knn(
+        pts, degree_bound=32, alpha=1.2, seed=3, wave_size=512,
+        n_entry_points=64,
+    )
+    adj = np.asarray(idx.adjacency)
+    assert adj.shape == (len(pts), 32)
+    assert (adj < len(pts)).all()
+    assert (adj >= 0).sum(1).min() >= 1
+    eps = np.asarray(idx.entry_points)
+    assert len(np.unique(eps)) == len(eps)
+    assert (eps >= 0).all() and (eps < len(pts)).all()
+    assert int(idx.medoid) not in eps
+
+    qi = rng.integers(0, len(pts), size=128)
+    queries = pts[qi] + rng.normal(size=(128, pts.shape[1])).astype(np.float32) * 0.1
+    res = beam_search(
+        idx.vectors, idx.adjacency, idx.medoid, jnp.asarray(queries),
+        search_width=64, k=10, entry_points=idx.entry_points,
+    )
+    _, gt = brute_force_topk(jnp.asarray(queries), idx.vectors, k=10)
+    got, want = np.asarray(res.ids), np.asarray(gt)
+    recall = np.mean(
+        [len(set(got[i]) & set(want[i])) / 10 for i in range(len(got))]
+    )
+    assert recall >= 0.95, f"recall@10 = {recall}"
+    # no duplicate ids in returned results (entry seeding must not leak dups)
+    for row in got:
+        valid = row[row >= 0]
+        assert len(np.unique(valid)) == len(valid)
+
+
+def test_exact_knn_matches_brute_force(rng):
+    from diskrag_tpu.graph.knn_build import exact_knn
+
+    pts = rng.normal(size=(500, 32)).astype(np.float32)
+    ids, dists = exact_knn(jnp.asarray(pts), 10, query_block=128)
+    d_all = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d_all, np.inf)
+    want = np.argsort(d_all, axis=1)[:, :10]
+    got = np.asarray(ids)
+    # allow tie reordering: compare distance values
+    got_d = np.take_along_axis(d_all, got, axis=1)
+    want_d = np.take_along_axis(d_all, want, axis=1)
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-4, atol=1e-4)
+    assert not (got == np.arange(500)[:, None]).any()
