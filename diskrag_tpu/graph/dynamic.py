@@ -70,7 +70,7 @@ def insert_points(
     )
     return VamanaIndex(
         vectors=vectors, adjacency=adjacency, medoid=index.medoid,
-        metric=index.metric,
+        metric=index.metric, entry_points=index.entry_points,
     )
 
 
@@ -165,12 +165,21 @@ def consolidate(
 
     from diskrag_tpu.ops.medoid import approximate_medoid
 
+    # remap surviving entry points to new ids (deleted ones are dropped)
+    new_entries = None
+    if index.entry_points is not None:
+        eps = np.asarray(index.entry_points)
+        eps = old_to_new[eps[~deleted[eps]]]
+        if eps.size > 1:
+            new_entries = jnp.asarray(np.unique(eps), jnp.int32)
+
     vectors_j = jnp.asarray(vectors)
     new_index = VamanaIndex(
         vectors=vectors_j,
         adjacency=jnp.asarray(new_adj),
         medoid=approximate_medoid(vectors_j),
         metric=index.metric,
+        entry_points=new_entries,
     )
 
     # refinement pass over (a fraction of) the nodes to restore quality
@@ -194,5 +203,6 @@ def consolidate(
         new_index = VamanaIndex(
             vectors=new_index.vectors, adjacency=adjacency,
             medoid=new_index.medoid, metric=new_index.metric,
+            entry_points=new_index.entry_points,
         )
     return new_index, old_to_new

@@ -152,9 +152,12 @@ def build_ivf(
     train = vectors
     if n > max_train:
         train = vectors[rng.choice(n, size=max_train, replace=False)]
+    # "d2" init: one-shot joint D² seeding — n_cells is in the thousands,
+    # so k-means++'s n_cells sequential device rounds would dominate the
+    # whole IVF build (each round is HBM-latency-bound, ~1ms).
     centers, _ = kmeans_fit(
         jax.random.key(seed), jnp.asarray(train)[None], n_cells,
-        max_iter=kmeans_iters,
+        max_iter=kmeans_iters, init="d2",
     )
     centroids = np.asarray(centers[0])  # [C, D]
 

@@ -70,13 +70,33 @@ def _kmeanspp_init(key: jax.Array, data: jax.Array, k: int) -> jax.Array:
     return centers
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_iter", "chunk"))
+def _d2_init(key: jax.Array, data: jax.Array, k: int) -> jax.Array:
+    """One-shot D²-weighted seeding (k-means||-flavored): one random
+    center, then the remaining k-1 sampled *jointly* without replacement
+    with probability ∝ distance² via Gumbel top-k. One distance pass +
+    one top_k instead of k sequential rounds — the right trade when k is
+    large (IVF cells, entry points) and Lloyd iterations follow anyway.
+    """
+    m, n, d = data.shape
+    k0, k1 = jax.random.split(key)
+    first = jax.random.randint(k0, (m,), 0, n)
+    c0 = data[jnp.arange(m), first]  # [m, d]
+    min_d = jnp.sum(jnp.square(data - c0[:, None, :]), axis=-1)  # [m, N]
+    g = jax.random.gumbel(k1, (m, n), data.dtype)
+    logits = jnp.where(min_d > 0, jnp.log(min_d), -jnp.inf) + g
+    _, picks = jax.lax.top_k(logits, k - 1)  # [m, k-1]
+    rest = jnp.take_along_axis(data, picks[..., None], axis=1)
+    return jnp.concatenate([c0[:, None, :], rest], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_iter", "chunk", "init"))
 def kmeans_fit(
     key: jax.Array,
     data: jax.Array,
     k: int,
     max_iter: int = 25,
     chunk: int = 4096,
+    init: str = "kmeans++",
 ) -> tuple[jax.Array, jax.Array]:
     """Fit m batched k-means problems.
 
@@ -86,13 +106,20 @@ def kmeans_fit(
       max_iter: Lloyd iterations (fixed count for static shapes; the
         reference's sklearn runs up to 100-300 but converges far earlier).
       chunk: N-axis tile for assignment sweeps.
+      init: "kmeans++" (k sequential D² rounds — best quality, right for
+        small k like PQ's 256) or "d2" (one-shot joint D² sampling — k
+        parallel, right for large k where k sequential device rounds
+        dominate, e.g. IVF cells / search entry points).
 
     Returns:
       (centers [m, K, d], assignments [m, N] int32).
     """
     m, n, d = data.shape
     chunk = min(chunk, n)
-    centers = _kmeanspp_init(key, data, k)
+    if init == "d2":
+        centers = _d2_init(key, data, k)
+    else:
+        centers = _kmeanspp_init(key, data, k)
 
     pad = (-n) % chunk
     data_p = jnp.pad(data, ((0, 0), (0, pad), (0, 0)))
