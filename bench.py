@@ -60,8 +60,15 @@ def main() -> None:
 
     # graph modes (the beyond-HBM engine, benched in-HBM for parity).
     # Built with the kNN-based fast path (exact-kNN MXU scans + global
-    # alpha-prune + reverse pass + k-means entry points) — ~7x faster
-    # than the wave-insertion builder at equal-or-better recall/QPS.
+    # alpha-prune + reverse pass + k-means entry points). Built twice:
+    # the first build pays one-time process costs (XLA compiles unless
+    # the persistent cache is warm, plus the ~100MB dataset upload over
+    # the tunnel); the second measures the steady-state build the CPU
+    # baseline number is comparable to (the C++ baseline has no compile
+    # step to amortize). Both are reported.
+    t0 = time.perf_counter()
+    index = build_vamana_knn(pts, degree_bound=48, alpha=1.2, seed=0)
+    build_seconds_cold = time.perf_counter() - t0
     t0 = time.perf_counter()
     index = build_vamana_knn(pts, degree_bound=48, alpha=1.2, seed=0)
     build_seconds = time.perf_counter() - t0
@@ -100,6 +107,7 @@ def main() -> None:
                 "search_width": best.search_width,
                 "mode": best.mode,
                 "build_seconds": round(build_seconds, 1),
+                "build_seconds_cold": round(build_seconds_cold, 1),
                 "ivf_build_seconds": round(ivf_build_seconds, 1),
                 "sweep": [
                     {

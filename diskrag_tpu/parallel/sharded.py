@@ -23,6 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from diskrag_tpu.graph.build import build_vamana
+from diskrag_tpu.graph.knn_build import build_vamana_knn
 from diskrag_tpu.graph.search import _frontier_search, _gathered_distance
 from diskrag_tpu.ops.distance import Metric
 from diskrag_tpu.ops.topk import INVALID_ID
@@ -44,6 +45,10 @@ class ShardedIndex:
     medoids: jax.Array
     global_ids: jax.Array
     metric: str = dataclasses.field(default=Metric.L2.value, metadata={"static": True})
+    # int32[S, E] per-shard local entry-point ids, padded with the shard's
+    # own medoid (duplicate-medoid seeds are masked in the search loop).
+    # None = medoid-only seeding.
+    entry_points: jax.Array | None = None
 
     @property
     def n_shards(self) -> int:
@@ -60,12 +65,14 @@ def build_sharded(
     metric: str = Metric.L2.value,
     seed: int = 0,
     wave_size: int | None = None,
+    build_method: str = "knn",
 ) -> ShardedIndex:
     """Partition + build per-shard Vamana graphs.
 
     Runs shard builds sequentially on the available device(s); on a pod
     each host would build its own shards (the build itself is the
-    embarrassingly-parallel part).
+    embarrassingly-parallel part). build_method "knn" (default, the MXU
+    fast path incl. per-shard entry points) or "wave" (insertion).
     """
     vectors = np.asarray(vectors, np.float32)
     n, d = vectors.shape
@@ -80,25 +87,46 @@ def build_sharded(
     if pad:
         valid[-1, per - pad:] = False
 
-    vecs, adjs, meds, gids = [], [], [], []
+    vecs, adjs, meds, gids, entries = [], [], [], [], []
     for s in range(n_shards):
         local_vecs = vectors[shard_gids[s]]
-        idx = build_vamana(
-            local_vecs, degree_bound=degree_bound, build_width=build_width,
-            alpha=alpha, metric=metric, seed=seed + s, wave_size=wave_size,
-        )
+        if build_method == "knn":
+            idx = build_vamana_knn(
+                local_vecs, degree_bound=degree_bound, alpha=alpha,
+                metric=metric, seed=seed + s,
+            )
+        else:
+            idx = build_vamana(
+                local_vecs, degree_bound=degree_bound,
+                build_width=build_width, alpha=alpha, metric=metric,
+                seed=seed + s, wave_size=wave_size,
+            )
         vecs.append(np.asarray(idx.vectors))
         adjs.append(np.asarray(idx.adjacency))
         meds.append(int(idx.medoid))
         g = shard_gids[s].copy()
         g[~valid[s]] = INVALID_ID
         gids.append(g)
+        entries.append(
+            np.zeros((0,), np.int32) if idx.entry_points is None
+            else np.asarray(idx.entry_points)
+        )
+    e_max = max(e.shape[0] for e in entries)
+    entry_arr = None
+    if e_max > 0:
+        # pad each shard's entry list with its own medoid (masked as a
+        # duplicate seed in the search loop)
+        entry_arr = jnp.asarray(np.stack([
+            np.concatenate([e, np.full(e_max - e.shape[0], meds[i], np.int32)])
+            for i, e in enumerate(entries)
+        ]))
     return ShardedIndex(
         vectors=jnp.asarray(np.stack(vecs)),
         adjacency=jnp.asarray(np.stack(adjs)),
         medoids=jnp.asarray(np.asarray(meds, np.int32)),
         global_ids=jnp.asarray(np.stack(gids)),
         metric=Metric(metric).value,
+        entry_points=entry_arr,
     )
 
 
@@ -115,6 +143,10 @@ def shard_to_mesh(index: ShardedIndex, mesh: Mesh) -> ShardedIndex:
         medoids=jax.device_put(index.medoids, spec1),
         global_ids=jax.device_put(index.global_ids, spec2),
         metric=index.metric,
+        entry_points=(
+            None if index.entry_points is None
+            else jax.device_put(index.entry_points, spec2)
+        ),
     )
 
 
@@ -123,12 +155,12 @@ def shard_to_mesh(index: ShardedIndex, mesh: Mesh) -> ShardedIndex:
     static_argnames=("search_width", "k", "max_steps", "metric", "mesh"),
 )
 def _sharded_search_impl(
-    vectors, adjacency, medoids, global_ids, queries,
+    vectors, adjacency, medoids, global_ids, entry_points, queries,
     *, search_width: int, k: int, max_steps: int, metric: str, mesh: Mesh,
 ):
-    def local_search(vecs, adj, med, gid, q):
+    def local_search(vecs, adj, med, gid, ep, q):
         # block shapes: vecs [1, Ns, D], adj [1, Ns, R], med [1], gid [1, Ns],
-        # q [Bd, D]
+        # ep [1, E] (medoid-padded local entry seeds), q [Bd, D]
         vecs, adj, gid = vecs[0], adj[0], gid[0]
         med = med[0]
         ns = vecs.shape[0]
@@ -141,6 +173,7 @@ def _sharded_search_impl(
         res = _frontier_search(
             adj, med, expand, q.shape[0],
             search_width=search_width, k=k, max_steps=max_steps,
+            entry_points=None if ep is None else ep[0],
         )
         local_ids, local_dists = res.ids, res.dists  # [Bd, k]
         gids = jnp.where(
@@ -155,6 +188,7 @@ def _sharded_search_impl(
         top_i = jnp.take_along_axis(all_gids, take, axis=1)
         return top_i, -top_d
 
+    ep_spec = P() if entry_points is None else P("shard", None)
     return jax.shard_map(
         local_search,
         mesh=mesh,
@@ -163,6 +197,7 @@ def _sharded_search_impl(
             P("shard", None, None),
             P("shard"),
             P("shard", None),
+            ep_spec,
             P("data", None),
         ),
         out_specs=(P("data", None), P("data", None)),
@@ -170,7 +205,7 @@ def _sharded_search_impl(
         # all-gathered lists), but the static varying-axes checker cannot
         # infer that through top_k — disable the check.
         check_vma=False,
-    )(vectors, adjacency, medoids, global_ids, queries)
+    )(vectors, adjacency, medoids, global_ids, entry_points, queries)
 
 
 @functools.partial(
@@ -286,7 +321,8 @@ def sharded_search(
         raise ValueError(f"batch {b} not divisible by data axis {n_data}")
     q = jax.device_put(queries, NamedSharding(mesh, P("data", None)))
     ids, dists = _sharded_search_impl(
-        index.vectors, index.adjacency, index.medoids, index.global_ids, q,
+        index.vectors, index.adjacency, index.medoids, index.global_ids,
+        index.entry_points, q,
         search_width=search_width, k=k, max_steps=max_steps,
         metric=index.metric, mesh=mesh,
     )

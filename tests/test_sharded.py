@@ -18,12 +18,19 @@ def test_mesh_shape():
     assert mesh.shape["data"] == 2 and mesh.shape["shard"] == 4
 
 
-def test_sharded_search_recall(clustered_data):
+import pytest
+
+
+@pytest.mark.parametrize("build_method", ["knn", "wave"])
+def test_sharded_search_recall(clustered_data, build_method):
     pts = clustered_data  # [2000, 64]
     rng = np.random.default_rng(3)
     sharded = build_sharded(
         pts, n_shards=4, degree_bound=24, build_width=48, wave_size=128,
+        build_method=build_method,
     )
+    # knn builds carry per-shard entry points (500-point shards -> ~7 seeds)
+    assert (sharded.entry_points is not None) == (build_method == "knn")
     # padding rows only in the last shard; global ids cover all points
     gids = np.asarray(sharded.global_ids)
     valid = gids[gids >= 0]
