@@ -43,6 +43,7 @@ class HostTierIndex:
     pq: ProductQuantizer
     reader: RecordReader      # host-side full vectors
     metric: str = "l2"
+    entry_points: jax.Array | None = None  # [S] extra search seeds
 
     @classmethod
     def from_store(cls, index_dir, cache_capacity: int = 4096) -> "HostTierIndex":
@@ -67,11 +68,15 @@ class HostTierIndex:
             store.compat_path, meta["num_points"], meta["dimension"],
             meta["R"], cache_capacity=cache_capacity,
         )
+        eps = meta.get("entry_points")
         return cls(
             adjacency=adjacency,
             medoid=jnp.asarray(meta["medoid_idx"], jnp.int32),
             codes=codes, pq=pq, reader=reader,
             metric=meta.get("distance_metric", "l2"),
+            entry_points=(
+                None if eps is None else jnp.asarray(eps, jnp.int32)
+            ),
         )
 
     def search(
@@ -94,7 +99,7 @@ class HostTierIndex:
         res: SearchResult = beam_search_pq(
             self.codes, tables, self.adjacency, self.medoid,
             search_width=search_width, k=search_width, rerank=False,
-            expand_width=expand_width,
+            expand_width=expand_width, entry_points=self.entry_points,
         )
         # candidate pool: beam ∪ visited log
         pool = np.concatenate(
