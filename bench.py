@@ -73,7 +73,7 @@ def main() -> None:
     index = build_vamana_knn(pts, degree_bound=48, alpha=1.2, seed=0)
     build_seconds = time.perf_counter() - t0
     points += sweep_exact(
-        index, queries, gt, k=k, widths=(32, 48),
+        index, queries, gt, k=k, widths=(24, 32, 48),
         expand_widths=(8,),
     )
     pq = ProductQuantizer(n_subvectors=32).fit(pts, seed=0)

@@ -124,6 +124,7 @@ def build_index_from_vectors(
     seed: int = 0,
     params_override: dict | None = None,
     build_method: str = "knn",
+    opq_iters: int = 0,
 ) -> dict:
     """Build + persist a full index.
 
@@ -201,7 +202,7 @@ def build_index_from_vectors(
     if use_pq:
         t0 = time.perf_counter()
         pq = ProductQuantizer(n_subvectors=pq_rec.n_subvectors).fit(
-            vectors, seed=seed
+            vectors, seed=seed, opq_iters=opq_iters
         )
         codes = np.asarray(pq.encode(vectors))
         pq_validation = _validate_pq(pq, vectors, codes)

@@ -172,6 +172,7 @@ class DiskRAG:
             index_type=index_type or icfg.type,
             force_rebuild=force_rebuild,
             build_method=icfg.build_method,
+            opq_iters=icfg.opq_iters,
             params_override=override or None,
         )
         # record build stats on the collection (reference build_index.py:334-351)

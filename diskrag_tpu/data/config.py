@@ -89,6 +89,7 @@ class IndexConfig:
     L: Optional[int] = None
     alpha: Optional[float] = None
     build_method: str = "knn"  # knn (MXU kNN-based) | wave (insertion)
+    opq_iters: int = 0  # >0 trains an OPQ rotation with the PQ codebooks
 
 
 @dataclasses.dataclass

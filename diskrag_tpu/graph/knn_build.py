@@ -294,7 +294,10 @@ def build_vamana_knn(
     alpha_j = jnp.asarray(alpha, jnp.float32)
 
     if n_entry_points is None:
-        n_entry_points = min(512, max(n // 64, 0))
+        # coverage scales with dataset size: at 1M, 512 seeds left whole
+        # regions unreached (recall 0.65) while 4096 restored 0.999 —
+        # the seed matmul is trivial on the MXU, so err on the high side.
+        n_entry_points = min(4096, max(n // 64, 0))
 
     t0 = time.perf_counter()
     key = jax.random.key(seed)

@@ -130,9 +130,15 @@ def _frontier_search(
     max_steps: int,
     expand_width: int = 1,
     entry_points: jax.Array | None = None,
+    seed_expand_fn=None,
 ) -> SearchResult:
     """Shared best-first loop. `expand_fn(ids [B, C] clipped-safe) -> dists
     [B, C]` supplies the distance backend (exact gather-matmul or PQ/ADC).
+    `seed_expand_fn(seeds [S]) -> [B, S]` optionally supplies a cheaper
+    backend for the initial seeds: they are SHARED across the batch, so
+    one [S] gather + dense [B, S] distance beats expand_fn's per-query
+    row gathers (B*S scattered reads) by orders of magnitude once S is
+    in the thousands.
 
     `expand_width` (E) expands the E closest unexpanded candidates per
     round instead of 1 — the frontier becomes a true beam. Total expansion
@@ -162,7 +168,10 @@ def _frontier_search(
         )
     s = seeds.shape[0]
     seeds_b = jnp.broadcast_to(seeds[None, :], (b, s))
-    d0 = expand_fn(seeds_b)  # [B, S]
+    if seed_expand_fn is not None:
+        d0 = seed_expand_fn(seeds)  # [B, S]
+    else:
+        d0 = expand_fn(seeds_b)  # [B, S]
     if s > 1:
         # entry_points must be unique (build guarantees it); only the
         # medoid can repeat — mask those copies. O(S), not an O(S^2) dedup.
@@ -344,10 +353,19 @@ def beam_search(
             queries, vectors[jnp.clip(ids, 0, n - 1)], metric
         )
 
+    def seed_expand(seeds):
+        from diskrag_tpu.ops.distance import pairwise_distance
+
+        seed_vecs = vectors[seeds].astype(jnp.float32)  # one shared gather
+        return pairwise_distance(
+            queries, seed_vecs, metric
+        ).astype(jnp.float32)
+
     return _frontier_search(
         adjacency, medoid, expand, queries.shape[0],
         search_width=search_width, k=k, max_steps=max_steps,
         expand_width=expand_width, entry_points=entry_points,
+        seed_expand_fn=seed_expand,
     )
 
 
@@ -451,10 +469,16 @@ def beam_search_pq(
             return adc_lookup_gathered_pallas(tables, gathered)
         return adc_lookup_gathered(tables, gathered)
 
+    def seed_expand(seeds):
+        from diskrag_tpu.pq.product_quantizer import adc_lookup
+
+        return adc_lookup(tables, codes[seeds])  # one shared code gather
+
     res = _frontier_search(
         adjacency, medoid, expand, b,
         search_width=search_width, k=search_width, max_steps=max_steps,
         expand_width=expand_width, entry_points=entry_points,
+        seed_expand_fn=seed_expand,
     )
     if not rerank:
         return SearchResult(

@@ -170,10 +170,16 @@ def _sharded_search_impl(
                 q, vecs[jnp.clip(ids, 0, ns - 1)], metric
             )
 
+        def seed_expand(seeds):
+            from diskrag_tpu.ops.distance import pairwise_distance
+
+            return pairwise_distance(q, vecs[seeds], metric)
+
         res = _frontier_search(
             adj, med, expand, q.shape[0],
             search_width=search_width, k=k, max_steps=max_steps,
             entry_points=None if ep is None else ep[0],
+            seed_expand_fn=seed_expand,
         )
         local_ids, local_dists = res.ids, res.dists  # [Bd, k]
         gids = jnp.where(

@@ -48,6 +48,7 @@ def main() -> int:
     ap.add_argument("--widths", default="32,48,64,96,128")
     ap.add_argument("--expand", default="1,4")
     ap.add_argument("--pq-m", type=int, default=0, help="0 = skip PQ sweep")
+    ap.add_argument("--build-method", choices=["knn", "wave"], default="knn")
     ap.add_argument("--json", action="store_true", help="JSON output only")
     args = ap.parse_args()
 
@@ -58,6 +59,7 @@ def main() -> int:
         sweep_pq,
     )
     from diskrag_tpu.graph.build import build_vamana
+    from diskrag_tpu.graph.knn_build import build_vamana_knn
 
     if args.vectors:
         pts = load_vectors(args.vectors)
@@ -76,9 +78,15 @@ def main() -> int:
     expands = tuple(int(x) for x in args.expand.split(","))
 
     t0 = time.perf_counter()
-    index = build_vamana(
-        pts, degree_bound=args.R, build_width=args.L_build, alpha=args.alpha,
-    )
+    if args.build_method == "knn":
+        index = build_vamana_knn(
+            pts, degree_bound=args.R, alpha=args.alpha,
+        )
+    else:
+        index = build_vamana(
+            pts, degree_bound=args.R, build_width=args.L_build,
+            alpha=args.alpha,
+        )
     build_s = time.perf_counter() - t0
     gt = ground_truth(pts, queries, args.k)
 
@@ -98,6 +106,7 @@ def main() -> int:
     result = {
         "n": len(pts), "dim": pts.shape[1], "n_queries": len(queries),
         "R": args.R, "L_build": args.L_build, "alpha": args.alpha,
+        "build_method": args.build_method,
         "build_seconds": round(build_s, 1),
         "sweep": [
             {
