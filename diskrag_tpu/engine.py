@@ -197,7 +197,9 @@ class SearchEngine:
         """Batched vector search. Returns (dists [B,k] sqrt for L2,
         ids [B,k], stats)."""
         t0 = time.perf_counter()
-        q = jnp.asarray(np.atleast_2d(np.asarray(query_vectors, np.float32)))
+        q = jnp.asarray(query_vectors, jnp.float32)
+        if q.ndim == 1:
+            q = q[None, :]
         b = q.shape[0]
         if l_search is None:
             l_search = max(2 * k, 20)  # reference default (search_engine.py:539)

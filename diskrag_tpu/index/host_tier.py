@@ -93,7 +93,9 @@ class HostTierIndex:
 
         Returns (dists [B, k] squared, ids [B, k], stats).
         """
-        q = jnp.asarray(np.atleast_2d(queries), jnp.float32)
+        q = jnp.asarray(queries, jnp.float32)
+        if q.ndim == 1:
+            q = q[None, :]
         b = q.shape[0]
         tables = self.pq.compute_distance_tables(q)
         res: SearchResult = beam_search_pq(

@@ -122,7 +122,9 @@ class IVFIndex:
         return self.centroids.shape[0]
 
     def search(self, queries, k: int = 10, n_probe: int = 32):
-        q = jnp.asarray(np.atleast_2d(queries), jnp.float32)
+        q = jnp.asarray(queries, jnp.float32)
+        if q.ndim == 1:
+            q = q[None, :]
         n_probe = min(n_probe, self.n_cells)
         return _ivf_search_impl(
             q, self.centroids, self.tiles, self.tile_ids, self.tile_norms,

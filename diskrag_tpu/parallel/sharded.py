@@ -262,9 +262,12 @@ def _sharded_flat_impl(
 
     def local_scan(vecs, norms, gid, q):
         vecs, norms, gid = vecs[0], norms[0], gid[0]
+        ns = vecs.shape[0]
+        # single tile when the [Bd, Ns] f32 block fits ~2 GB (3.5x faster
+        # than per-tile top-k merging — see ops/flat.py)
         d, li = flat_search(
             q, vecs, norms, None, k=k, metric=metric,
-            chunk=min(32_768, vecs.shape[0]),
+            chunk=min(ns, max(32_768, (2**29) // max(q.shape[0], 1))),
         )
         gi = jnp.where(li == -1, -1, gid[jnp.clip(li, 0, vecs.shape[0] - 1)])
         d = jnp.where(gi == -1, jnp.inf, d)
