@@ -1,0 +1,228 @@
+"""Pallas TPU kernel: fused exhaustive scan + bucketed top-k selection.
+
+The XLA flat path materializes the [B, N] f32 distance matrix in HBM and
+then runs `approx_max_k` over it — at 1M x 128 that is ~4 GB of HBM
+traffic per 500-query block, ~40x the bytes of the database itself. This
+kernel fuses selection into the scan: each grid step computes one
+[BQ, T] score tile on the MXU, reduces it to per-bucket maxima on the
+VPU *while it is still in VMEM*, and folds those into a running
+[BQ, NB] best-value/best-index state. Only the candidates (NB per
+query) ever reach HBM; exact f32 rerank of those restores ordering.
+
+Selection scheme = the hardware-style bucketed approx top-k
+(column j of the database belongs to bucket j % NB): within a bucket
+only the best survives, so recall@k matches `approx_max_k` with NB
+buckets — collisions among the true top-k are rare for NB >= 8k and
+are repaired by the rerank unless both colliding ids are in the true
+top-k. No reference counterpart (the reference has no batched scan at
+all); this is the speed-of-light path for in-HBM serving.
+
+Scores are *similarities* (maximized): L2 uses 2*q.v - ||v||^2 (the
+query norm is rank-invariant); dot/cosine use q.v (cosine pre-
+normalizes the database copy).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pragma: no cover - absent on non-TPU installs
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+NEG_INF = float("-inf")
+
+
+def _scan_kernel(q_ref, db_ref, dbn_ref, bestv_ref, besti_ref, *, use_norms):
+    """One (query block, db tile) cell.
+
+    q_ref:   [BQ, D] bf16
+    db_ref:  [T, D] bf16
+    dbn_ref: [1, T] f32 squared norms (+inf at padding)
+    bestv_ref/besti_ref: [BQ, NB] running per-bucket best (accumulated
+    across the db-tile grid axis; initialized at tile 0).
+    """
+    t_idx = pl.program_id(1)
+    bq = q_ref.shape[0]
+    t = db_ref.shape[0]
+    nb = bestv_ref.shape[1]
+    f = t // nb
+
+    cross = jax.lax.dot_general(
+        q_ref[...], db_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BQ, T]
+    if use_norms:
+        score = 2.0 * cross - dbn_ref[0, :][None, :]
+    else:
+        score = jnp.where(
+            jnp.isinf(dbn_ref[0, :])[None, :], NEG_INF, cross
+        )
+
+    @pl.when(t_idx == 0)
+    def _init():
+        bestv_ref[...] = jnp.full((bq, nb), NEG_INF, jnp.float32)
+        besti_ref[...] = jnp.full((bq, nb), -1, jnp.int32)
+
+    # bucket b <- columns {j : j % NB == b}: fold each NB-wide lane-aligned
+    # segment into the running state. Static unroll over F segments (F is
+    # tiny); plain 2D compare/select throughout — no 3D reshape or argmax,
+    # which Mosaic does not lower here.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bq, nb), 1)
+    best_v = bestv_ref[...]
+    best_i = besti_ref[...]
+    for fi in range(f):
+        seg = score[:, fi * nb : (fi + 1) * nb]  # [BQ, NB]
+        seg_ids = t_idx * t + fi * nb + lane
+        upd = seg > best_v
+        best_i = jnp.where(upd, seg_ids, best_i)
+        best_v = jnp.where(upd, seg, best_v)
+    bestv_ref[...] = best_v
+    besti_ref[...] = best_i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_buckets", "query_block", "db_tile", "use_norms", "interpret"
+    ),
+)
+def scan_bucketed_topk(
+    queries_bf16: jax.Array,
+    db_bf16: jax.Array,
+    db_norms: jax.Array,
+    *,
+    n_buckets: int = 2048,
+    query_block: int = 128,
+    db_tile: int = 8192,
+    use_norms: bool = True,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused scan: returns (scores [B, NB] desc-unordered, ids [B, NB]).
+
+    queries_bf16 [B, D], db_bf16 [N, D], db_norms [N] f32 (ignored but
+    still masking padding when use_norms=False — pad rows must carry
+    +inf norms).
+
+    Defaults size for VMEM: the [query_block, db_tile] f32 score tile
+    (4 MB at 256 x 4096) plus the running [query_block, NB] state
+    (4 MB at NB=2048) plus double-buffered input tiles. Expected
+    recall@k before rerank ~ 1 - (k-1)/(2*NB) (bucket-collision bound):
+    0.998 at k=10, NB=2048.
+    """
+    b, d = queries_bf16.shape
+    n = db_bf16.shape[0]
+    nb = n_buckets
+    while nb > 128 and nb > n:
+        nb //= 2  # degenerate tiny databases
+    db_tile = max(nb, (min(db_tile, 1 << 20) // nb) * nb)
+
+    pad_q = (-b) % query_block
+    q = jnp.pad(queries_bf16, ((0, pad_q), (0, 0)))
+    pad_n = (-n) % db_tile
+    db = jnp.pad(db_bf16, ((0, pad_n), (0, 0)))
+    norms = jnp.pad(db_norms, (0, pad_n), constant_values=jnp.inf)[None, :]
+
+    n_q_blocks = q.shape[0] // query_block
+    n_tiles = db.shape[0] // db_tile
+
+    kernel = functools.partial(_scan_kernel, use_norms=use_norms)
+    grid = (n_q_blocks, n_tiles)
+    out_shape = [
+        jax.ShapeDtypeStruct((q.shape[0], nb), jnp.float32),
+        jax.ShapeDtypeStruct((q.shape[0], nb), jnp.int32),
+    ]
+    in_specs = [
+        pl.BlockSpec((query_block, d), lambda i, j: (i, 0)),
+        pl.BlockSpec((db_tile, d), lambda i, j: (j, 0)),
+        pl.BlockSpec((1, db_tile), lambda i, j: (0, j)),
+    ]
+    out_specs = [
+        pl.BlockSpec((query_block, nb), lambda i, j: (i, 0)),
+        pl.BlockSpec((query_block, nb), lambda i, j: (i, 0)),
+    ]
+    kwargs = {}
+    if pltpu is not None and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        )
+    vals, ids = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        **kwargs,
+    )(q, db, norms)
+    ids = jnp.where(ids >= n, -1, ids)
+    return vals[:b], ids[:b]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "n_buckets", "interpret")
+)
+def flat_search_fused(
+    queries: jax.Array,
+    vectors_bf16: jax.Array,
+    norms_sq: jax.Array,
+    vectors_f32: jax.Array,
+    *,
+    k: int,
+    metric: str = "l2",
+    n_buckets: int = 2048,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Exhaustive top-k via the fused Pallas scan + exact f32 rerank.
+
+    Returns (dists [B, k] ascending, ids [B, k]) — same contract as
+    `ops.flat.flat_search`. L2 and dot exact; cosine expects
+    `vectors_bf16` pre-normalized (FlatIndex handles that).
+    """
+    from diskrag_tpu.ops.distance import Metric
+
+    m = Metric(metric)
+    b, d = queries.shape
+    n = vectors_bf16.shape[0]
+    if m == Metric.COSINE:
+        qn = jnp.sqrt(jnp.sum(jnp.square(queries), -1, keepdims=True)) + 1e-12
+        qb = (queries / qn).astype(jnp.bfloat16)
+        use_norms = False
+    else:
+        qb = queries.astype(jnp.bfloat16)
+        use_norms = m == Metric.L2
+    scores, ids = scan_bucketed_topk(
+        qb, vectors_bf16, norms_sq, n_buckets=n_buckets,
+        use_norms=use_norms, interpret=interpret,
+    )
+
+    # cut the NB bucket winners down to k*rerank_mult by kernel score
+    # BEFORE touching f32 vectors: reranking all NB winners costs a
+    # [B, NB, D] gather (1 GB at NB=2048) that swamps the kernel's win.
+    kk = min(max(4 * k, 32), ids.shape[1])
+    top_s, take = jax.lax.approx_max_k(scores, kk)  # hardware-bucketed
+    ids = jnp.take_along_axis(ids, take, axis=1)
+
+    # exact f32 rerank of the surviving candidates
+    cand = vectors_f32[jnp.clip(ids, 0, n - 1)]  # [B, kk, D]
+    if m == Metric.L2:
+        qn2 = jnp.sum(jnp.square(queries), -1, keepdims=True)
+        cn2 = jnp.sum(jnp.square(cand), -1)
+        cross = jnp.einsum(
+            "bd,bkd->bk", queries, cand, precision=jax.lax.Precision.HIGHEST
+        )
+        exact = qn2 + cn2 - 2.0 * cross
+    elif m == Metric.COSINE:
+        qh = queries / (jnp.linalg.norm(queries, axis=-1, keepdims=True) + 1e-12)
+        ch = cand / (jnp.linalg.norm(cand, axis=-1, keepdims=True) + 1e-12)
+        exact = 1.0 - jnp.einsum("bd,bkd->bk", qh, ch)
+    else:
+        exact = -jnp.einsum("bd,bkd->bk", queries, cand)
+    exact = jnp.where(ids == -1, jnp.inf, exact)
+    neg, take = jax.lax.top_k(-exact, k)
+    return -neg, jnp.take_along_axis(ids, take, axis=1)

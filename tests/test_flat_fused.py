@@ -1,0 +1,70 @@
+"""Fused Pallas scan kernel (ops/flat_scan_pallas): correctness vs the
+brute-force oracle in interpret mode (CPU), all metrics, plus the
+bucket-collision recall bound."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from diskrag_tpu.benchmark import make_dataset
+from diskrag_tpu.ops.distance import brute_force_topk
+from diskrag_tpu.ops.flat_scan_pallas import flat_search_fused, scan_bucketed_topk
+
+
+def _recall(got, want):
+    k = want.shape[1]
+    return np.mean(
+        [len(set(got[i]) & set(want[i])) / k for i in range(len(got))]
+    )
+
+
+def test_fused_scan_matches_oracle_l2():
+    pts, q = make_dataset(20000, 64, 64)
+    v = jnp.asarray(pts)
+    vb = v.astype(jnp.bfloat16)
+    norms = jnp.sum(jnp.square(v), -1)
+    d, ids = flat_search_fused(
+        jnp.asarray(q), vb, norms, v, k=10, interpret=True
+    )
+    gt_d, gt_i = brute_force_topk(jnp.asarray(q), v, k=10)
+    assert _recall(np.asarray(ids), np.asarray(gt_i)) >= 0.99
+    # rerank is exact f32: the best distance must match the oracle
+    np.testing.assert_allclose(
+        np.asarray(d)[:, 0], np.asarray(gt_d)[:, 0], rtol=1e-3, atol=1e-3
+    )
+    # ascending output
+    assert (np.diff(np.asarray(d), axis=1) >= -1e-6).all()
+
+
+def test_fused_scan_cosine_and_dot():
+    pts, q = make_dataset(8000, 64, 32)
+    v = jnp.asarray(pts)
+    norms = jnp.sum(jnp.square(v), -1)
+    vb_cos = (v / jnp.linalg.norm(v, axis=1, keepdims=True)).astype(jnp.bfloat16)
+    _, ids = flat_search_fused(
+        jnp.asarray(q), vb_cos, norms, v, k=10, metric="cosine", interpret=True
+    )
+    _, gt = brute_force_topk(jnp.asarray(q), v, k=10, metric="cosine")
+    assert _recall(np.asarray(ids), np.asarray(gt)) >= 0.98
+    _, ids2 = flat_search_fused(
+        jnp.asarray(q), v.astype(jnp.bfloat16), norms, v, k=10, metric="dot",
+        interpret=True,
+    )
+    _, gt2 = brute_force_topk(jnp.asarray(q), v, k=10, metric="dot")
+    assert _recall(np.asarray(ids2), np.asarray(gt2)) >= 0.98
+
+
+def test_bucketed_topk_state_and_padding():
+    """Non-multiple N and B; padded db rows must never be returned."""
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(5000, 32)).astype(np.float32)
+    q = rng.normal(size=(7, 32)).astype(np.float32)
+    v = jnp.asarray(pts)
+    vals, ids = scan_bucketed_topk(
+        jnp.asarray(q).astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        jnp.sum(jnp.square(v), -1), n_buckets=256, interpret=True,
+    )
+    ids_np = np.asarray(ids)
+    assert ids_np.shape[0] == 7
+    assert ids_np.max() < 5000
+    # every valid bucket winner is a real row; -1 only where bucket empty
+    assert ((ids_np >= -1)).all()
