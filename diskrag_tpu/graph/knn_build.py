@@ -221,6 +221,39 @@ def _merge_block(
     return jnp.where((n_unique > r)[:, None], pruned, union_ids)
 
 
+def approx_knn_ivf(
+    vectors: jax.Array,
+    k: int,
+    *,
+    metric: str = Metric.L2.value,
+    n_probe: int = 8,
+    query_block: int = 8192,
+    seed: int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """Approximate top-k neighbors via an IVF probe instead of the full
+    scan — O(N * probed-cells) instead of O(N^2), the backend for builds
+    past a couple million points. Candidates come from each point's
+    `n_probe` nearest cells; the miss rate only perturbs the prune pool
+    (the recall gate is on the final index).
+    Returns (ids int32[N, k], dists float32[N, k]) ascending.
+    """
+    from diskrag_tpu.index.ivf import build_ivf
+
+    n = vectors.shape[0]
+    k = min(k, n - 1)
+    ivf = build_ivf(np.asarray(vectors), metric=metric, seed=seed)
+    ids_out, dists_out = [], []
+    for i in range(0, n, query_block):
+        q = vectors[i : i + query_block]
+        d, ids = ivf.search(q, k=k + 1, n_probe=n_probe)
+        gid = jnp.arange(i, i + q.shape[0], dtype=jnp.int32)[:, None]
+        d = jnp.where(ids == gid, INF, d)
+        neg, take = jax.lax.top_k(-d, k)
+        ids_out.append(jnp.take_along_axis(ids, take, axis=1))
+        dists_out.append(-neg)
+    return jnp.concatenate(ids_out), jnp.concatenate(dists_out)
+
+
 def compute_entry_points(
     vectors: jax.Array,
     n_entry: int,
@@ -266,6 +299,7 @@ def build_vamana_knn(
     query_block: int = 4096,
     wave_size: int = 2048,
     n_entry_points: int | None = None,
+    knn_backend: str = "auto",
     seed: int = 0,
     progress: bool = False,
 ) -> VamanaIndex:
@@ -275,8 +309,10 @@ def build_vamana_knn(
     candidate count (default max(64, 4R/3)); `n_random` seeded long-range
     candidates per point keep the graph connected across clusters;
     `n_entry_points` well-spread search seeds (k-means-center points,
-    default min(512, N/64)) are stored on the index and make the graph
-    navigable — searches seed from them plus the medoid.
+    default min(4096, N/64)) are stored on the index and make the graph
+    navigable — searches seed from them plus the medoid. `knn_backend`:
+    "flat" (exact, O(N^2) MXU scans), "ivf" (approximate, O(N*probe) —
+    for multi-million-point builds), or "auto" (flat below 2M points).
     """
     vectors = jnp.asarray(vectors, jnp.float32)
     n = vectors.shape[0]
@@ -314,9 +350,16 @@ def build_vamana_knn(
     if progress:
         logger.info("entry points done (%.1fs)", time.perf_counter() - t0)
 
-    knn_ids, knn_dists = exact_knn(
-        vectors, knn_k, metric=metric, query_block=query_block
-    )
+    if knn_backend == "auto":
+        knn_backend = "flat" if n <= 2_000_000 else "ivf"
+    if knn_backend == "ivf":
+        knn_ids, knn_dists = approx_knn_ivf(
+            vectors, knn_k, metric=metric, query_block=query_block, seed=seed
+        )
+    else:
+        knn_ids, knn_dists = exact_knn(
+            vectors, knn_k, metric=metric, query_block=query_block
+        )
     if progress:
         np.asarray(knn_ids[0, 0])
         logger.info("exact kNN done (%.1fs)", time.perf_counter() - t0)

@@ -49,7 +49,7 @@ class HostTierIndex:
     def from_store(cls, index_dir, cache_capacity: int = 4096) -> "HostTierIndex":
         """Open from a persisted index directory containing the packed
         record file (index.dat) + PQ artifacts."""
-        from diskrag_tpu.index.persist import IndexStore, load_index
+        from diskrag_tpu.index.persist import IndexStore
         import json
 
         store = IndexStore(index_dir)

@@ -290,8 +290,10 @@ def write_compat_records(
     )
     # interleave per record: view as bytes
     rec = np.empty((n, 4 * (dim + r)), np.uint8)
-    rec[:, : 4 * dim] = vectors.astype(np.float32).view(np.uint8).reshape(n, -1)
-    rec[:, 4 * dim:] = packed_nbrs.view(np.uint8).reshape(n, -1)
+    vec_bytes = np.ascontiguousarray(vectors.astype(np.float32))
+    rec[:, : 4 * dim] = vec_bytes.view(np.uint8).reshape(n, -1)
+    nbr_bytes = np.ascontiguousarray(packed_nbrs)
+    rec[:, 4 * dim:] = nbr_bytes.view(np.uint8).reshape(n, -1)
     tmp = pathlib.Path(path).with_suffix(".dat.tmp")
     rec.tofile(tmp)
     os.replace(tmp, path)

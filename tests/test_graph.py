@@ -195,3 +195,28 @@ def test_exact_knn_matches_brute_force(rng):
     want_d = np.take_along_axis(d_all, want, axis=1)
     np.testing.assert_allclose(got_d, want_d, rtol=1e-4, atol=1e-4)
     assert not (got == np.arange(500)[:, None]).any()
+
+
+def test_build_vamana_knn_ivf_backend(clustered_data):
+    """The approximate (IVF-probe) kNN backend must still clear the
+    recall gate — it only perturbs the prune candidate pool."""
+    from diskrag_tpu.graph.knn_build import build_vamana_knn
+
+    pts = clustered_data
+    rng = np.random.default_rng(5)
+    idx = build_vamana_knn(
+        pts, degree_bound=32, alpha=1.2, seed=3, knn_backend="ivf",
+        n_entry_points=64,
+    )
+    qi = rng.integers(0, len(pts), size=96)
+    queries = pts[qi] + rng.normal(size=(96, pts.shape[1])).astype(np.float32) * 0.1
+    res = beam_search(
+        idx.vectors, idx.adjacency, idx.medoid, jnp.asarray(queries),
+        search_width=64, k=10, expand_width=8, entry_points=idx.entry_points,
+    )
+    _, gt = brute_force_topk(jnp.asarray(queries), idx.vectors, k=10)
+    got, want = np.asarray(res.ids), np.asarray(gt)
+    recall = np.mean(
+        [len(set(got[i]) & set(want[i])) / 10 for i in range(len(got))]
+    )
+    assert recall >= 0.93, f"recall@10 = {recall}"
