@@ -260,7 +260,9 @@ def sweep_host_tier(
     points = []
     for w in widths:
         for e in expand_widths:
-            ht.search(queries[:8], search_width=w, k=k, expand_width=e)
+            # warm with the FULL batch shape: a different warmup shape
+            # leaves the real shape's compile inside the timed region
+            ht.search(queries, search_width=w, k=k, expand_width=e)
             t0 = time.perf_counter()
             for _ in range(repeats):
                 dists, ids, _ = ht.search(

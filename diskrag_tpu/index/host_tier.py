@@ -3,17 +3,22 @@ disk-resident index (mmap + beam search over on-disk records,
 reference vamana_graph.py:719-760 + io/diskann_persist.py:209-235).
 
 Memory layout (BASELINE.json config 4, "DEEP10M disk-style split"):
-  - HBM: adjacency int32[N, R] + PQ codes uint8[N, m] (+ codebooks) —
-    everything graph traversal needs;
+  - HBM: adjacency int32[N, R] + a compressed traversal representation —
+    either PQ codes uint8[N, m] (`mode="pq"`, 16-32x compression, quality
+    depends on the data's quantizability) or bfloat16 vectors
+    (`mode="bf16"`, 2x compression, near-exact ordering) — everything
+    graph traversal needs;
   - host RAM / disk: full-precision float32 vectors in the packed record
     file, served by the native batched reader (diskrag_tpu.native);
-  - query flow: ADC-guided traversal on device -> candidate pool
-    (beam ∪ visited) -> batched host gather of full vectors -> exact
-    rerank on device.
+  - query flow: compressed-guided traversal on device -> candidate pool
+    (beam ∪ visited) ids to host (a few hundred KB) -> batched host
+    gather of full vectors -> **exact rerank on the host** (numpy BLAS).
 
-The host fetch is the only host<->device traffic per batch:
-pool_size * D * 4 bytes per query, overlappable with the next batch's
-traversal (double-buffering at the serving layer).
+Reranking on the host is deliberate: the pool vectors already live
+there, and rerank FLOPs are trivial (B * P * D); shipping the pool to
+the device would move P*D*4 bytes per query across the host<->device
+link for no compute benefit (on this environment's tunneled TPU that
+link is ~3 MB/s and turned a 30k-QPS traversal into 43 QPS).
 """
 
 from __future__ import annotations
@@ -25,9 +30,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from diskrag_tpu.graph.search import SearchResult, _gathered_distance, beam_search_pq
+from diskrag_tpu.graph.search import SearchResult, beam_search, beam_search_pq
 from diskrag_tpu.native import RecordReader
-from diskrag_tpu.ops.topk import INVALID_ID, mask_duplicates
+from diskrag_tpu.ops.topk import INVALID_ID
 from diskrag_tpu.pq.product_quantizer import ProductQuantizer
 
 logger = logging.getLogger(__name__)
@@ -35,20 +40,27 @@ logger = logging.getLogger(__name__)
 
 @dataclasses.dataclass
 class HostTierIndex:
-    """Graph + codes on device, vectors on host."""
+    """Graph + compressed traversal data on device, f32 vectors on host."""
 
     adjacency: jax.Array      # [N, R] HBM
     medoid: jax.Array
-    codes: jax.Array          # [N, m] uint8 HBM
-    pq: ProductQuantizer
     reader: RecordReader      # host-side full vectors
+    mode: str = "pq"          # "pq" | "bf16"
+    codes: jax.Array | None = None          # [N, m] uint8 HBM (pq mode)
+    pq: ProductQuantizer | None = None
+    vectors_bf16: jax.Array | None = None   # [N, D] bf16 HBM (bf16 mode)
     metric: str = "l2"
-    entry_points: jax.Array | None = None  # [S] extra search seeds
+    entry_points: jax.Array | None = None   # [S] extra search seeds
 
     @classmethod
-    def from_store(cls, index_dir, cache_capacity: int = 4096) -> "HostTierIndex":
+    def from_store(
+        cls, index_dir, cache_capacity: int = 4096, mode: str | None = None
+    ) -> "HostTierIndex":
         """Open from a persisted index directory containing the packed
-        record file (index.dat) + PQ artifacts."""
+        record file (index.dat). mode None = "pq" when PQ artifacts
+        exist, else "bf16". bf16 mode streams the record file's vectors
+        to HBM chunk-wise as bfloat16 (half the f32 footprint; the f32
+        master stays host-side for rerank)."""
         from diskrag_tpu.index.persist import IndexStore
         import json
 
@@ -59,20 +71,38 @@ class HostTierIndex:
                 f"host-tier mode needs the packed record file {store.compat_path} "
                 "(save with write_compat=True)"
             )
-        # adjacency + PQ from the store; vectors stay on disk/host
+        if mode is None:
+            mode = "pq" if store.pq_model_path.exists() else "bf16"
         adjacency = jnp.asarray(np.load(store.adjacency_path))
-        with np.load(store.pq_model_path) as z:
-            pq = ProductQuantizer.from_arrays(dict(z))
-        codes = jnp.asarray(np.load(store.pq_codes_path))
         reader = RecordReader(
             store.compat_path, meta["num_points"], meta["dimension"],
             meta["R"], cache_capacity=cache_capacity,
         )
+        pq = None
+        codes = None
+        vec_bf16 = None
+        if mode == "pq":
+            with np.load(store.pq_model_path) as z:
+                pq = ProductQuantizer.from_arrays(dict(z))
+            codes = jnp.asarray(np.load(store.pq_codes_path))
+        elif mode == "bf16":
+            # mmap the f32 master and convert chunk-wise so peak device
+            # memory for this copy is N*D*2 + one chunk
+            vecs = np.load(store.vectors_path, mmap_mode="r")
+            step = 262_144
+            parts = [
+                jnp.asarray(vecs[i : i + step]).astype(jnp.bfloat16)
+                for i in range(0, vecs.shape[0], step)
+            ]
+            vec_bf16 = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        else:
+            raise ValueError(f"unknown host-tier mode: {mode}")
         eps = meta.get("entry_points")
         return cls(
             adjacency=adjacency,
             medoid=jnp.asarray(meta["medoid_idx"], jnp.int32),
-            codes=codes, pq=pq, reader=reader,
+            reader=reader, mode=mode, codes=codes, pq=pq,
+            vectors_bf16=vec_bf16,
             metric=meta.get("distance_metric", "l2"),
             entry_points=(
                 None if eps is None else jnp.asarray(eps, jnp.int32)
@@ -89,7 +119,7 @@ class HostTierIndex:
         rerank_pool: int | None = None,
         n_threads: int = 8,
     ) -> tuple[np.ndarray, np.ndarray, dict]:
-        """ADC traversal on device + host-fetched exact rerank.
+        """Compressed traversal on device + host-side exact rerank.
 
         Returns (dists [B, k] squared, ids [B, k], stats).
         """
@@ -97,13 +127,21 @@ class HostTierIndex:
         if q.ndim == 1:
             q = q[None, :]
         b = q.shape[0]
-        tables = self.pq.compute_distance_tables(q)
-        res: SearchResult = beam_search_pq(
-            self.codes, tables, self.adjacency, self.medoid,
-            search_width=search_width, k=search_width, rerank=False,
-            expand_width=expand_width, entry_points=self.entry_points,
-        )
-        # candidate pool: beam ∪ visited log
+        if self.mode == "pq":
+            tables = self.pq.compute_distance_tables(q)
+            res: SearchResult = beam_search_pq(
+                self.codes, tables, self.adjacency, self.medoid,
+                search_width=search_width, k=search_width, rerank=False,
+                expand_width=expand_width, entry_points=self.entry_points,
+            )
+        else:
+            res = beam_search(
+                self.vectors_bf16, self.adjacency, self.medoid, q,
+                search_width=search_width, k=search_width,
+                metric=self.metric, expand_width=expand_width,
+                entry_points=self.entry_points,
+            )
+        # candidate pool: beam ∪ visited log (ids only cross the link)
         pool = np.concatenate(
             [np.asarray(res.ids), np.asarray(res.visited_ids)], axis=1
         )  # [B, P]
@@ -111,20 +149,47 @@ class HostTierIndex:
         if rerank_pool is not None and p > rerank_pool:
             pool = pool[:, :rerank_pool]
             p = rerank_pool
+
         flat = pool.reshape(-1).astype(np.int64)
         vecs = self.reader.get_vectors(flat, n_threads=n_threads)
         vecs = vecs.reshape(b, p, -1)
 
-        pool_j = jnp.asarray(pool)
-        exact = _gathered_distance(q, jnp.asarray(vecs), self.metric)
-        exact = mask_duplicates(
-            pool_j, jnp.where(pool_j == INVALID_ID, jnp.inf, exact)
-        )
-        top_d, take = jax.lax.top_k(-exact, k)
-        ids = np.asarray(jnp.take_along_axis(pool_j, take, axis=1))
-        dists = np.asarray(-top_d)
+        # exact rerank where the data lives (numpy/BLAS on host)
+        q_np = np.asarray(q)
+        if self.metric == "cosine":
+            qh = q_np / (np.linalg.norm(q_np, axis=1, keepdims=True) + 1e-12)
+            vh = vecs / (np.linalg.norm(vecs, axis=2, keepdims=True) + 1e-12)
+            exact = 1.0 - np.einsum("bd,bpd->bp", qh, vh)
+        elif self.metric == "dot":
+            exact = -np.einsum("bd,bpd->bp", q_np, vecs)
+        else:
+            qn = np.sum(q_np * q_np, axis=1, keepdims=True)
+            vn = np.sum(vecs * vecs, axis=2)
+            cross = np.einsum("bd,bpd->bp", q_np, vecs)
+            exact = np.maximum(qn + vn - 2.0 * cross, 0.0)
+        exact = np.where(pool == INVALID_ID, np.inf, exact)
+        # duplicate ids keep one finite copy (sort is stable on ties)
+        order = np.argsort(exact, axis=1, kind="stable")
+        pool_sorted = np.take_along_axis(pool, order, axis=1)
+        exact_sorted = np.take_along_axis(exact, order, axis=1)
+        ids = np.full((b, k), INVALID_ID, np.int64)
+        dists = np.full((b, k), np.inf, np.float64)
+        for i in range(b):
+            seen: set[int] = set()
+            w = 0
+            for j in range(p):
+                v = int(pool_sorted[i, j])
+                if v < 0 or v in seen or not np.isfinite(exact_sorted[i, j]):
+                    continue
+                seen.add(v)
+                ids[i, w] = v
+                dists[i, w] = exact_sorted[i, j]
+                w += 1
+                if w == k:
+                    break
         stats = {
             "search_type": "host_tier",
+            "mode": self.mode,
             "nodes_visited": int(np.sum(np.asarray(res.n_expanded))),
             "host_vectors_fetched": int(len(flat)),
             "cache": self.reader.cache_stats(),

@@ -32,3 +32,28 @@ def test_host_tier_search_recall(tmp_path, clustered_data):
     assert (np.diff(dists, axis=1) >= -1e-5).all()
     d0 = ((queries[0] - pts[ids[0, 0]]) ** 2).sum()
     np.testing.assert_allclose(dists[0, 0], d0, rtol=1e-3, atol=1e-3)
+
+
+def test_host_tier_bf16_mode(tmp_path, clustered_data):
+    """bf16 traversal mode: bf16 vectors in HBM guide the search, host
+    f32 rerank restores exact ordering — near-exact recall without PQ."""
+    pts = clustered_data
+    rng = np.random.default_rng(10)
+    build_index_from_vectors(
+        pts, tmp_path / "idx", write_compat=True,
+        params_override={"R": 32, "L": 64, "alpha": 1.2},
+    )
+    ht = HostTierIndex.from_store(tmp_path / "idx", mode="bf16")
+    assert ht.mode == "bf16" and ht.vectors_bf16 is not None and ht.pq is None
+    qi = rng.integers(0, len(pts), size=32)
+    queries = pts[qi] + rng.normal(size=(32, pts.shape[1])).astype(np.float32) * 0.1
+    dists, ids, stats = ht.search(queries, search_width=64, k=10, expand_width=8)
+    assert stats["mode"] == "bf16"
+    _, gt = brute_force_topk(jnp.asarray(queries), jnp.asarray(pts), k=10)
+    gt = np.asarray(gt)
+    recall = np.mean([len(set(ids[i]) & set(gt[i])) / 10 for i in range(len(ids))])
+    assert recall >= 0.95, f"bf16 host-tier recall@10 = {recall}"
+    # no duplicate results
+    for row in ids:
+        valid = row[row >= 0]
+        assert len(np.unique(valid)) == len(valid)
