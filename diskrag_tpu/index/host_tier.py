@@ -54,7 +54,7 @@ class HostTierIndex:
 
     @classmethod
     def from_store(
-        cls, index_dir, cache_capacity: int = 4096, mode: str | None = None
+        cls, index_dir, cache_capacity: int = 65_536, mode: str | None = None
     ) -> "HostTierIndex":
         """Open from a persisted index directory containing the packed
         record file (index.dat). mode None = "pq" when PQ artifacts
@@ -150,9 +150,14 @@ class HostTierIndex:
             pool = pool[:, :rerank_pool]
             p = rerank_pool
 
-        flat = pool.reshape(-1).astype(np.int64)
-        vecs = self.reader.get_vectors(flat, n_threads=n_threads)
-        vecs = vecs.reshape(b, p, -1)
+        # dedup + sort ids before the host gather: hot nodes (entry
+        # points, hubs) appear in many queries' pools, and sorted reads
+        # turn the mmap access pattern near-sequential
+        # -1 padding clips to row 0; its distance is masked to +inf below
+        flat = np.maximum(pool.reshape(-1).astype(np.int64), 0)
+        uniq, inverse = np.unique(flat, return_inverse=True)
+        uvecs = self.reader.get_vectors(uniq, n_threads=n_threads)
+        vecs = uvecs[inverse].reshape(b, p, -1)
 
         # exact rerank where the data lives (numpy/BLAS on host)
         q_np = np.asarray(q)
