@@ -57,15 +57,53 @@ class SweepPoint:
 
 
 def ground_truth(points: np.ndarray, queries: np.ndarray, k: int) -> np.ndarray:
-    from diskrag_tpu.ops import brute_force_topk
+    """Exact top-k oracle. Tiled over the database axis with an exact
+    per-tile top-k + merge: one exact `lax.top_k` over an N-wide row is
+    pathologically slow for N in the millions, while [B, 65536]-tile
+    top-ks are cheap and the merge across tiles is exact."""
+    import functools
 
-    # chunk queries to bound the [B, N] distance matrix
+    from diskrag_tpu.ops.distance import Metric, pairwise_distance
+
+    @functools.partial(jax.jit, static_argnames=("k", "tile"))
+    def _gt(q, pts, *, k, tile):
+        n = pts.shape[0]
+        b = q.shape[0]
+        pad = (-n) % tile
+        p = jnp.pad(pts, ((0, pad), (0, 0)))
+        tiles = p.reshape(-1, tile, p.shape[1])
+
+        def step_fn(carry, inp):
+            best_d, best_i = carry
+            t, t_idx = inp
+            d = pairwise_distance(q, t, Metric.L2)
+            ids = t_idx * tile + jax.lax.broadcasted_iota(
+                jnp.int32, (b, tile), 1
+            )
+            d = jnp.where(ids < n, d, jnp.inf)
+            td, tt = jax.lax.top_k(-d, k)
+            ti = jnp.take_along_axis(ids, tt, axis=1)
+            cd = jnp.concatenate([best_d, -td], axis=1)
+            ci = jnp.concatenate([best_i, ti], axis=1)
+            neg, take = jax.lax.top_k(-cd, k)
+            return (-neg, jnp.take_along_axis(ci, take, axis=1)), None
+
+        init = (
+            jnp.full((b, k), jnp.inf, jnp.float32),
+            jnp.full((b, k), -1, jnp.int32),
+        )
+        (_, ids), _ = jax.lax.scan(
+            step_fn, init,
+            (tiles, jnp.arange(tiles.shape[0], dtype=jnp.int32)),
+        )
+        return ids
+
+    pts_j = jnp.asarray(points)
     out = []
     step = max(1, min(len(queries), 256))
+    tile = int(min(65_536, pts_j.shape[0]))
     for i in range(0, len(queries), step):
-        _, ids = brute_force_topk(
-            jnp.asarray(queries[i : i + step]), jnp.asarray(points), k=k
-        )
+        ids = _gt(jnp.asarray(queries[i : i + step]), pts_j, k=k, tile=tile)
         out.append(np.asarray(ids))
     return np.concatenate(out)
 
