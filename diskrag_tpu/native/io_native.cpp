@@ -89,14 +89,48 @@ struct Reader {
   LruShard lru[kShards];
   std::atomic<int64_t> hits{0}, misses{0};
   bool use_cache = false;
+  size_t cache_capacity = 0;
 
   const uint8_t* record(int64_t id) const {
     return base + (size_t)id * record_size;
   }
 };
 
+// Initiate kernel readahead for the pages the gather will touch.
+// Only runs when ids are ascending (the rerank path dedups+sorts);
+// nearby records coalesce into ranges so one madvise covers many page
+// faults. Without this, MADV_RANDOM on the mapping means every 4 KB
+// page faults synchronously: measured 7 MB/s cold vs ~2 GB/s warm.
+void prefetch_sorted(Reader* rd, const int64_t* ids, int64_t count) {
+  constexpr int64_t kMergeGap = 128 * 1024;  // bytes
+  const int64_t page_mask = ~(int64_t)4095;
+  int64_t start = -1, end = -1;
+  for (int64_t i = 0; i < count; ++i) {
+    int64_t id = ids[i];
+    if (id < 0 || id >= rd->n) continue;
+    if (i > 0 && ids[i] < ids[i - 1]) return;  // not sorted: skip entirely
+    int64_t off = (int64_t)((size_t)id * rd->record_size) & page_mask;
+    int64_t stop =
+        ((int64_t)((size_t)(id + 1) * rd->record_size) + 4095) & page_mask;
+    if (start < 0) {
+      start = off;
+      end = stop;
+    } else if (off - end <= kMergeGap) {
+      if (stop > end) end = stop;
+    } else {
+      madvise(const_cast<uint8_t*>(rd->base) + start, end - start,
+              MADV_WILLNEED);
+      start = off;
+      end = stop;
+    }
+  }
+  if (start >= 0)
+    madvise(const_cast<uint8_t*>(rd->base) + start, end - start,
+            MADV_WILLNEED);
+}
+
 void fetch_range(Reader* rd, const int64_t* ids, int64_t lo, int64_t hi,
-                 float* out_vecs, int32_t* out_nbrs) {
+                 float* out_vecs, int32_t* out_nbrs, bool use_cache) {
   const size_t vec_bytes = (size_t)rd->dim * 4;
   std::vector<uint8_t> tmp(rd->record_size);
   for (int64_t i = lo; i < hi; ++i) {
@@ -110,7 +144,7 @@ void fetch_range(Reader* rd, const int64_t* ids, int64_t lo, int64_t hi,
       continue;
     }
     const uint8_t* rec = nullptr;
-    if (rd->use_cache) {
+    if (use_cache) {
       LruShard& shard = rd->lru[id % kShards];
       if (shard.get(id, tmp.data(), rd->record_size)) {
         rd->hits.fetch_add(1, std::memory_order_relaxed);
@@ -136,8 +170,16 @@ void fetch_range(Reader* rd, const int64_t* ids, int64_t lo, int64_t hi,
 int gather(Reader* rd, const int64_t* ids, int64_t count, float* out_vecs,
            int32_t* out_nbrs, int32_t n_threads) {
   if (!rd || !ids || !out_vecs || count < 0) return -1;
+  // The LRU serves skewed small-batch traversal lookups. A large batch
+  // (the deduped rerank gather) streams past any cache: hit rates are
+  // low and the per-record mutex+hashmap+copy costs ~5x the read
+  // itself (measured 195 ms vs 35 ms for a warm 144k-row gather), so
+  // bypass when the batch would churn a meaningful share of the cache.
+  bool use_cache =
+      rd->use_cache && (size_t)count < rd->cache_capacity / 4;
+  if (count >= 1024) prefetch_sorted(rd, ids, count);
   if (n_threads <= 1 || count < 4096) {
-    fetch_range(rd, ids, 0, count, out_vecs, out_nbrs);
+    fetch_range(rd, ids, 0, count, out_vecs, out_nbrs, use_cache);
     return 0;
   }
   int32_t t = n_threads;
@@ -147,7 +189,8 @@ int gather(Reader* rd, const int64_t* ids, int64_t count, float* out_vecs,
     int64_t lo = i * chunk;
     int64_t hi = std::min<int64_t>(count, lo + chunk);
     if (lo >= hi) break;
-    threads.emplace_back(fetch_range, rd, ids, lo, hi, out_vecs, out_nbrs);
+    threads.emplace_back(fetch_range, rd, ids, lo, hi, out_vecs, out_nbrs,
+                         use_cache);
   }
   for (auto& th : threads) th.join();
   return 0;
@@ -186,6 +229,7 @@ void* drag_open(const char* path, int64_t n, int32_t dim, int32_t r,
   madvise(m, rd->file_size, MADV_RANDOM);
   rd->base = static_cast<const uint8_t*>(m);
   rd->use_cache = cache_capacity > 0;
+  rd->cache_capacity = rd->use_cache ? (size_t)cache_capacity : 0;
   if (rd->use_cache) {
     size_t per = (size_t)cache_capacity / kShards + 1;
     for (auto& s : rd->lru) s.capacity = per;
