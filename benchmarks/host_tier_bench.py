@@ -1,0 +1,108 @@
+"""Host-offload tier benchmark at 1M+ scale (BASELINE.json config 4:
+"disk-style split" — graph + compressed traversal data in HBM, f32
+vectors host-resident, exact rerank on the host).
+
+Builds (or reuses, via --index-dir) a kNN-built Vamana index with the
+packed record file, then sweeps the host tier and prints per-stage
+timings. Run on the real TPU:
+
+    JAX_COMPILATION_CACHE_DIR=.jax_cache python benchmarks/host_tier_bench.py \
+        --n 1000000 --mode bf16
+
+Takes ~5 min with a warm cache (graph build dominates).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--queries", type=int, default=1000)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--mode", default="bf16", choices=["bf16", "pq"])
+    ap.add_argument("--widths", type=int, nargs="+", default=[32, 48])
+    ap.add_argument("--expand", type=int, default=8)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument(
+        "--index-dir", default=None,
+        help="reuse an existing index dir instead of building",
+    )
+    ap.add_argument(
+        "--scratch", default="/tmp/diskrag_host_tier",
+        help="where to build the index if --index-dir is not given",
+    )
+    args = ap.parse_args()
+
+    from diskrag_tpu.benchmark import ground_truth, make_dataset, recall_at_k
+    from diskrag_tpu.index.host_tier import HostTierIndex
+
+    t0 = time.perf_counter()
+    pts, queries = make_dataset(args.n, args.dim, args.queries)
+    print(f"dataset {args.n}x{args.dim}: {time.perf_counter() - t0:.1f}s")
+
+    if args.index_dir:
+        index_dir = pathlib.Path(args.index_dir)
+    else:
+        index_dir = (
+            pathlib.Path(args.scratch) / f"idx_{args.n}_{args.dim}" / "index"
+        )
+        meta_p = index_dir / "meta.json"
+        if meta_p.exists() and json.loads(meta_p.read_text()).get(
+            "num_points"
+        ) == args.n and (index_dir / "index.dat").exists():
+            print(f"reusing index at {index_dir}")
+        else:
+            from diskrag_tpu.graph.knn_build import build_vamana_knn
+            from diskrag_tpu.index.persist import save_index
+
+            t0 = time.perf_counter()
+            index = build_vamana_knn(pts, degree_bound=32, progress=True)
+            build_s = time.perf_counter() - t0
+            print(f"graph build: {build_s:.1f}s")
+            t0 = time.perf_counter()
+            save_index(index_dir, index, write_compat=True)
+            print(f"persist (incl. record file): {time.perf_counter() - t0:.1f}s")
+            del index
+
+    t0 = time.perf_counter()
+    gt = ground_truth(pts, queries, args.k)
+    print(f"ground truth: {time.perf_counter() - t0:.1f}s")
+    del pts
+
+    ht = HostTierIndex.from_store(index_dir, mode=args.mode)
+    for w in args.widths:
+        # warm (full batch shape — compile + page cache)
+        ht.search(queries, search_width=w, k=args.k, expand_width=args.expand)
+        times, stats = [], None
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            dists, ids, stats = ht.search(
+                queries, search_width=w, k=args.k, expand_width=args.expand
+            )
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        rec = recall_at_k(ids, gt, args.k)
+        line = {
+            "mode": args.mode,
+            "L": w,
+            "E": args.expand,
+            "recall": round(rec, 4),
+            "qps": round(args.queries / dt, 1),
+            "batch_ms": round(dt * 1e3, 1),
+            "stage_ms": {k: round(v, 1) for k, v in stats["stage_ms"].items()},
+            "host_vectors_fetched": stats["host_vectors_fetched"],
+        }
+        print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()

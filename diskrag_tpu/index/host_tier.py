@@ -123,6 +123,9 @@ class HostTierIndex:
 
         Returns (dists [B, k] squared, ids [B, k], stats).
         """
+        import time
+
+        t0 = time.perf_counter()
         q = jnp.asarray(queries, jnp.float32)
         if q.ndim == 1:
             q = q[None, :]
@@ -141,10 +144,12 @@ class HostTierIndex:
                 metric=self.metric, expand_width=expand_width,
                 entry_points=self.entry_points,
             )
-        # candidate pool: beam ∪ visited log (ids only cross the link)
+        # candidate pool: beam ∪ visited log (ids only cross the link;
+        # the np.asarray fetch is also the traversal completion barrier)
         pool = np.concatenate(
             [np.asarray(res.ids), np.asarray(res.visited_ids)], axis=1
         )  # [B, P]
+        t1 = time.perf_counter()
         p = pool.shape[1]
         if rerank_pool is not None and p > rerank_pool:
             pool = pool[:, :rerank_pool]
@@ -158,45 +163,59 @@ class HostTierIndex:
         uniq, inverse = np.unique(flat, return_inverse=True)
         uvecs = self.reader.get_vectors(uniq, n_threads=n_threads)
         vecs = uvecs[inverse].reshape(b, p, -1)
+        t2 = time.perf_counter()
 
-        # exact rerank where the data lives (numpy/BLAS on host)
+        # exact rerank where the data lives (numpy/BLAS on host).
+        # Per-vector norms are computed once on the unique set (U rows)
+        # instead of the materialized [B, P, D] pool; the cross term is
+        # a batched GEMV (np.matmul), not einsum's C loop.
         q_np = np.asarray(q)
         if self.metric == "cosine":
             qh = q_np / (np.linalg.norm(q_np, axis=1, keepdims=True) + 1e-12)
-            vh = vecs / (np.linalg.norm(vecs, axis=2, keepdims=True) + 1e-12)
-            exact = 1.0 - np.einsum("bd,bpd->bp", qh, vh)
+            un = np.linalg.norm(uvecs, axis=1) + 1e-12
+            cos = np.matmul(vecs, qh[:, :, None])[:, :, 0]
+            exact = 1.0 - cos / un[inverse].reshape(b, p)
         elif self.metric == "dot":
-            exact = -np.einsum("bd,bpd->bp", q_np, vecs)
+            exact = -np.matmul(vecs, q_np[:, :, None])[:, :, 0]
         else:
             qn = np.sum(q_np * q_np, axis=1, keepdims=True)
-            vn = np.sum(vecs * vecs, axis=2)
-            cross = np.einsum("bd,bpd->bp", q_np, vecs)
-            exact = np.maximum(qn + vn - 2.0 * cross, 0.0)
+            un = np.sum(uvecs * uvecs, axis=1)
+            cross = np.matmul(vecs, q_np[:, :, None])[:, :, 0]
+            exact = np.maximum(
+                qn + un[inverse].reshape(b, p) - 2.0 * cross, 0.0
+            )
         exact = np.where(pool == INVALID_ID, np.inf, exact)
-        # duplicate ids keep one finite copy (sort is stable on ties)
-        order = np.argsort(exact, axis=1, kind="stable")
-        pool_sorted = np.take_along_axis(pool, order, axis=1)
-        exact_sorted = np.take_along_axis(exact, order, axis=1)
-        ids = np.full((b, k), INVALID_ID, np.int64)
-        dists = np.full((b, k), np.inf, np.float64)
-        for i in range(b):
-            seen: set[int] = set()
-            w = 0
-            for j in range(p):
-                v = int(pool_sorted[i, j])
-                if v < 0 or v in seen or not np.isfinite(exact_sorted[i, j]):
-                    continue
-                seen.add(v)
-                ids[i, w] = v
-                dists[i, w] = exact_sorted[i, j]
-                w += 1
-                if w == k:
-                    break
+        # drop duplicate ids per row (vectorized: first occurrence in
+        # id-sorted order keeps its distance, repeats are masked)
+        id_order = np.argsort(pool, axis=1, kind="stable")
+        pool_by_id = np.take_along_axis(pool, id_order, axis=1)
+        dup = np.zeros_like(pool_by_id, bool)
+        dup[:, 1:] = pool_by_id[:, 1:] == pool_by_id[:, :-1]
+        dup_mask = np.zeros_like(dup)
+        np.put_along_axis(dup_mask, id_order, dup, axis=1)
+        exact = np.where(dup_mask, np.inf, exact)
+
+        if p < k:  # keep the [B, k] output contract
+            pad = k - p
+            pool = np.pad(pool, ((0, 0), (0, pad)), constant_values=INVALID_ID)
+            exact = np.pad(exact, ((0, 0), (0, pad)), constant_values=np.inf)
+        order = np.argsort(exact, axis=1, kind="stable")[:, :k]
+        ids = np.take_along_axis(pool, order, axis=1).astype(np.int64)
+        dists = np.take_along_axis(exact, order, axis=1).astype(np.float64)
+        invalid = ~np.isfinite(dists)
+        ids[invalid] = INVALID_ID
+        dists[invalid] = np.inf
+        t3 = time.perf_counter()
         stats = {
             "search_type": "host_tier",
             "mode": self.mode,
             "nodes_visited": int(np.sum(np.asarray(res.n_expanded))),
-            "host_vectors_fetched": int(len(flat)),
+            "host_vectors_fetched": int(len(uniq)),
             "cache": self.reader.cache_stats(),
+            "stage_ms": {
+                "traverse_and_fetch": (t1 - t0) * 1e3,
+                "host_gather": (t2 - t1) * 1e3,
+                "rerank_select": (t3 - t2) * 1e3,
+            },
         }
         return dists, ids, stats
