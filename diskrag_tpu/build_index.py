@@ -112,6 +112,35 @@ def _validate_pq(
     }
 
 
+def attach_pq(
+    vectors: np.ndarray,
+    *,
+    n_subvectors: int | None = None,
+    target_accuracy: str = "balanced",
+    opq_iters: int = 0,
+    seed: int = 0,
+) -> tuple[ProductQuantizer | None, np.ndarray | None, dict | None]:
+    """Train a PQ model on an index's vectors and encode every point —
+    the counterpart of attaching a PQ model to an existing graph
+    (reference `VamanaGraphWithPQ.set_pq_model` re-encode,
+    vamana_graph.py:26-56). Returns (pq, codes, validation);
+    (None, None, None) when the adaptive tuner recommends brute force
+    (explicit `n_subvectors` overrides the tuner)."""
+    vectors = np.asarray(vectors, np.float32)
+    if n_subvectors is None:
+        rec = calculate_adaptive_pq_params(
+            len(vectors), vectors.shape[1], target_accuracy
+        )
+        if rec.recommendation == "brute_force":
+            return None, None, None
+        n_subvectors = rec.n_subvectors
+    pq = ProductQuantizer(n_subvectors=n_subvectors).fit(
+        vectors, seed=seed, opq_iters=opq_iters
+    )
+    codes = np.asarray(pq.encode(vectors))
+    return pq, codes, _validate_pq(pq, vectors, codes)
+
+
 def build_index_from_vectors(
     vectors: np.ndarray,
     index_dir,

@@ -240,8 +240,8 @@ class DiskRAG:
         """Repair a collection's index artifacts: retrain PQ from
         vectors.npy; if vectors.npy is missing but index artifacts exist,
         reconstruct it from the persisted index."""
+        from diskrag_tpu.build_index import attach_pq
         from diskrag_tpu.index.persist import IndexStore, load_index, save_index
-        from diskrag_tpu.pq import ProductQuantizer, calculate_adaptive_pq_params
 
         report: dict = {"collection": collection, "actions": []}
         vec_path = self.manager.get_vectors_path(collection)
@@ -264,17 +264,18 @@ class DiskRAG:
             return report
 
         index, pq, codes, meta = load_index(index_dir)
-        rec = calculate_adaptive_pq_params(len(vectors), vectors.shape[1])
-        if rec.recommendation != "brute_force" and (
-            pq is None or codes is None or len(codes) != len(vectors)
-        ):
-            pq = ProductQuantizer(n_subvectors=rec.n_subvectors).fit(vectors)
-            codes = np.asarray(pq.encode(vectors))
-            save_index(index_dir, index, pq=pq, pq_codes=codes, meta_extra={
-                k: v for k, v in meta.items()
-                if k not in ("use_pq", "n_subvectors", "pq_centroids")
-            })
-            report["actions"].append(f"retrained PQ (m={rec.n_subvectors})")
+        if pq is None or codes is None or len(codes) != len(vectors):
+            pq, codes, _validation = attach_pq(vectors)
+            if pq is not None:
+                save_index(
+                    index_dir, index, pq=pq, pq_codes=codes, meta_extra={
+                        k: v for k, v in meta.items()
+                        if k not in ("use_pq", "n_subvectors", "pq_centroids")
+                    },
+                )
+                report["actions"].append(
+                    f"retrained PQ (m={pq.n_subvectors})"
+                )
         report["status"] = "ok"
         return report
 

@@ -151,3 +151,18 @@ def test_opq_rotation_improves_anisotropic_data():
     # decode undoes the rotation: reconstruction lives in the original space
     rec = np.asarray(opq.decode(opq.encode(pts[:64])))
     assert ((rec - pts[:64]) ** 2).sum() < ((pts[:64]) ** 2).sum()
+
+
+def test_attach_pq(rng):
+    """Library-level set_pq_model counterpart: train + full re-encode
+    (reference vamana_graph.py:26-56)."""
+    from diskrag_tpu.build_index import attach_pq
+
+    vecs = rng.normal(size=(300, 32)).astype(np.float32)
+    pq, codes, val = attach_pq(vecs, n_subvectors=4)
+    assert codes.shape == (300, 4) and codes.dtype == np.uint8
+    assert val["encode_consistent"]
+
+    # the adaptive tuner recommends brute force below 1000 points
+    pq2, codes2, val2 = attach_pq(vecs)
+    assert pq2 is None and codes2 is None and val2 is None
