@@ -61,7 +61,14 @@ class AppState:
         base_dir: str = "collections",
         embedding_config: Optional[EmbeddingConfig] = None,
         llm_fn=None,
+        serving_mode: Optional[str] = None,
     ):
+        """`serving_mode` None reads DISKRAG_SERVING_MODE (default
+        "auto"); "host_tier" serves every collection with host-resident
+        f32 vectors (see SearchEngine)."""
+        self.serving_mode = serving_mode or os.environ.get(
+            "DISKRAG_SERVING_MODE", "auto"
+        )
         self.base_dir = base_dir
         self.manager = CollectionManager(base_dir)
         self.engines: dict[str, SearchEngine] = {}
@@ -74,7 +81,8 @@ class AppState:
     def get_engine(self, collection: str) -> SearchEngine:
         if collection not in self.engines:
             self.engines[collection] = SearchEngine(
-                collection, base_dir=self.base_dir
+                collection, base_dir=self.base_dir,
+                serving_mode=self.serving_mode,
             )
         return self.engines[collection]
 

@@ -173,6 +173,7 @@ class DiskRAG:
             force_rebuild=force_rebuild,
             build_method=icfg.build_method,
             opq_iters=icfg.opq_iters,
+            write_compat=icfg.write_compat,
             params_override=override or None,
         )
         # record build stats on the collection (reference build_index.py:334-351)
@@ -194,11 +195,14 @@ class DiskRAG:
         return gen.generate
 
     def search(
-        self, collection: str, query: str, k: int = 5, faq: bool = False
+        self, collection: str, query: str, k: int = 5, faq: bool = False,
+        serving_mode: str = "auto",
     ) -> dict:
         from diskrag_tpu.engine import SearchEngine
 
-        engine = SearchEngine(collection, base_dir=self.base_dir)
+        engine = SearchEngine(
+            collection, base_dir=self.base_dir, serving_mode=serving_mode
+        )
         fn = self._embedding_fn()
         if faq:
             return engine.faq_search(query, k=k, embedding_fn=fn)
@@ -340,6 +344,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--top-k", "-k", type=int, default=5)
     p.add_argument("--faq", action="store_true",
                    help="FAQ mode: dedup by qa_id, keep type=='faq' entries")
+    p.add_argument("--serving-mode", default="auto",
+                   choices=["auto", "host_tier"],
+                   help="host_tier: graph in HBM, f32 vectors host-resident "
+                        "(needs an index saved with compat records)")
 
     p = sub.add_parser("process-dir", help="process a whole directory")
     p.add_argument("directory")
@@ -386,7 +394,10 @@ def main(argv: Optional[list[str]] = None) -> int:
             f"({meta.get('build_seconds', 0):.1f}s)"
         )
     elif args.command == "search":
-        out = rag.search(args.collection, args.query, args.top_k, faq=args.faq)
+        out = rag.search(
+            args.collection, args.query, args.top_k, faq=args.faq,
+            serving_mode=args.serving_mode,
+        )
         _print_results(out)
     elif args.command == "list":
         infos = rag.list_collections()

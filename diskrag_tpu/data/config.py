@@ -90,6 +90,9 @@ class IndexConfig:
     alpha: Optional[float] = None
     build_method: str = "knn"  # knn (MXU kNN-based) | wave (insertion)
     opq_iters: int = 0  # >0 trains an OPQ rotation with the PQ codebooks
+    # also write the packed record file (index.dat) — required for
+    # host_tier serving (f32 vectors host-resident, rerank on host)
+    write_compat: bool = False
 
 
 @dataclasses.dataclass

@@ -42,7 +42,17 @@ class SearchEngine:
         base_dir: str = "collections",
         use_lock: bool = True,
         run_diagnostics: bool = True,
+        serving_mode: str = "auto",
     ):
+        """`serving_mode`: "auto" serves the index fully from HBM;
+        "host_tier" keeps only the graph + compressed traversal data in
+        HBM and reranks against host-resident f32 vectors (the
+        counterpart of the reference's disk-resident serving path,
+        search_engine.py:25-78 + MMapNodeReader — requires the packed
+        record file, i.e. an index saved with write_compat)."""
+        if serving_mode not in ("auto", "host_tier"):
+            raise ValueError(f"unknown serving_mode: {serving_mode}")
+        self.serving_mode = serving_mode
         self.collection_name = collection_name
         self.manager = CollectionManager(base_dir)
         info = self.manager.get_collection_info(collection_name)
@@ -89,6 +99,20 @@ class SearchEngine:
             except ValueError:
                 pass
         try:
+            if self.serving_mode == "host_tier":
+                from diskrag_tpu.index.host_tier import HostTierIndex
+
+                if self.index_type != "vamana":
+                    raise ValueError(
+                        f"host_tier serving needs a vamana index, got "
+                        f"{self.index_type}"
+                    )
+                self.host_tier = HostTierIndex.from_store(index_dir)
+                self.meta = json.loads(meta_path.read_text())
+                self.recommended_l = int(
+                    self.meta.get("recommended_search_L", 64)
+                )
+                return
             if self.index_type == "flat":
                 from diskrag_tpu.ops.flat import FlatIndex
 
@@ -211,6 +235,17 @@ class SearchEngine:
             nodes_visited = self._bf_flat.n_points * b
             n_exact = nodes_visited
             n_pq = 0
+        elif self.serving_mode == "host_tier":
+            dists, ids, ht_stats = self.host_tier.search(
+                np.asarray(q), search_width=l_search, k=k
+            )
+            search_type = "host_tier"
+            nodes_visited = ht_stats["nodes_visited"]
+            n_exact = ht_stats["host_vectors_fetched"]
+            n_pq = (
+                nodes_visited * self.host_tier.adjacency.shape[1]
+                if self.host_tier.mode == "pq" else 0
+            )
         elif self.index_type == "flat":
             dists, ids = self.flat.search(q, k=k)
             search_type = "flat"

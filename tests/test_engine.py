@@ -55,6 +55,7 @@ def faq_collection(tmp_path_factory):
     build_index_from_vectors(
         vectors, mgr.get_index_dir("faq"),
         params_override={"R": 8, "L": 16, "alpha": 1.2},
+        write_compat=True,  # lets the host_tier serving-mode test reuse this
     )
     return base
 
@@ -153,3 +154,21 @@ def test_engine_flat_and_ivf_index_types(tmp_path):
         out = eng.search("q", k=3, embedding_fn=lambda t: vecs[42])
         assert out["results"][0]["text"] == "text 42"
         assert out["stats"]["search_type"] == itype
+
+
+def test_engine_host_tier_serving_mode(faq_collection):
+    """host_tier serving: graph + compressed data on device, f32 vectors
+    host-resident, exact rerank on host — must agree with the in-HBM
+    engine on an exact self-match query."""
+    eng = SearchEngine(
+        "faq", base_dir=faq_collection / "collections",
+        serving_mode="host_tier",
+    )
+    assert not eng.brute_force_mode
+    out = eng.search(
+        "如何使用功能3?", k=3, embedding_fn=_embed(faq_collection)
+    )
+    assert out["stats"]["search_type"] == "host_tier"
+    top = out["results"][0]
+    assert "功能3" in top["text"]
+    assert top["distance"] < 0.05
