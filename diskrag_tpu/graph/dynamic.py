@@ -147,21 +147,29 @@ def consolidate(
     cand_new = np.where(
         (cand >= 0) & ~deleted[cand_safe], old_to_new[cand_safe], -1
     ).astype(np.int32)
-    # dedup per row keeping order, cap at R
+    # dedup per row keeping column order, cap at R — vectorized over row
+    # chunks: id-sorted stable argsort marks repeat occurrences, then a
+    # second stable argsort on validity compacts survivors to the front
     new_adj = np.full((n_new, r), -1, np.int32)
-    self_ids = np.arange(n_new)
-    for i in range(n_new):
-        row = cand_new[i]
-        seen: set[int] = set()
-        out = []
-        for v in row:
-            if v < 0 or v == self_ids[i] or v in seen:
-                continue
-            seen.add(v)
-            out.append(v)
-            if len(out) == r:
-                break
-        new_adj[i, : len(out)] = out
+    c = cand_new.shape[1]
+    chunk_rows = max(1, (1 << 24) // max(c, 1))
+    for lo in range(0, n_new, chunk_rows):
+        rows = cand_new[lo : lo + chunk_rows]
+        m = rows.shape[0]
+        self_col = np.arange(lo, lo + m, dtype=rows.dtype)[:, None]
+        valid = (rows >= 0) & (rows != self_col)
+        by_id = np.argsort(np.where(valid, rows, np.iinfo(np.int32).max),
+                           axis=1, kind="stable")
+        sorted_ids = np.take_along_axis(rows, by_id, axis=1)
+        dup_sorted = np.zeros_like(valid)
+        dup_sorted[:, 1:] = sorted_ids[:, 1:] == sorted_ids[:, :-1]
+        dup = np.zeros_like(valid)
+        np.put_along_axis(dup, by_id, dup_sorted, axis=1)
+        keep = valid & ~dup
+        compact = np.argsort(~keep, axis=1, kind="stable")[:, :r]
+        vals = np.take_along_axis(rows, compact, axis=1)
+        kept = np.take_along_axis(keep, compact, axis=1)
+        new_adj[lo : lo + m] = np.where(kept, vals, -1)
 
     from diskrag_tpu.ops.medoid import approximate_medoid
 

@@ -165,7 +165,10 @@ def scan_bucketed_topk(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "n_buckets", "interpret")
+    jax.jit,
+    static_argnames=(
+        "k", "metric", "n_buckets", "interpret", "rerank_mult", "db_tile"
+    ),
 )
 def flat_search_fused(
     queries: jax.Array,
@@ -177,6 +180,8 @@ def flat_search_fused(
     metric: str = "l2",
     n_buckets: int = 2048,
     interpret: bool = False,
+    rerank_mult: int = 4,
+    db_tile: int = 8192,
 ) -> tuple[jax.Array, jax.Array]:
     """Exhaustive top-k via the fused Pallas scan + exact f32 rerank.
 
@@ -198,13 +203,13 @@ def flat_search_fused(
         use_norms = m == Metric.L2
     scores, ids = scan_bucketed_topk(
         qb, vectors_bf16, norms_sq, n_buckets=n_buckets,
-        use_norms=use_norms, interpret=interpret,
+        use_norms=use_norms, interpret=interpret, db_tile=db_tile,
     )
 
     # cut the NB bucket winners down to k*rerank_mult by kernel score
     # BEFORE touching f32 vectors: reranking all NB winners costs a
     # [B, NB, D] gather (1 GB at NB=2048) that swamps the kernel's win.
-    kk = min(max(4 * k, 32), ids.shape[1])
+    kk = min(max(rerank_mult * k, 32), ids.shape[1])
     top_s, take = jax.lax.approx_max_k(scores, kk)  # hardware-bucketed
     ids = jnp.take_along_axis(ids, take, axis=1)
 
