@@ -69,7 +69,7 @@ def main() -> None:
             build_s = time.perf_counter() - t0
             print(f"graph build: {build_s:.1f}s")
             t0 = time.perf_counter()
-            save_index(index_dir, index, write_compat=True)
+            save_index(index_dir, index, write_compat=True, host_vectors=pts)
             print(f"persist (incl. record file): {time.perf_counter() - t0:.1f}s")
             del index
 

@@ -263,6 +263,7 @@ def build_index_from_vectors(
     meta = save_index(
         index_dir, index, pq=pq, pq_codes=codes,
         write_compat=write_compat,
+        host_vectors=np.asarray(vectors, np.float32),
         meta_extra={
             "L": l,
             "alpha": alpha,

@@ -253,6 +253,7 @@ def approx_knn_ivf(
     n_probe: int = 8,
     query_block: int = 8192,
     seed: int = 0,
+    cap_factor: float = 2.0,
 ) -> tuple[jax.Array, jax.Array]:
     """Approximate top-k neighbors via an IVF probe instead of the full
     scan — O(N * probed-cells) instead of O(N^2), the backend for builds
@@ -265,7 +266,12 @@ def approx_knn_ivf(
 
     n = vectors.shape[0]
     k = min(k, n - 1)
-    ivf = build_ivf(np.asarray(vectors), metric=metric, seed=seed)
+    # cap_factor sizes the padded cell tiles (cap_factor * N * D * 2
+    # bytes of HBM); past ~8M points tighten it so tiles + f32 vectors
+    # + the accumulating [N, k] result fit a 16 GB chip
+    ivf = build_ivf(
+        np.asarray(vectors), metric=metric, seed=seed, cap_factor=cap_factor
+    )
     ids_out, dists_out = [], []
     for i in range(0, n, query_block):
         q = vectors[i : i + query_block]
@@ -294,6 +300,9 @@ def compute_entry_points(
 
     n = vectors.shape[0]
     n_entry = min(n_entry, n)
+    # k-means needs enough samples per center to place them well —
+    # 65k samples for 16k centers would leave 4 points/center
+    sample_cap = max(sample_cap, 16 * n_entry)
     k_sub, k_km = jax.random.split(key)
     if n > sample_cap:
         sub = jax.random.choice(k_sub, n, (sample_cap,), replace=False)
@@ -355,9 +364,11 @@ def build_vamana_knn(
 
     if n_entry_points is None:
         # coverage scales with dataset size: at 1M, 512 seeds left whole
-        # regions unreached (recall 0.65) while 4096 restored 0.999 —
-        # the seed matmul is trivial on the MXU, so err on the high side.
-        n_entry_points = min(4096, max(n // 64, 0))
+        # regions unreached (recall 0.65) while 4096 restored 0.999; at
+        # 4M, 4096 seeds gave 0.75 and 15k restored 0.989 (32k: 0.9893,
+        # diminishing) — the seed matmul is trivial on the MXU, so err
+        # on the high side.
+        n_entry_points = min(16_384, max(n // 64, 0))
 
     t0 = time.perf_counter()
     key = jax.random.key(seed)
@@ -378,7 +389,8 @@ def build_vamana_knn(
         knn_backend = "flat" if n <= 2_000_000 else "ivf"
     if knn_backend == "ivf":
         knn_ids, knn_dists = approx_knn_ivf(
-            vectors, knn_k, metric=metric, query_block=query_block, seed=seed
+            vectors, knn_k, metric=metric, query_block=query_block, seed=seed,
+            cap_factor=2.0 if n <= 6_000_000 else 1.5,
         )
     else:
         knn_ids, knn_dists = exact_knn(
