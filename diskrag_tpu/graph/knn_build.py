@@ -143,7 +143,9 @@ def _prune_block(
     """
     n = vectors.shape[0]
     knn_ids = knn_ids_full[block_ids]
-    knn_dists = knn_dists_full[block_ids]
+    # dist tables may be stored bf16 past ~2M points (HBM budget);
+    # candidate ordering tolerates the ~0.4% relative error
+    knn_dists = knn_dists_full[block_ids].astype(jnp.float32)
     rand_ids = rand_ids_full[block_ids]
     queries = vectors[block_ids]
     rand_vecs = vectors[jnp.clip(rand_ids, 0, n - 1)]
@@ -392,6 +394,9 @@ def build_vamana_knn(
             vectors, knn_k, metric=metric, query_block=query_block, seed=seed,
             cap_factor=2.0 if n <= 6_000_000 else 1.5,
         )
+        # the [N, knn_k] f32 dist table is 2.6 GB at 10M — store bf16
+        # (cast back to f32 inside _prune_block)
+        knn_dists = knn_dists.astype(jnp.bfloat16)
     else:
         knn_ids, knn_dists = exact_knn(
             vectors, knn_k, metric=metric, query_block=query_block
