@@ -38,6 +38,69 @@ from diskrag_tpu.pq.product_quantizer import ProductQuantizer
 logger = logging.getLogger(__name__)
 
 
+def exact_rerank_pool(
+    queries: np.ndarray,
+    pool: np.ndarray,
+    reader: RecordReader,
+    *,
+    metric: str,
+    k: int,
+    n_threads: int = 8,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Host-side exact rerank of candidate-pool ids.
+
+    queries [B, D] f32, pool [B, P] int global ids (-1 = invalid) ->
+    (dists [B, k] squared/float64, ids [B, k] int64, n_unique_fetched).
+    Dedups ids before the gather (hot nodes appear in many pools; sorted
+    unique reads make the mmap access near-sequential), computes
+    per-vector norms once on the unique set, uses batched BLAS GEMV for
+    the cross term, and drops duplicate ids per row with an id-sorted
+    first-occurrence mask.
+    """
+    b, p = pool.shape
+    # -1 padding clips to row 0; its distance is masked to +inf below
+    flat = np.maximum(pool.reshape(-1).astype(np.int64), 0)
+    uniq, inverse = np.unique(flat, return_inverse=True)
+    uvecs = reader.get_vectors(uniq, n_threads=n_threads)
+    vecs = uvecs[inverse].reshape(b, p, -1)
+
+    q_np = np.asarray(queries, np.float32)
+    if metric == "cosine":
+        qh = q_np / (np.linalg.norm(q_np, axis=1, keepdims=True) + 1e-12)
+        un = np.linalg.norm(uvecs, axis=1) + 1e-12
+        cos = np.matmul(vecs, qh[:, :, None])[:, :, 0]
+        exact = 1.0 - cos / un[inverse].reshape(b, p)
+    elif metric == "dot":
+        exact = -np.matmul(vecs, q_np[:, :, None])[:, :, 0]
+    else:
+        qn = np.sum(q_np * q_np, axis=1, keepdims=True)
+        un = np.sum(uvecs * uvecs, axis=1)
+        cross = np.matmul(vecs, q_np[:, :, None])[:, :, 0]
+        exact = np.maximum(qn + un[inverse].reshape(b, p) - 2.0 * cross, 0.0)
+    exact = np.where(pool == INVALID_ID, np.inf, exact)
+    # drop duplicate ids per row (first occurrence in id-sorted order
+    # keeps its distance, repeats are masked)
+    id_order = np.argsort(pool, axis=1, kind="stable")
+    pool_by_id = np.take_along_axis(pool, id_order, axis=1)
+    dup = np.zeros_like(pool_by_id, bool)
+    dup[:, 1:] = pool_by_id[:, 1:] == pool_by_id[:, :-1]
+    dup_mask = np.zeros_like(dup)
+    np.put_along_axis(dup_mask, id_order, dup, axis=1)
+    exact = np.where(dup_mask, np.inf, exact)
+
+    if p < k:  # keep the [B, k] output contract
+        pad = k - p
+        pool = np.pad(pool, ((0, 0), (0, pad)), constant_values=INVALID_ID)
+        exact = np.pad(exact, ((0, 0), (0, pad)), constant_values=np.inf)
+    order = np.argsort(exact, axis=1, kind="stable")[:, :k]
+    ids = np.take_along_axis(pool, order, axis=1).astype(np.int64)
+    dists = np.take_along_axis(exact, order, axis=1).astype(np.float64)
+    invalid = ~np.isfinite(dists)
+    ids[invalid] = INVALID_ID
+    dists[invalid] = np.inf
+    return dists, ids, int(len(uniq))
+
+
 @dataclasses.dataclass
 class HostTierIndex:
     """Graph + compressed traversal data on device, f32 vectors on host."""
@@ -150,72 +213,22 @@ class HostTierIndex:
             [np.asarray(res.ids), np.asarray(res.visited_ids)], axis=1
         )  # [B, P]
         t1 = time.perf_counter()
-        p = pool.shape[1]
-        if rerank_pool is not None and p > rerank_pool:
+        if rerank_pool is not None and pool.shape[1] > rerank_pool:
             pool = pool[:, :rerank_pool]
-            p = rerank_pool
-
-        # dedup + sort ids before the host gather: hot nodes (entry
-        # points, hubs) appear in many queries' pools, and sorted reads
-        # turn the mmap access pattern near-sequential
-        # -1 padding clips to row 0; its distance is masked to +inf below
-        flat = np.maximum(pool.reshape(-1).astype(np.int64), 0)
-        uniq, inverse = np.unique(flat, return_inverse=True)
-        uvecs = self.reader.get_vectors(uniq, n_threads=n_threads)
-        vecs = uvecs[inverse].reshape(b, p, -1)
+        dists, ids, n_uniq = exact_rerank_pool(
+            np.asarray(q), pool, self.reader, metric=self.metric, k=k,
+            n_threads=n_threads,
+        )
         t2 = time.perf_counter()
-
-        # exact rerank where the data lives (numpy/BLAS on host).
-        # Per-vector norms are computed once on the unique set (U rows)
-        # instead of the materialized [B, P, D] pool; the cross term is
-        # a batched GEMV (np.matmul), not einsum's C loop.
-        q_np = np.asarray(q)
-        if self.metric == "cosine":
-            qh = q_np / (np.linalg.norm(q_np, axis=1, keepdims=True) + 1e-12)
-            un = np.linalg.norm(uvecs, axis=1) + 1e-12
-            cos = np.matmul(vecs, qh[:, :, None])[:, :, 0]
-            exact = 1.0 - cos / un[inverse].reshape(b, p)
-        elif self.metric == "dot":
-            exact = -np.matmul(vecs, q_np[:, :, None])[:, :, 0]
-        else:
-            qn = np.sum(q_np * q_np, axis=1, keepdims=True)
-            un = np.sum(uvecs * uvecs, axis=1)
-            cross = np.matmul(vecs, q_np[:, :, None])[:, :, 0]
-            exact = np.maximum(
-                qn + un[inverse].reshape(b, p) - 2.0 * cross, 0.0
-            )
-        exact = np.where(pool == INVALID_ID, np.inf, exact)
-        # drop duplicate ids per row (vectorized: first occurrence in
-        # id-sorted order keeps its distance, repeats are masked)
-        id_order = np.argsort(pool, axis=1, kind="stable")
-        pool_by_id = np.take_along_axis(pool, id_order, axis=1)
-        dup = np.zeros_like(pool_by_id, bool)
-        dup[:, 1:] = pool_by_id[:, 1:] == pool_by_id[:, :-1]
-        dup_mask = np.zeros_like(dup)
-        np.put_along_axis(dup_mask, id_order, dup, axis=1)
-        exact = np.where(dup_mask, np.inf, exact)
-
-        if p < k:  # keep the [B, k] output contract
-            pad = k - p
-            pool = np.pad(pool, ((0, 0), (0, pad)), constant_values=INVALID_ID)
-            exact = np.pad(exact, ((0, 0), (0, pad)), constant_values=np.inf)
-        order = np.argsort(exact, axis=1, kind="stable")[:, :k]
-        ids = np.take_along_axis(pool, order, axis=1).astype(np.int64)
-        dists = np.take_along_axis(exact, order, axis=1).astype(np.float64)
-        invalid = ~np.isfinite(dists)
-        ids[invalid] = INVALID_ID
-        dists[invalid] = np.inf
-        t3 = time.perf_counter()
         stats = {
             "search_type": "host_tier",
             "mode": self.mode,
             "nodes_visited": int(np.sum(np.asarray(res.n_expanded))),
-            "host_vectors_fetched": int(len(uniq)),
+            "host_vectors_fetched": n_uniq,
             "cache": self.reader.cache_stats(),
             "stage_ms": {
                 "traverse_and_fetch": (t1 - t0) * 1e3,
-                "host_gather": (t2 - t1) * 1e3,
-                "rerank_select": (t3 - t2) * 1e3,
+                "gather_rerank_select": (t2 - t1) * 1e3,
             },
         }
         return dists, ids, stats

@@ -7,9 +7,13 @@ TPU-native equivalents designed here:
     merged with an ICI all-gather — the analog of what GPU ANN systems do
     with NCCL;
   - data-parallel query batching over a second mesh axis;
-  - per-shard independent builds (embarrassingly parallel wave steps).
+  - per-shard independent builds (embarrassingly parallel wave steps);
+  - sharded host-offload tier: per-shard bf16 traversal in HBM, pools
+    all-gathered over ICI, one exact host rerank against the f32 record
+    file (BASELINE configs 4+5 combined).
 """
 
+from diskrag_tpu.parallel.host_tier import ShardedHostTier
 from diskrag_tpu.parallel.mesh import make_mesh
 from diskrag_tpu.parallel.sharded import (
     ShardedIndex,
@@ -21,6 +25,7 @@ from diskrag_tpu.parallel.sharded import (
 )
 
 __all__ = [
+    "ShardedHostTier",
     "make_mesh",
     "ShardedIndex",
     "build_sharded",

@@ -1,0 +1,171 @@
+"""Sharded host-offload tier — BASELINE configs 4+5 combined: each chip
+holds one shard's graph + bfloat16 traversal vectors in HBM, the
+full-precision f32 vectors stay host-resident, and per-shard candidate
+pools are merged across the mesh.
+
+Query flow:
+  1. device (shard_map over the "shard" axis): every shard runs the
+     batched bf16 frontier search on its local graph, globalizes its
+     candidate pool (beam ∪ visited log), and `all_gather`s the pools
+     over ICI — one [B, S*P] int32 tensor, no vectors cross the mesh;
+  2. host: one exact rerank over the deduped pooled ids against the f32
+     record file (diskrag_tpu.index.host_tier.exact_rerank_pool).
+
+On a real multi-host pod each host process would own its shards' record
+files and rerank only ids it owns (the merge is then a k-way host-side
+top-k over per-host results); in this single-process form one global
+record file serves all shards, which is behaviorally identical.
+
+No reference counterpart (the reference is single-process, single-tier:
+SURVEY.md §2.6); this is the TPU-native answer to "dataset larger than
+one chip's HBM *and* larger than one chip's PQ budget".
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from diskrag_tpu.graph.search import _frontier_search, _gathered_distance
+from diskrag_tpu.index.host_tier import exact_rerank_pool
+from diskrag_tpu.native import RecordReader
+from diskrag_tpu.ops.distance import Metric, pairwise_distance
+from diskrag_tpu.ops.topk import INVALID_ID
+from diskrag_tpu.parallel.sharded import ShardedIndex, shard_to_mesh
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "search_width", "k", "max_steps", "expand_width", "metric", "mesh"
+    ),
+)
+def _sharded_pool_impl(
+    vectors_bf16, adjacency, medoids, global_ids, entry_points, queries,
+    *, search_width: int, k: int, max_steps: int, expand_width: int,
+    metric: str, mesh: Mesh,
+):
+    """Per-shard bf16 traversal -> all-gathered global candidate pools.
+
+    Returns int32[B, S * (k + visited_log)] global ids (-1 invalid),
+    replicated across the shard axis.
+    """
+
+    def local_search(vecs, adj, med, gid, ep, q):
+        vecs, adj, gid = vecs[0], adj[0], gid[0]
+        med = med[0]
+        ns = vecs.shape[0]
+
+        def expand(ids):
+            return _gathered_distance(
+                q, vecs[jnp.clip(ids, 0, ns - 1)], metric
+            )
+
+        def seed_expand(seeds):
+            return pairwise_distance(q, vecs[seeds], metric)
+
+        res = _frontier_search(
+            adj, med, expand, q.shape[0],
+            search_width=search_width, k=k, max_steps=max_steps,
+            expand_width=expand_width,
+            entry_points=None if ep is None else ep[0],
+            seed_expand_fn=seed_expand,
+        )
+        pool_local = jnp.concatenate([res.ids, res.visited_ids], axis=1)
+        pool_g = jnp.where(
+            pool_local == INVALID_ID, INVALID_ID,
+            gid[jnp.clip(pool_local, 0, ns - 1)],
+        )
+        # ids only over ICI: [Bd, P] x S shards -> [Bd, S*P]
+        return jax.lax.all_gather(pool_g, "shard", axis=1, tiled=True)
+
+    ep_spec = P() if entry_points is None else P("shard", None)
+    return jax.shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(
+            P("shard", None, None),
+            P("shard", None, None),
+            P("shard"),
+            P("shard", None),
+            ep_spec,
+            P("data", None),
+        ),
+        out_specs=P("data", None),
+        check_vma=False,  # all_gather replicates over "shard"
+    )(vectors_bf16, adjacency, medoids, global_ids, entry_points, queries)
+
+
+@dataclasses.dataclass
+class ShardedHostTier:
+    """Sharded compressed-traversal tier + host-resident f32 rerank."""
+
+    vectors_bf16: jax.Array   # [S, Ns, D] bf16, sharded over "shard"
+    adjacency: jax.Array      # [S, Ns, R]
+    medoids: jax.Array        # [S]
+    global_ids: jax.Array     # [S, Ns]
+    reader: RecordReader      # global-id -> f32 vector (host)
+    mesh: Mesh
+    metric: str = Metric.L2.value
+    entry_points: jax.Array | None = None
+
+    @classmethod
+    def from_sharded_index(
+        cls, index: ShardedIndex, reader: RecordReader, mesh: Mesh
+    ) -> "ShardedHostTier":
+        """Wrap a built ShardedIndex: lay its arrays out over the mesh and
+        keep only the bf16 copy of the vectors on device (the f32 master
+        lives behind `reader`)."""
+        placed = shard_to_mesh(index, mesh)
+        return cls(
+            vectors_bf16=placed.vectors.astype(jnp.bfloat16),
+            adjacency=placed.adjacency,
+            medoids=placed.medoids,
+            global_ids=placed.global_ids,
+            reader=reader,
+            mesh=mesh,
+            metric=index.metric,
+            entry_points=placed.entry_points,
+        )
+
+    def search(
+        self,
+        queries: np.ndarray,
+        *,
+        search_width: int,
+        k: int,
+        expand_width: int = 4,
+        max_steps: int | None = None,
+        n_threads: int = 8,
+    ) -> tuple[np.ndarray, np.ndarray, dict]:
+        """Returns (dists [B, k] squared, ids [B, k] global, stats)."""
+        q = jnp.asarray(queries, jnp.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if max_steps is None:
+            max_steps = max(search_width, 16)
+        pool = np.asarray(
+            _sharded_pool_impl(
+                self.vectors_bf16, self.adjacency, self.medoids,
+                self.global_ids, self.entry_points, q,
+                search_width=search_width, k=search_width,
+                max_steps=max_steps, expand_width=expand_width,
+                metric=self.metric, mesh=self.mesh,
+            )
+        )
+        dists, ids, n_uniq = exact_rerank_pool(
+            np.asarray(q), pool, self.reader, metric=self.metric, k=k,
+            n_threads=n_threads,
+        )
+        stats = {
+            "search_type": "sharded_host_tier",
+            "n_shards": int(self.vectors_bf16.shape[0]),
+            "pool_width": int(pool.shape[1]),
+            "host_vectors_fetched": n_uniq,
+        }
+        return dists, ids, stats

@@ -80,3 +80,38 @@ def test_sharded_flat_search(clustered_data):
     ids, gt = np.asarray(ids), np.asarray(gt)
     recall = np.mean([len(set(ids[i]) & set(gt[i])) / 10 for i in range(len(ids))])
     assert recall >= 0.95, f"sharded flat recall {recall}"
+
+
+def test_sharded_host_tier(clustered_data, tmp_path):
+    """Configs 4+5 combined: per-shard bf16 traversal in HBM, one host
+    rerank over the all-gathered pools against the f32 record file."""
+    from diskrag_tpu.index.persist import write_compat_records
+    from diskrag_tpu.native import RecordReader
+    from diskrag_tpu.parallel.host_tier import ShardedHostTier
+
+    pts = clustered_data  # [2000, 64]
+    rng = np.random.default_rng(5)
+    sharded = build_sharded(pts, n_shards=4, degree_bound=24)
+    mesh = make_mesh(n_shards=4, n_data=2)
+
+    # vector-only record file (r=0): the host tier reranks, it does not
+    # traverse from the file
+    path = tmp_path / "vectors.dat"
+    write_compat_records(path, pts, np.empty((len(pts), 0), np.int32))
+    reader = RecordReader(path, len(pts), pts.shape[1], 0)
+
+    ht = ShardedHostTier.from_sharded_index(sharded, reader, mesh)
+    qi = rng.integers(0, len(pts), size=64)
+    queries = pts[qi] + rng.normal(size=(64, pts.shape[1])).astype(np.float32) * 0.1
+    dists, ids, stats = ht.search(queries, search_width=32, k=10)
+    assert stats["search_type"] == "sharded_host_tier"
+    assert stats["n_shards"] == 4
+    _, gt = brute_force_topk(jnp.asarray(queries), jnp.asarray(pts), k=10)
+    gt = np.asarray(gt)
+    recall = np.mean(
+        [len(set(ids[i]) & set(gt[i])) / 10 for i in range(len(ids))]
+    )
+    assert recall >= 0.9, f"sharded host-tier recall@10 = {recall}"
+    # exact rerank: distances ascending and correct vs direct computation
+    d0 = ((queries[0] - pts[ids[0, 0]]) ** 2).sum()
+    np.testing.assert_allclose(dists[0, 0], d0, rtol=1e-3)
