@@ -48,6 +48,12 @@ def main() -> int:
     ap.add_argument("--widths", default="32,48,64,96,128")
     ap.add_argument("--expand", default="1,4")
     ap.add_argument("--pq-m", type=int, default=0, help="0 = skip PQ sweep")
+    ap.add_argument(
+        "--host-tier", action="store_true",
+        help="also sweep the host-offload tier over beam {24,32,48,64} — "
+             "the counterpart of the reference's disk-mode sweep "
+             "(dataset_benchmark.py:132-171)",
+    )
     ap.add_argument("--build-method", choices=["knn", "wave"], default="knn")
     ap.add_argument("--json", action="store_true", help="JSON output only")
     args = ap.parse_args()
@@ -102,6 +108,18 @@ def main() -> int:
             index, pq, codes, queries, gt, k=args.k, widths=widths,
             expand_widths=expands,
         )
+    if args.host_tier:
+        import tempfile
+
+        from diskrag_tpu.benchmark import sweep_host_tier
+        from diskrag_tpu.index.persist import save_index
+
+        with tempfile.TemporaryDirectory() as td:
+            save_index(td, index, write_compat=True, host_vectors=pts)
+            points += sweep_host_tier(
+                td, queries, gt, k=args.k, widths=(24, 32, 48, 64),
+                expand_widths=(expands[-1],),
+            )
 
     result = {
         "n": len(pts), "dim": pts.shape[1], "n_queries": len(queries),
