@@ -167,7 +167,8 @@ def scan_bucketed_topk(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "metric", "n_buckets", "interpret", "rerank_mult", "db_tile"
+        "k", "metric", "n_buckets", "interpret", "rerank_mult", "db_tile",
+        "query_block",
     ),
 )
 def flat_search_fused(
@@ -182,6 +183,7 @@ def flat_search_fused(
     interpret: bool = False,
     rerank_mult: int = 4,
     db_tile: int = 8192,
+    query_block: int = 128,
 ) -> tuple[jax.Array, jax.Array]:
     """Exhaustive top-k via the fused Pallas scan + exact f32 rerank.
 
@@ -204,6 +206,7 @@ def flat_search_fused(
     scores, ids = scan_bucketed_topk(
         qb, vectors_bf16, norms_sq, n_buckets=n_buckets,
         use_norms=use_norms, interpret=interpret, db_tile=db_tile,
+        query_block=query_block,
     )
 
     # cut the NB bucket winners down to k*rerank_mult by kernel score
