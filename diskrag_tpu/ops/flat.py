@@ -147,6 +147,7 @@ class FlatIndex:
         vectors: np.ndarray | jax.Array,
         metric: str = "l2",
         use_fused: bool | None = None,
+        fused_precision: str = "bf16",
     ):
         self.vectors = jnp.asarray(vectors, jnp.float32)
         self.vectors_bf16 = self.vectors.astype(jnp.bfloat16)
@@ -156,12 +157,19 @@ class FlatIndex:
             use_fused = jax.default_backend() not in ("cpu",)
         self.use_fused = use_fused
         self._fused_db = None
+        self._fused_db_scales = None
         if use_fused:
             if self.metric == Metric.COSINE.value:
                 inv = jax.lax.rsqrt(self.norms_sq + 1e-12)[:, None]
-                self._fused_db = (self.vectors * inv).astype(jnp.bfloat16)
+                scan_src = self.vectors * inv
             else:
-                self._fused_db = self.vectors_bf16
+                scan_src = self.vectors
+            if fused_precision == "int8":
+                from diskrag_tpu.ops.flat_scan_pallas import quantize_int8
+
+                self._fused_db, self._fused_db_scales = quantize_int8(scan_src)
+            else:
+                self._fused_db = scan_src.astype(jnp.bfloat16)
 
     @property
     def n_points(self) -> int:
@@ -186,7 +194,7 @@ class FlatIndex:
 
             return flat_search_fused(
                 q, self._fused_db, self.norms_sq, self.vectors, k=k,
-                metric=self.metric,
+                metric=self.metric, db_scales=self._fused_db_scales,
             )
         if chunk is not None:
             return flat_search(

@@ -53,6 +53,46 @@ def test_fused_scan_cosine_and_dot():
     assert _recall(np.asarray(ids2), np.asarray(gt2)) >= 0.98
 
 
+def test_fused_scan_int8_matches_oracle():
+    """int8 path: per-vector-scaled s8 x s8 -> s32 scan + f32 rerank."""
+    from diskrag_tpu.ops.flat_scan_pallas import quantize_int8
+
+    pts, q = make_dataset(20000, 64, 64)
+    v = jnp.asarray(pts)
+    norms = jnp.sum(jnp.square(v), -1)
+    codes, scales = quantize_int8(v)
+    d, ids = flat_search_fused(
+        jnp.asarray(q), codes, norms, v, k=10, interpret=True,
+        db_scales=scales,
+    )
+    gt_d, gt_i = brute_force_topk(jnp.asarray(q), v, k=10)
+    assert _recall(np.asarray(ids), np.asarray(gt_i)) >= 0.99
+    np.testing.assert_allclose(
+        np.asarray(d)[:, 0], np.asarray(gt_d)[:, 0], rtol=1e-3, atol=1e-3
+    )
+    # cosine: quantize the normalized database
+    vb_cos = v / jnp.linalg.norm(v, axis=1, keepdims=True)
+    codes_c, scales_c = quantize_int8(vb_cos)
+    _, ids_c = flat_search_fused(
+        jnp.asarray(q), codes_c, norms, v, k=10, metric="cosine",
+        interpret=True, db_scales=scales_c,
+    )
+    _, gt_c = brute_force_topk(jnp.asarray(q), v, k=10, metric="cosine")
+    assert _recall(np.asarray(ids_c), np.asarray(gt_c)) >= 0.98
+
+
+def test_quantize_int8_roundtrip():
+    from diskrag_tpu.ops.flat_scan_pallas import quantize_int8
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(100, 32)).astype(np.float32) * 5.0
+    x[7] = 0.0  # all-zero row must not divide by zero
+    codes, scales = quantize_int8(jnp.asarray(x))
+    back = np.asarray(codes, np.float32) * np.asarray(scales)[:, None]
+    np.testing.assert_allclose(back, x, atol=np.abs(x).max() / 127 + 1e-6)
+    assert np.asarray(codes)[7].max() == 0
+
+
 def test_bucketed_topk_state_and_padding():
     """Non-multiple N and B; padded db rows must never be returned."""
     rng = np.random.default_rng(0)
