@@ -99,12 +99,14 @@ def exact_knn(
 
             # NB=4096 keeps bucket-collision loss under 1% at the
             # build's k≈66 (expected tail loss (k-1)/(2*NB)); db_tile
-            # shrinks to 4096 so score tile + running state + double-
-            # buffered inputs stay under the 16 MB VMEM budget
+            # shrinks to 4096 and the kernel query block is pinned to
+            # 128 so score tile + [qb, NB] running state + double-
+            # buffered inputs stay under the 16 MB scoped-VMEM budget
+            # (the serving default qb=1024 only fits NB<=512)
             d, ids = flat_search_fused(
                 q, vec_scan, norms, vectors, k=k + 1, metric=metric,
                 rerank_mult=max(rerank_mult, 4), n_buckets=4096,
-                db_tile=4096,
+                db_tile=4096, query_block=128,
             )
         else:
             d, ids = flat_search(

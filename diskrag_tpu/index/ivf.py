@@ -1,5 +1,5 @@
-"""IVF-Flat index: k-means cells stored as padded tiles, probed with
-streaming matmuls.
+"""IVF-Flat index: k-means cells stored as padded int8 tiles, probed
+with streaming matmuls.
 
 The second in-HBM index family (next to FlatIndex and the Vamana graph).
 TPU-native rationale: cluster members live in contiguous [cap, D] tiles,
@@ -31,16 +31,18 @@ INVALID_ID = -1
 def _ivf_search_impl(
     queries,        # [B, D] f32
     centroids,      # [C, D] f32
-    tiles,          # [C, cap, D] bf16
+    tiles,          # [C, cap, D] bf16 or int8 (with tile_scales)
     tile_ids,       # [C, cap] int32
     tile_norms,     # [C, cap] f32 squared norms (inf at padding)
     vectors_f32,    # [N, D] f32
+    tile_scales=None,  # [C, cap] f32 per-row dequant scales (int8 tiles)
     *, k: int, n_probe: int, metric: str,
 ):
     m = Metric(metric)
     b, d = queries.shape
     c, cap, _ = tiles.shape
     n = vectors_f32.shape[0]
+    int8 = tiles.dtype == jnp.int8
 
     # pick cells: [B, C] centroid distances -> top n_probe
     qc = jax.lax.dot_general(
@@ -53,19 +55,30 @@ def _ivf_search_impl(
         cd = -qc
     _, probe = jax.lax.top_k(-cd, n_probe)  # [B, P]
 
-    qb = queries.astype(jnp.bfloat16)
+    if int8:
+        from diskrag_tpu.ops.flat_scan_pallas import quantize_int8
+
+        qb, q_scales = quantize_int8(queries)  # [B, D] s8, [B]
+    else:
+        qb = queries.astype(jnp.bfloat16)
     qn2 = jnp.sum(jnp.square(queries), -1, keepdims=True)
     kk = min(4 * k, cap * n_probe)
 
     def probe_step(carry, p_idx):
         best_d, best_i = carry
         cells = probe[:, p_idx]  # [B]
-        tile = tiles[cells]      # [B, cap, D] bf16 (contiguous tile reads)
+        tile = tiles[cells]      # [B, cap, D] (contiguous tile reads)
         ids = tile_ids[cells]    # [B, cap]
         vn = tile_norms[cells]   # [B, cap] precomputed
-        cross = jnp.einsum(
-            "bd,bcd->bc", qb, tile, preferred_element_type=jnp.float32
-        )
+        if int8:
+            cross = jnp.einsum(
+                "bd,bcd->bc", qb, tile, preferred_element_type=jnp.int32
+            ).astype(jnp.float32)
+            cross = cross * q_scales[:, None] * tile_scales[cells]
+        else:
+            cross = jnp.einsum(
+                "bd,bcd->bc", qb, tile, preferred_element_type=jnp.float32
+            )
         if m == Metric.L2:
             dist = qn2 + vn - 2.0 * cross
         elif m == Metric.COSINE:
@@ -107,11 +120,12 @@ def _ivf_search_impl(
 @dataclasses.dataclass
 class IVFIndex:
     centroids: jax.Array    # [C, D] f32
-    tiles: jax.Array        # [C, cap, D] bf16
+    tiles: jax.Array        # [C, cap, D] int8 (default) or bf16
     tile_ids: jax.Array     # [C, cap] int32, -1 pad
     tile_norms: jax.Array   # [C, cap] f32 squared norms
     vectors: jax.Array      # [N, D] f32 (rerank master)
     metric: str = "l2"
+    tile_scales: jax.Array | None = None  # [C, cap] f32 (int8 tiles only)
 
     @property
     def n_points(self) -> int:
@@ -128,7 +142,8 @@ class IVFIndex:
         n_probe = min(n_probe, self.n_cells)
         return _ivf_search_impl(
             q, self.centroids, self.tiles, self.tile_ids, self.tile_norms,
-            self.vectors, k=k, n_probe=n_probe, metric=self.metric,
+            self.vectors, self.tile_scales, k=k, n_probe=n_probe,
+            metric=self.metric,
         )
 
 
@@ -141,9 +156,12 @@ def build_ivf(
     max_train: int = 131_072,
     cap_factor: float = 2.0,
     kmeans_iters: int = 20,
+    tile_precision: str = "int8",
 ) -> IVFIndex:
     """Train cells (batched k-means), assign with capacity-aware spill to
-    the next-nearest cell, and lay members out as padded bf16 tiles."""
+    the next-nearest cell, and lay members out as padded scan tiles
+    (per-vector-scaled int8 by default — half the probed-gather bytes and
+    2x the MXU rate of bf16; the f32 rerank keeps ordering exact)."""
     vectors = np.asarray(vectors, np.float32)
     n, d = vectors.shape
     if n_cells is None:
@@ -214,11 +232,25 @@ def build_ivf(
     tile_norms = np.sum(tiles * tiles, axis=-1, dtype=np.float32)
     tile_norms[tile_ids == INVALID_ID] = np.inf
 
+    tile_scales = None
+    if tile_precision == "int8":
+        absmax = np.max(np.abs(tiles), axis=-1)
+        scales = absmax / 127.0
+        inv = np.where(scales > 0, 1.0 / np.where(scales > 0, scales, 1.0), 0.0)
+        tiles_q = np.clip(
+            np.round(tiles * inv[..., None]), -127, 127
+        ).astype(np.int8)
+        tiles_j = jnp.asarray(tiles_q)
+        tile_scales = jnp.asarray(scales, jnp.float32)
+    else:
+        tiles_j = jnp.asarray(tiles, jnp.bfloat16)
+
     return IVFIndex(
         centroids=jnp.asarray(centroids),
-        tiles=jnp.asarray(tiles, jnp.bfloat16),
+        tiles=tiles_j,
         tile_ids=jnp.asarray(tile_ids),
         tile_norms=jnp.asarray(tile_norms),
         vectors=jnp.asarray(vectors),
         metric=Metric(metric).value,
+        tile_scales=tile_scales,
     )

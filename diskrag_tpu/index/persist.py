@@ -274,14 +274,23 @@ def load_ivf_index(index_dir: str | os.PathLike):
     tiles[tile_ids == INVALID_ID] = 0.0
     tile_norms = np.sum(tiles * tiles, axis=-1, dtype=np.float32)
     tile_norms[tile_ids == INVALID_ID] = np.inf
+    # int8 scan tiles (the serving default) are derived, not persisted:
+    # the f32 master holds all information
+    absmax = np.max(np.abs(tiles), axis=-1)
+    scales = absmax / 127.0
+    inv = np.where(scales > 0, 1.0 / np.where(scales > 0, scales, 1.0), 0.0)
+    tiles_q = np.clip(np.round(tiles * inv[..., None]), -127, 127).astype(
+        np.int8
+    )
     return (
         IVFIndex(
             centroids=jnp.asarray(centroids),
-            tiles=jnp.asarray(tiles, jnp.bfloat16),
+            tiles=jnp.asarray(tiles_q),
             tile_ids=jnp.asarray(tile_ids),
             tile_norms=jnp.asarray(tile_norms),
             vectors=jnp.asarray(vectors),
             metric=meta.get("distance_metric", "l2"),
+            tile_scales=jnp.asarray(scales, jnp.float32),
         ),
         meta,
     )

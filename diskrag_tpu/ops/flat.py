@@ -133,13 +133,16 @@ def flat_search(
 
 
 class FlatIndex:
-    """In-HBM exhaustive index (bf16 scan copy + f32 master + norms).
+    """In-HBM exhaustive index (scan copy + f32 master + norms).
 
     On TPU the scan runs through the fused Pallas kernel
     (`ops/flat_scan_pallas.py`: matmul + bucketed top-k in VMEM, no
-    [B, N] score matrix in HBM) — measured 573k QPS at 200k x 128 /
-    201k at 1M vs 351k / 87k for the XLA path. `use_fused=False` (or a
-    CPU backend) selects the XLA single-tile path.
+    [B, N] score matrix in HBM), by default with the int8 scan copy —
+    measured 745k QPS at 200k x 128 / 272k at 1M vs 667k / 220k for the
+    bf16 kernel and 351k / 87k for the XLA path, at equal recall (the
+    f32 rerank keeps result ordering exact either way).
+    `use_fused=False` (or a CPU backend) selects the XLA single-tile
+    path; `fused_precision="bf16"` keeps the bf16 scan copy.
     """
 
     def __init__(
@@ -147,10 +150,10 @@ class FlatIndex:
         vectors: np.ndarray | jax.Array,
         metric: str = "l2",
         use_fused: bool | None = None,
-        fused_precision: str = "bf16",
+        fused_precision: str = "int8",
     ):
         self.vectors = jnp.asarray(vectors, jnp.float32)
-        self.vectors_bf16 = self.vectors.astype(jnp.bfloat16)
+        self._vectors_bf16 = None
         self.norms_sq = jnp.sum(jnp.square(self.vectors), axis=-1)
         self.metric = Metric(metric).value
         if use_fused is None:
@@ -170,6 +173,14 @@ class FlatIndex:
                 self._fused_db, self._fused_db_scales = quantize_int8(scan_src)
             else:
                 self._fused_db = scan_src.astype(jnp.bfloat16)
+
+    @property
+    def vectors_bf16(self) -> jax.Array:
+        """bf16 copy for the XLA scan path — built lazily so the fused
+        default doesn't hold a third, unused database copy in HBM."""
+        if self._vectors_bf16 is None:
+            self._vectors_bf16 = self.vectors.astype(jnp.bfloat16)
+        return self._vectors_bf16
 
     @property
     def n_points(self) -> int:

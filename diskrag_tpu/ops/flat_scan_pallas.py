@@ -108,9 +108,9 @@ def scan_bucketed_topk(
     db_bf16: jax.Array,
     db_norms: jax.Array,
     *,
-    n_buckets: int = 2048,
-    query_block: int = 128,
-    db_tile: int = 8192,
+    n_buckets: int = 512,
+    query_block: int = 1024,
+    db_tile: int = 2048,
     use_norms: bool = True,
     interpret: bool = False,
     q_scales: jax.Array | None = None,
@@ -127,11 +127,14 @@ def scan_bucketed_topk(
     of bf16 and 2x the MXU rate; per-vector-scaled int8 dot error
     (~0.4%/127 rms over D=128) is below bf16's 8-bit-mantissa rounding.
 
-    Defaults size for VMEM: the [query_block, db_tile] f32 score tile
-    (4 MB at 256 x 4096) plus the running [query_block, NB] state
-    (4 MB at NB=2048) plus double-buffered input tiles. Expected
-    recall@k before rerank ~ 1 - (k-1)/(2*NB) (bucket-collision bound):
-    0.998 at k=10, NB=2048.
+    Defaults (swept on v5e, 2026-08): query_block=1024, db_tile=2048,
+    n_buckets=512. VMEM budget rule: the [QB, T] f32 score tile +
+    [QB, NB] f32+s32 running state + double-buffered input tiles must
+    fit the 16 MB scoped-VMEM limit — the default is 8 MB + 4 MB + ~1 MB;
+    QB=1024 with NB=1024, or T=4096 with QB>=512, exceeds it and fails
+    to compile. Expected recall@k before rerank ~ 1 - (k-1)/(2*NB)
+    (bucket-collision bound): 0.991 at k=10, NB=512; raise n_buckets
+    (dropping query_block to compensate) for tighter recall.
     """
     b, d = queries_bf16.shape
     n = db_bf16.shape[0]
@@ -142,6 +145,9 @@ def scan_bucketed_topk(
     while nb > 128 and nb > n:
         nb //= 2  # degenerate tiny databases
     db_tile = max(nb, (min(db_tile, 1 << 20) // nb) * nb)
+    # don't pad a small batch up to a huge query block: cap the block at
+    # the batch rounded to the 128-row MXU tile (same kernel, fewer rows)
+    query_block = min(query_block, max(128, -(-b // 128) * 128))
 
     pad_q = (-b) % query_block
     q = jnp.pad(queries_bf16, ((0, pad_q), (0, 0)))
@@ -219,11 +225,11 @@ def flat_search_fused(
     *,
     k: int,
     metric: str = "l2",
-    n_buckets: int = 2048,
+    n_buckets: int = 512,
     interpret: bool = False,
     rerank_mult: int = 4,
-    db_tile: int = 8192,
-    query_block: int = 128,
+    db_tile: int = 2048,
+    query_block: int = 1024,
     db_scales: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exhaustive top-k via the fused Pallas scan + exact f32 rerank.

@@ -23,7 +23,7 @@ def test_fused_scan_matches_oracle_l2():
     vb = v.astype(jnp.bfloat16)
     norms = jnp.sum(jnp.square(v), -1)
     d, ids = flat_search_fused(
-        jnp.asarray(q), vb, norms, v, k=10, interpret=True
+        jnp.asarray(q), vb, norms, v, k=10, n_buckets=2048, interpret=True
     )
     gt_d, gt_i = brute_force_topk(jnp.asarray(q), v, k=10)
     assert _recall(np.asarray(ids), np.asarray(gt_i)) >= 0.99
@@ -62,8 +62,8 @@ def test_fused_scan_int8_matches_oracle():
     norms = jnp.sum(jnp.square(v), -1)
     codes, scales = quantize_int8(v)
     d, ids = flat_search_fused(
-        jnp.asarray(q), codes, norms, v, k=10, interpret=True,
-        db_scales=scales,
+        jnp.asarray(q), codes, norms, v, k=10, n_buckets=2048,
+        interpret=True, db_scales=scales,
     )
     gt_d, gt_i = brute_force_topk(jnp.asarray(q), v, k=10)
     assert _recall(np.asarray(ids), np.asarray(gt_i)) >= 0.99
