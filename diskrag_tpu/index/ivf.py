@@ -234,12 +234,9 @@ def build_ivf(
 
     tile_scales = None
     if tile_precision == "int8":
-        absmax = np.max(np.abs(tiles), axis=-1)
-        scales = absmax / 127.0
-        inv = np.where(scales > 0, 1.0 / np.where(scales > 0, scales, 1.0), 0.0)
-        tiles_q = np.clip(
-            np.round(tiles * inv[..., None]), -127, 127
-        ).astype(np.int8)
+        from diskrag_tpu.ops.flat_scan_pallas import quantize_int8
+
+        tiles_q, scales = quantize_int8(tiles)
         tiles_j = jnp.asarray(tiles_q)
         tile_scales = jnp.asarray(scales, jnp.float32)
     else:

@@ -247,6 +247,7 @@ def save_ivf_index(
         "n_cells": int(ivf.n_cells),
         "cell_capacity": int(ivf.tile_ids.shape[1]),
         "distance_metric": ivf.metric,
+        "tile_precision": "int8" if str(ivf.tiles.dtype) == "int8" else "bf16",
         "use_pq": False,
     }
     if meta_extra:
@@ -274,23 +275,26 @@ def load_ivf_index(index_dir: str | os.PathLike):
     tiles[tile_ids == INVALID_ID] = 0.0
     tile_norms = np.sum(tiles * tiles, axis=-1, dtype=np.float32)
     tile_norms[tile_ids == INVALID_ID] = np.inf
-    # int8 scan tiles (the serving default) are derived, not persisted:
-    # the f32 master holds all information
-    absmax = np.max(np.abs(tiles), axis=-1)
-    scales = absmax / 127.0
-    inv = np.where(scales > 0, 1.0 / np.where(scales > 0, scales, 1.0), 0.0)
-    tiles_q = np.clip(np.round(tiles * inv[..., None]), -127, 127).astype(
-        np.int8
-    )
+    # scan tiles are derived, not persisted: the f32 master holds all
+    # information; the build's precision choice is honored via meta
+    tile_scales = None
+    if meta.get("tile_precision", "int8") == "int8":
+        from diskrag_tpu.ops.flat_scan_pallas import quantize_int8
+
+        tiles_q, scales = quantize_int8(tiles)
+        tiles_j = jnp.asarray(tiles_q)
+        tile_scales = jnp.asarray(scales, jnp.float32)
+    else:
+        tiles_j = jnp.asarray(tiles, jnp.bfloat16)
     return (
         IVFIndex(
             centroids=jnp.asarray(centroids),
-            tiles=jnp.asarray(tiles_q),
+            tiles=tiles_j,
             tile_ids=jnp.asarray(tile_ids),
             tile_norms=jnp.asarray(tile_norms),
             vectors=jnp.asarray(vectors),
             metric=meta.get("distance_metric", "l2"),
-            tile_scales=jnp.asarray(scales, jnp.float32),
+            tile_scales=tile_scales,
         ),
         meta,
     )

@@ -173,6 +173,9 @@ class FlatIndex:
                 self._fused_db, self._fused_db_scales = quantize_int8(scan_src)
             else:
                 self._fused_db = scan_src.astype(jnp.bfloat16)
+                if self.metric != Metric.COSINE.value:
+                    # identical to what the XLA path would build — share it
+                    self._vectors_bf16 = self._fused_db
 
     @property
     def vectors_bf16(self) -> jax.Array:

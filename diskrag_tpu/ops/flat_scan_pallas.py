@@ -28,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 try:  # pragma: no cover - absent on non-TPU installs
@@ -124,8 +125,9 @@ def scan_bucketed_topk(
 
     int8 mode: pass int8 queries/db plus `q_scales` [B] / `db_scales` [N]
     f32 per-vector dequant scales (`quantize_int8`). Half the HBM bytes
-    of bf16 and 2x the MXU rate; per-vector-scaled int8 dot error
-    (~0.4%/127 rms over D=128) is below bf16's 8-bit-mantissa rounding.
+    of bf16 and 2x the MXU rate; per-vector-scaled int8 dot error is
+    comparable to bf16's 8-bit-mantissa rounding (pre-rerank recall
+    measured identical at equal NB on 200k/1M x 128).
 
     Defaults (swept on v5e, 2026-08): query_block=1024, db_tile=2048,
     n_buckets=512. VMEM budget rule: the [QB, T] f32 score tile +
@@ -200,13 +202,18 @@ def scan_bucketed_topk(
     return vals[:b], ids[:b]
 
 
-def quantize_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Per-vector symmetric int8 quantization: codes [N, D] int8 and
-    dequant scales [N] f32 (x ~= codes * scales[:, None])."""
-    x = x.astype(jnp.float32)
-    s = jnp.max(jnp.abs(x), axis=-1) / 127.0
-    inv = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
-    codes = jnp.clip(jnp.round(x * inv[:, None]), -127, 127).astype(jnp.int8)
+def quantize_int8(x) -> tuple:
+    """Per-vector symmetric int8 quantization over the last axis:
+    codes [..., D] int8 and dequant scales [...] f32
+    (x ~= codes * scales[..., None]). Accepts jax or numpy input and
+    returns matching array types (numpy stays on the host — used by the
+    IVF build/load paths to quantize tiles without a device round trip).
+    """
+    xp = np if isinstance(x, np.ndarray) else jnp
+    x = x.astype(xp.float32)
+    s = xp.max(xp.abs(x), axis=-1) / 127.0
+    inv = xp.where(s > 0, 1.0 / xp.where(s > 0, s, 1.0), 0.0)
+    codes = xp.clip(xp.round(x * inv[..., None]), -127, 127).astype(xp.int8)
     return codes, s
 
 
@@ -241,6 +248,13 @@ def flat_search_fused(
     int8 path: pass int8 codes as `vectors_bf16` plus their per-vector
     `db_scales` (for cosine, quantize the *normalized* database);
     queries are quantized on the fly.
+
+    The bucket count auto-scales with k: the collision bound
+    1 - (k-1)/(2*NB) needs NB ~ 50*(k-1) to stay ≈0.99, so large-k
+    requests (k=100 reranks fine at NB=8192; k > NB would crash the
+    final top_k outright) widen NB beyond `n_buckets` and narrow the
+    query block to hold the [QB, NB] running state + [QB, T] score tile
+    inside the 16 MB scoped-VMEM budget.
     """
     from diskrag_tpu.ops.distance import Metric
 
@@ -248,6 +262,16 @@ def flat_search_fused(
     b, d = queries.shape
     n = vectors_bf16.shape[0]
     int8 = vectors_bf16.dtype == jnp.int8
+
+    while n_buckets < min(50 * (k - 1), 1 << 15):
+        n_buckets *= 2
+    if k > n_buckets:
+        raise ValueError(f"k={k} too large for the fused scan (max 32768)")
+    db_tile = max(db_tile, n_buckets)  # scan_bucketed_topk needs T % NB == 0
+    # 12 MB working-set budget (of the 16 MB scoped-VMEM limit, leaving
+    # room for double-buffered input tiles): QB*(T*4 + NB*8) bytes
+    fit = (12 << 20) // (db_tile * 4 + n_buckets * 8) // 8 * 8
+    query_block = max(8, min(query_block, fit))
     if m == Metric.COSINE:
         qn = jnp.sqrt(jnp.sum(jnp.square(queries), -1, keepdims=True)) + 1e-12
         qf = queries / qn

@@ -81,6 +81,39 @@ def test_fused_scan_int8_matches_oracle():
     assert _recall(np.asarray(ids_c), np.asarray(gt_c)) >= 0.98
 
 
+def test_fused_scan_default_geometry():
+    """The shipped default config (NB=512/QB=1024/T=2048, int8) against
+    the oracle — the exact path FlatIndex.search serves."""
+    from diskrag_tpu.ops.flat_scan_pallas import quantize_int8
+
+    pts, q = make_dataset(20000, 64, 64)
+    v = jnp.asarray(pts)
+    norms = jnp.sum(jnp.square(v), -1)
+    codes, scales = quantize_int8(v)
+    d, ids = flat_search_fused(
+        jnp.asarray(q), codes, norms, v, k=10, interpret=True,
+        db_scales=scales,
+    )
+    _, gt_i = brute_force_topk(jnp.asarray(q), v, k=10)
+    # NB=512 bucket-collision bound: 1 - 9/1024 = 0.991
+    assert _recall(np.asarray(ids), np.asarray(gt_i)) >= 0.98
+
+
+def test_fused_scan_large_k_autoscales_buckets():
+    """k=100 must widen NB past the 512 default (the collision bound at
+    NB=512 would fall to ~0.90) and not crash the final top_k."""
+    pts, q = make_dataset(20000, 32, 16)
+    v = jnp.asarray(pts)
+    norms = jnp.sum(jnp.square(v), -1)
+    d, ids = flat_search_fused(
+        jnp.asarray(q), v.astype(jnp.bfloat16), norms, v, k=100,
+        interpret=True,
+    )
+    assert ids.shape == (16, 100)
+    _, gt_i = brute_force_topk(jnp.asarray(q), v, k=100)
+    assert _recall(np.asarray(ids), np.asarray(gt_i)) >= 0.97
+
+
 def test_quantize_int8_roundtrip():
     from diskrag_tpu.ops.flat_scan_pallas import quantize_int8
 

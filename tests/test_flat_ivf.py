@@ -55,3 +55,20 @@ def test_ivf_build_and_search(clustered_data, rng):
     _, got = idx.search(queries, k=10, n_probe=8)
     rec = _recall(np.asarray(got), np.asarray(gt))
     assert rec >= 0.9, f"ivf n_probe=8 recall {rec}"
+
+
+def test_ivf_tile_precision_persisted(clustered_data, tmp_path):
+    """A bf16-tile build must stay bf16 across a save/load round trip
+    (tile_precision is recorded in meta, not silently re-quantized)."""
+    from diskrag_tpu.index.persist import load_ivf_index, save_ivf_index
+
+    pts = clustered_data
+    for prec, dtype in (("bf16", jnp.bfloat16), ("int8", jnp.int8)):
+        idx = build_ivf(pts, n_cells=32, seed=0, tile_precision=prec)
+        assert idx.tiles.dtype == dtype
+        d = tmp_path / prec
+        save_ivf_index(d, idx)
+        loaded, meta = load_ivf_index(d)
+        assert meta["tile_precision"] == prec
+        assert loaded.tiles.dtype == dtype
+        assert (loaded.tile_scales is None) == (prec == "bf16")
