@@ -56,7 +56,9 @@ class SweepPoint:
     expand_width: int = 1
 
 
-def ground_truth(points: np.ndarray, queries: np.ndarray, k: int) -> np.ndarray:
+def ground_truth(
+    points: np.ndarray, queries: np.ndarray, k: int, metric: str = "l2"
+) -> np.ndarray:
     """Exact top-k oracle. Tiled over the database axis with an exact
     per-tile top-k + merge: one exact `lax.top_k` over an N-wide row is
     pathologically slow for N in the millions, while [B, 65536]-tile
@@ -64,6 +66,8 @@ def ground_truth(points: np.ndarray, queries: np.ndarray, k: int) -> np.ndarray:
     import functools
 
     from diskrag_tpu.ops.distance import Metric, pairwise_distance
+
+    metric = Metric(metric)
 
     @functools.partial(jax.jit, static_argnames=("k", "tile"))
     def _gt(q, pts, *, k, tile):
@@ -76,7 +80,7 @@ def ground_truth(points: np.ndarray, queries: np.ndarray, k: int) -> np.ndarray:
         def step_fn(carry, inp):
             best_d, best_i = carry
             t, t_idx = inp
-            d = pairwise_distance(q, t, Metric.L2)
+            d = pairwise_distance(q, t, metric)
             ids = t_idx * tile + jax.lax.broadcasted_iota(
                 jnp.int32, (b, tile), 1
             )

@@ -55,6 +55,12 @@ def main() -> int:
              "(dataset_benchmark.py:132-171)",
     )
     ap.add_argument("--build-method", choices=["knn", "wave"], default="knn")
+    ap.add_argument(
+        "--metric", choices=["l2", "cosine", "dot"], default="l2",
+        help="distance metric (cosine covers the angular/GloVe-style "
+             "configuration; the PQ sweep is L2-only and is skipped "
+             "for other metrics)",
+    )
     ap.add_argument("--json", action="store_true", help="JSON output only")
     args = ap.parse_args()
 
@@ -86,19 +92,22 @@ def main() -> int:
     t0 = time.perf_counter()
     if args.build_method == "knn":
         index = build_vamana_knn(
-            pts, degree_bound=args.R, alpha=args.alpha,
+            pts, degree_bound=args.R, alpha=args.alpha, metric=args.metric,
         )
     else:
         index = build_vamana(
             pts, degree_bound=args.R, build_width=args.L_build,
-            alpha=args.alpha,
+            alpha=args.alpha, metric=args.metric,
         )
     build_s = time.perf_counter() - t0
-    gt = ground_truth(pts, queries, args.k)
+    gt = ground_truth(pts, queries, args.k, metric=args.metric)
 
     points = sweep_exact(
         index, queries, gt, k=args.k, widths=widths, expand_widths=expands
     )
+    if args.pq_m and args.metric != "l2":
+        print(f"(--pq-m skipped: the ADC tables are L2-only, metric={args.metric})")
+        args.pq_m = 0
     if args.pq_m:
         from diskrag_tpu.pq import ProductQuantizer
 
@@ -124,6 +133,7 @@ def main() -> int:
     result = {
         "n": len(pts), "dim": pts.shape[1], "n_queries": len(queries),
         "R": args.R, "L_build": args.L_build, "alpha": args.alpha,
+        "metric": args.metric,
         "build_method": args.build_method,
         "build_seconds": round(build_s, 1),
         "sweep": [

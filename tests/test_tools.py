@@ -8,6 +8,29 @@ from diskrag_tpu.tools.verify_installation import verify_installation
 from diskrag_tpu.utils.profiling import PhaseTimer, block_and_time
 
 
+def test_dataset_benchmark_cosine_cli(capsys):
+    """--metric cosine runs the full sweep path (GloVe-style angular
+    config) and skips the L2-only PQ sweep with a note."""
+    import json
+    import sys
+    from unittest import mock
+
+    from diskrag_tpu.tools import dataset_benchmark
+
+    argv = [
+        "dataset_benchmark", "--n", "2000", "--dim", "16", "--n-queries",
+        "32", "--metric", "cosine", "--widths", "16", "--expand", "2",
+        "--pq-m", "4", "--json",
+    ]
+    with mock.patch.object(sys, "argv", argv):
+        assert dataset_benchmark.main() == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    result = json.loads(out[-1])
+    assert result["metric"] == "cosine"
+    assert all(p["mode"] != "pq" for p in result["sweep"])
+    assert max(p["recall"] for p in result["sweep"]) >= 0.95
+
+
 def test_verify_index_ok(tmp_path, clustered_data):
     pts = clustered_data[:500]
     build_index_from_vectors(
