@@ -181,10 +181,14 @@ def build_ivf(
     )
     centroids = np.asarray(centers[0])  # [C, D]
 
-    # top-4 cell choices per point (chunked)
+    # top-4 cell choices per point (chunked). The chunk scales down with
+    # the cell count: the [step, C] distance block lives twice on device
+    # (cross + dist) and async dispatch keeps ~2 iterations in flight, so
+    # a fixed 65k step at C≈12k cells (N=10M) peaks at >13 GB and OOMs a
+    # 16 GB chip — cap the in-flight block at ~256 MB per array instead.
     choices = np.empty((n, 4), np.int32)
     cj = jnp.asarray(centroids)
-    step = 65_536
+    step = max(4096, min(65_536, (1 << 26) // max(n_cells, 1)) // 512 * 512)
     for i in range(0, n, step):
         q = jnp.asarray(vectors[i : i + step])
         cross = jnp.matmul(q, cj.T, precision=jax.lax.Precision.HIGHEST)
