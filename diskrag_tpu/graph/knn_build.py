@@ -68,8 +68,8 @@ def exact_knn(
     rerank_mult: int = 2,
 ) -> tuple[jax.Array, jax.Array]:
     """Near-exact top-k neighbors for every database point (self
-    excluded): tiled bf16 MXU scan, hardware approx-top-k per tile, f32
-    rerank of the kept k*rerank_mult candidates per query block
+    excluded): fused int8 MXU scan on TPU (tiled bf16 XLA scan on CPU),
+    f32 rerank of the kept k*rerank_mult candidates per query block
     (`ops/flat.py`). Block/chunk/rerank_mult defaults are the measured
     sweet spot on v5e at 200k x 128 (2.6-5s for all 200k x 200k);
     occasional tail-candidate misses are irrelevant to graph quality —
@@ -86,11 +86,13 @@ def exact_knn(
     # selection traffic, not the matmul, dominated the build's kNN pass.
     use_fused = jax.default_backend() not in ("cpu",)
     if use_fused:
+        from diskrag_tpu.ops.flat_scan_pallas import quantize_int8
+
         if metric == Metric.COSINE.value:
             inv = jax.lax.rsqrt(norms + 1e-12)[:, None]
-            vec_scan = (vectors * inv).astype(jnp.bfloat16)
+            vec_scan, scan_scales = quantize_int8(vectors * inv)
         else:
-            vec_scan = vec_bf16
+            vec_scan, scan_scales = quantize_int8(vectors)
     ids_out, dists_out = [], []
     for i in range(0, n, query_block):
         q = vectors[i : i + query_block]
@@ -106,7 +108,7 @@ def exact_knn(
             d, ids = flat_search_fused(
                 q, vec_scan, norms, vectors, k=k + 1, metric=metric,
                 rerank_mult=max(rerank_mult, 4), n_buckets=4096,
-                db_tile=4096, query_block=128,
+                db_tile=4096, query_block=128, db_scales=scan_scales,
             )
         else:
             d, ids = flat_search(
@@ -171,6 +173,39 @@ def _prune_block(
     return out_ids, out_dists
 
 
+def _incoming_tables_host(
+    out_ids: jax.Array,
+    out_dists: jax.Array,
+    *,
+    max_incoming: int,
+    n: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Host-numpy version of `_incoming_tables` for edge counts whose
+    device lexsort workspace (several [N*R] arrays + sort scratch) would
+    not fit HBM next to the vectors and edge tables — ~480M edges at 10M
+    points x R=48. np.lexsort of that size takes ~1-2 min and ~20 GB of
+    host RAM; the device tables come back as int32 ids + bf16 dists."""
+    import ml_dtypes
+
+    r = out_ids.shape[1]
+    t = np.asarray(out_ids).reshape(-1)
+    d = np.asarray(out_dists).astype(np.float32).reshape(-1)
+    s = np.repeat(np.arange(n, dtype=np.int32), r)
+    tk = np.where(t == INVALID_ID, n, t)
+    order = np.lexsort((d, tk))
+    t_s, s_s, d_s = tk[order], s[order], d[order]
+    del order, t, d, tk
+    node_ids = np.arange(n)
+    start = np.searchsorted(t_s, node_ids, side="left")
+    end = np.searchsorted(t_s, node_ids, side="right")
+    pos = start[:, None] + np.arange(max_incoming)[None, :]
+    ok = pos < end[:, None]
+    pos = np.clip(pos, 0, n * r - 1)
+    inc_ids = np.where(ok, s_s[pos], INVALID_ID).astype(np.int32)
+    inc_dists = np.where(ok, d_s[pos], np.inf).astype(ml_dtypes.bfloat16)
+    return jnp.asarray(inc_ids), jnp.asarray(inc_dists)
+
+
 @functools.partial(
     jax.jit, static_argnames=("max_incoming", "n")
 )
@@ -193,7 +228,7 @@ def _incoming_tables(
     e = n * r
 
     targets = out_ids.reshape(-1)
-    dists = out_dists.reshape(-1)
+    dists = out_dists.astype(jnp.float32).reshape(-1)
     sources = jnp.repeat(jnp.arange(n, dtype=jnp.int32), r)
     tkey = jnp.where(targets == INVALID_ID, n, targets)
     order = jnp.lexsort((dists, tkey))
@@ -233,9 +268,10 @@ def _merge_block(
     n = vectors.shape[0]
     r = degree_bound
     out_ids = out_ids_full[block_ids]
-    out_dists = out_dists_full[block_ids]
+    # tables may be stored bf16 past ~3M points (HBM budget)
+    out_dists = out_dists_full[block_ids].astype(jnp.float32)
     inc_ids = inc_ids_full[block_ids]
-    inc_dists = inc_dists_full[block_ids]
+    inc_dists = inc_dists_full[block_ids].astype(jnp.float32)
     cand_ids = jnp.concatenate([out_ids, inc_ids], axis=1)
     cand_dists = jnp.concatenate([out_dists, inc_dists], axis=1)
     masked = mask_duplicates(cand_ids, cand_dists)
@@ -276,6 +312,13 @@ def approx_knn_ivf(
     ivf = build_ivf(
         np.asarray(vectors), metric=metric, seed=seed, cap_factor=cap_factor
     )
+    # build_ivf round-trips through numpy and would otherwise hold a
+    # SECOND full device copy of the vectors for its rerank master —
+    # 5.1 GB at 10M x 128. Point it at the caller's buffer instead.
+    ivf.vectors = jnp.asarray(vectors)
+    # accumulate per-block results on the HOST: keeping ~1.2k block
+    # arrays device-resident plus the final concatenate peaks at ~2x
+    # the [N, k+1] table and OOMs a 16 GB chip at 10M
     ids_out, dists_out = [], []
     for i in range(0, n, query_block):
         q = vectors[i : i + query_block]
@@ -283,9 +326,10 @@ def approx_knn_ivf(
         gid = jnp.arange(i, i + q.shape[0], dtype=jnp.int32)[:, None]
         d = jnp.where(ids == gid, INF, d)
         neg, take = jax.lax.top_k(-d, k)
-        ids_out.append(jnp.take_along_axis(ids, take, axis=1))
-        dists_out.append(-neg)
-    return jnp.concatenate(ids_out), jnp.concatenate(dists_out)
+        ids_out.append(np.asarray(jnp.take_along_axis(ids, take, axis=1)))
+        dists_out.append(np.asarray(-neg))
+    del ivf
+    return np.concatenate(ids_out), np.concatenate(dists_out)
 
 
 def compute_entry_points(
@@ -392,13 +436,18 @@ def build_vamana_knn(
     if knn_backend == "auto":
         knn_backend = "flat" if n <= 2_000_000 else "ivf"
     if knn_backend == "ivf":
-        knn_ids, knn_dists = approx_knn_ivf(
+        knn_ids_np, knn_dists_np = approx_knn_ivf(
             vectors, knn_k, metric=metric, query_block=query_block, seed=seed,
             cap_factor=2.0 if n <= 6_000_000 else 1.5,
         )
-        # the [N, knn_k] f32 dist table is 2.6 GB at 10M — store bf16
-        # (cast back to f32 inside _prune_block)
-        knn_dists = knn_dists.astype(jnp.bfloat16)
+        # the [N, knn_k] f32 dist table is 2.6 GB at 10M — cast to bf16
+        # on the host and upload that (f32 upload + device cast would
+        # transiently hold both); f32 restored inside _prune_block
+        import ml_dtypes
+
+        knn_ids = jnp.asarray(knn_ids_np)
+        knn_dists = jnp.asarray(knn_dists_np.astype(ml_dtypes.bfloat16))
+        del knn_ids_np, knn_dists_np
     else:
         knn_ids, knn_dists = exact_knn(
             vectors, knn_k, metric=metric, query_block=query_block
@@ -421,8 +470,13 @@ def build_vamana_knn(
         ids_all = jnp.concatenate([ids_all, ids_all[:pad]])
     blocks = np.asarray(ids_all).reshape(-1, wave_size)
 
+    # past a few million points the edge tables are HBM-budgeted: dists
+    # stored bf16 (f32 restored per block inside the jitted programs) and
+    # the reverse-edge grouping runs on the host
+    huge = n * degree_bound > (150 << 20)
+    dist_dtype = jnp.bfloat16 if huge else jnp.float32
     out_ids = jnp.zeros((n, degree_bound), jnp.int32)
-    out_dists = jnp.zeros((n, degree_bound), jnp.float32)
+    out_dists = jnp.zeros((n, degree_bound), dist_dtype)
     for blk in blocks:
         b = jnp.asarray(blk)
         o_ids, o_dists = _prune_block(
@@ -430,12 +484,14 @@ def build_vamana_knn(
             degree_bound=degree_bound, metric=metric,
         )
         out_ids = out_ids.at[b].set(o_ids)
-        out_dists = out_dists.at[b].set(o_dists)
+        out_dists = out_dists.at[b].set(o_dists.astype(dist_dtype))
+    del knn_ids, knn_dists, rand_ids  # [N, k] tables — 4 GB at 10M
     if progress:
         np.asarray(out_ids[0, 0])
         logger.info("alpha-prune done (%.1fs)", time.perf_counter() - t0)
 
-    inc_ids, inc_dists = _incoming_tables(
+    inc_fn = _incoming_tables_host if huge else _incoming_tables
+    inc_ids, inc_dists = inc_fn(
         out_ids, out_dists, max_incoming=max_incoming, n=n
     )
 

@@ -197,6 +197,32 @@ def test_exact_knn_matches_brute_force(rng):
     assert not (got == np.arange(500)[:, None]).any()
 
 
+def test_incoming_tables_host_matches_device(rng):
+    """The host-numpy reverse-edge grouping (used past ~150M edges where
+    the device lexsort workspace exceeds HBM) must agree with the device
+    version up to within-target distance ties."""
+    from diskrag_tpu.graph.knn_build import (
+        _incoming_tables,
+        _incoming_tables_host,
+    )
+
+    n, r, mi = 300, 8, 6
+    ids = rng.integers(-1, n, size=(n, r)).astype(np.int32)
+    dists = np.where(
+        ids == -1, np.inf, rng.random(size=(n, r)).astype(np.float32)
+    )
+    di, dd = _incoming_tables(
+        jnp.asarray(ids), jnp.asarray(dists), max_incoming=mi, n=n
+    )
+    hi, hd = _incoming_tables_host(
+        jnp.asarray(ids), jnp.asarray(dists), max_incoming=mi, n=n
+    )
+    np.testing.assert_array_equal(np.asarray(di), np.asarray(hi))
+    np.testing.assert_allclose(
+        np.asarray(dd), np.asarray(hd).astype(np.float32), rtol=1e-2
+    )
+
+
 def test_build_vamana_knn_ivf_backend(clustered_data):
     """The approximate (IVF-probe) kNN backend must still clear the
     recall gate — it only perturbs the prune candidate pool."""
