@@ -197,6 +197,20 @@ def test_exact_knn_matches_brute_force(rng):
     assert not (got == np.arange(500)[:, None]).any()
 
 
+def test_entry_points_random_path_at_scale(rng):
+    """Past 20k seeds the entry-point picker switches from k-means to
+    random sampling — ids must be unique, in range, and the full count."""
+    import jax
+
+    from diskrag_tpu.graph.knn_build import compute_entry_points
+
+    pts = jnp.asarray(rng.normal(size=(30_000, 8)).astype(np.float32))
+    eps = compute_entry_points(pts, 20_000, jax.random.key(0))
+    assert len(eps) == 20_000
+    assert len(np.unique(eps)) == len(eps)
+    assert eps.min() >= 0 and eps.max() < 30_000
+
+
 def test_incoming_tables_host_matches_device(rng):
     """The host-numpy reverse-edge grouping (used past ~150M edges where
     the device lexsort workspace exceeds HBM) must agree with the device
