@@ -36,6 +36,11 @@ def main() -> None:
         "--index-dir", default=None,
         help="reuse an existing index dir instead of building",
     )
+    ap.add_argument("--R", type=int, default=32)
+    ap.add_argument(
+        "--knn-probe", type=int, default=8,
+        help="IVF-probe width for the kNN build backend (>2M points)",
+    )
     ap.add_argument(
         "--scratch", default="/tmp/diskrag_host_tier",
         help="where to build the index if --index-dir is not given",
@@ -65,7 +70,10 @@ def main() -> None:
             from diskrag_tpu.index.persist import save_index
 
             t0 = time.perf_counter()
-            index = build_vamana_knn(pts, degree_bound=32, progress=True)
+            index = build_vamana_knn(
+                pts, degree_bound=args.R, knn_probe=args.knn_probe,
+                progress=True,
+            )
             build_s = time.perf_counter() - t0
             print(f"graph build: {build_s:.1f}s")
             t0 = time.perf_counter()

@@ -392,6 +392,7 @@ def build_vamana_knn(
     wave_size: int = 2048,
     n_entry_points: int | None = None,
     knn_backend: str = "auto",
+    knn_probe: int = 8,
     seed: int = 0,
     progress: bool = False,
 ) -> VamanaIndex:
@@ -449,7 +450,7 @@ def build_vamana_knn(
     if knn_backend == "ivf":
         knn_ids_np, knn_dists_np = approx_knn_ivf(
             vectors, knn_k, metric=metric, query_block=query_block, seed=seed,
-            cap_factor=2.0 if n <= 6_000_000 else 1.5,
+            n_probe=knn_probe, cap_factor=2.0 if n <= 6_000_000 else 1.5,
         )
         # the [N, knn_k] f32 dist table is 2.6 GB at 10M — cast to bf16
         # on the host and upload that (f32 upload + device cast would
