@@ -45,6 +45,16 @@ def main() -> None:
         "--scratch", default="/tmp/diskrag_host_tier",
         help="where to build the index if --index-dir is not given",
     )
+    ap.add_argument(
+        "--pipeline-chunk", type=int, default=0,
+        help="chunk size for search_pipelined (0 = unpipelined search)",
+    )
+    ap.add_argument(
+        "--stream", type=int, default=1,
+        help="replicate the query batch this many times and measure "
+        "steady-state pipelined throughput across the stream (keeps the "
+        "full batch per dispatch; overlap happens across batches)",
+    )
     args = ap.parse_args()
 
     from diskrag_tpu.benchmark import ground_truth, make_dataset, recall_at_k
@@ -72,7 +82,7 @@ def main() -> None:
             t0 = time.perf_counter()
             index = build_vamana_knn(
                 pts, degree_bound=args.R, knn_probe=args.knn_probe,
-                progress=True,
+                progress=True, checkpoint_dir=index_dir.parent / "ckpt",
             )
             build_s = time.perf_counter() - t0
             print(f"graph build: {build_s:.1f}s")
@@ -82,33 +92,68 @@ def main() -> None:
             del index
 
     t0 = time.perf_counter()
-    gt = ground_truth(pts, queries, args.k)
-    print(f"ground truth: {time.perf_counter() - t0:.1f}s")
+    gt_path = (
+        pathlib.Path(args.scratch)
+        / f"gt_{args.n}_{args.dim}_{args.queries}_{args.k}.npy"
+    )
+    if gt_path.exists():
+        gt = np.load(gt_path)
+        print(f"ground truth (cached): {time.perf_counter() - t0:.1f}s")
+    else:
+        gt = ground_truth(pts, queries, args.k)
+        gt_path.parent.mkdir(parents=True, exist_ok=True)
+        np.save(gt_path, gt)
+        print(f"ground truth: {time.perf_counter() - t0:.1f}s")
     del pts
 
     ht = HostTierIndex.from_store(index_dir, mode=args.mode)
+
+    n_total = args.queries * args.stream
+    stream_q = (
+        np.tile(queries, (args.stream, 1)) if args.stream > 1 else queries
+    )
+
+    def run(w):
+        if args.stream > 1:
+            return ht.search_pipelined(
+                stream_q, search_width=w, k=args.k,
+                expand_width=args.expand,
+                chunk=args.pipeline_chunk or args.queries,
+            )
+        if args.pipeline_chunk:
+            return ht.search_pipelined(
+                queries, search_width=w, k=args.k,
+                expand_width=args.expand, chunk=args.pipeline_chunk,
+            )
+        return ht.search(
+            queries, search_width=w, k=args.k, expand_width=args.expand
+        )
+
     for w in args.widths:
-        # warm (full batch shape — compile + page cache)
-        ht.search(queries, search_width=w, k=args.k, expand_width=args.expand)
+        # warm (full batch shape — compile + page cache); when pipelining,
+        # this also warms the chunk shape
+        run(w)
         times, stats = [], None
         for _ in range(args.repeats):
             t0 = time.perf_counter()
-            dists, ids, stats = ht.search(
-                queries, search_width=w, k=args.k, expand_width=args.expand
-            )
+            dists, ids, stats = run(w)
             times.append(time.perf_counter() - t0)
         dt = min(times)
-        rec = recall_at_k(ids, gt, args.k)
+        rec = recall_at_k(ids[: args.queries], gt, args.k)
         line = {
             "mode": args.mode,
             "L": w,
             "E": args.expand,
             "recall": round(rec, 4),
-            "qps": round(args.queries / dt, 1),
+            "qps": round(n_total / dt, 1),
             "batch_ms": round(dt * 1e3, 1),
             "stage_ms": {k: round(v, 1) for k, v in stats["stage_ms"].items()},
             "host_vectors_fetched": stats["host_vectors_fetched"],
         }
+        if args.pipeline_chunk:
+            line["pipeline_chunk"] = args.pipeline_chunk
+        if args.stream > 1:
+            line["stream"] = args.stream
         print(json.dumps(line))
 
 

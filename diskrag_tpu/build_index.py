@@ -154,6 +154,7 @@ def build_index_from_vectors(
     params_override: dict | None = None,
     build_method: str = "knn",
     opq_iters: int = 0,
+    checkpoint_dir=None,
 ) -> dict:
     """Build + persist a full index.
 
@@ -166,6 +167,9 @@ def build_index_from_vectors(
       - "ivf": IVF-flat cells;
       - "auto": flat under 100k points (the scan wins there on TPU),
         else vamana.
+
+    `checkpoint_dir`: mid-build checkpoint/resume for the long ivf-kNN
+    phase of multi-million-point knn builds (graph/checkpoint.py).
     """
     store = IndexStore(index_dir)
     if store.exists() and not force_rebuild:
@@ -249,7 +253,7 @@ def build_index_from_vectors(
 
         index = build_vamana_knn(
             vectors, degree_bound=r, alpha=alpha, metric=metric,
-            seed=seed, progress=True,
+            seed=seed, progress=True, checkpoint_dir=checkpoint_dir,
         )
     elif build_method == "wave":
         index = build_vamana(

@@ -151,6 +151,7 @@ class DiskRAG:
     def build_index(
         self, collection: str, target_quality: str = "balanced",
         force_rebuild: bool = False, index_type: str | None = None,
+        checkpoint_dir: str | None = None,
     ) -> dict:
         from diskrag_tpu.build_index import build_index_from_vectors
 
@@ -175,6 +176,7 @@ class DiskRAG:
             opq_iters=icfg.opq_iters,
             write_compat=icfg.write_compat,
             params_override=override or None,
+            checkpoint_dir=checkpoint_dir,
         )
         # record build stats on the collection (reference build_index.py:334-351)
         info = self.manager.get_collection_info(collection)
@@ -337,6 +339,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--index-type", choices=["vamana", "flat", "ivf", "auto"],
                    default=None, help="default: config index.type (vamana)")
     p.add_argument("--force-rebuild", action="store_true")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="mid-build checkpoint/resume dir for long builds")
 
     p = sub.add_parser("search", help="search a collection")
     p.add_argument("collection")
@@ -385,7 +389,7 @@ def main(argv: Optional[list[str]] = None) -> int:
     elif args.command == "index":
         meta = rag.build_index(
             args.collection, args.target_quality, args.force_rebuild,
-            index_type=args.index_type,
+            index_type=args.index_type, checkpoint_dir=args.checkpoint_dir,
         )
         print(
             f"index built: type={meta.get('index_type', 'vamana')} "

@@ -53,6 +53,9 @@ class SearchEngine:
         if serving_mode not in ("auto", "host_tier"):
             raise ValueError(f"unknown serving_mode: {serving_mode}")
         self.serving_mode = serving_mode
+        # host-tier batches larger than this are pipelined (device
+        # traversal of chunk i+1 overlaps host rerank of chunk i)
+        self.host_tier_pipeline_chunk = 256
         self.collection_name = collection_name
         self.manager = CollectionManager(base_dir)
         info = self.manager.get_collection_info(collection_name)
@@ -236,8 +239,12 @@ class SearchEngine:
             n_exact = nodes_visited
             n_pq = 0
         elif self.serving_mode == "host_tier":
-            dists, ids, ht_stats = self.host_tier.search(
-                np.asarray(q), search_width=l_search, k=k
+            # pipelined path overlaps device traversal with host rerank
+            # on large batches; falls through to plain search() for
+            # batches <= one chunk (the common single-query case)
+            dists, ids, ht_stats = self.host_tier.search_pipelined(
+                np.asarray(q), search_width=l_search, k=k,
+                chunk=self.host_tier_pipeline_chunk,
             )
             search_type = "host_tier"
             nodes_visited = ht_stats["nodes_visited"]

@@ -294,18 +294,40 @@ def approx_knn_ivf(
     query_block: int = 8192,
     seed: int = 0,
     cap_factor: float = 2.0,
+    checkpoint: "BuildCheckpoint | None" = None,
+    checkpoint_every_s: float = 600.0,
 ) -> tuple[jax.Array, jax.Array]:
     """Approximate top-k neighbors via an IVF probe instead of the full
     scan — O(N * probed-cells) instead of O(N^2), the backend for builds
     past a couple million points. Candidates come from each point's
     `n_probe` nearest cells; the miss rate only perturbs the prune pool
     (the recall gate is on the final index).
+
+    With `checkpoint`, the host-side accumulation is written to
+    `<dir>/knn_partial.npz` every `checkpoint_every_s` seconds together
+    with a resume cursor; a restarted build rebuilds the (deterministic,
+    seeded) IVF and continues from the cursor instead of from block 0.
     Returns (ids int32[N, k], dists float32[N, k]) ascending.
     """
+    from diskrag_tpu.graph.checkpoint import pack_bf16, unpack_bf16
     from diskrag_tpu.index.ivf import build_ivf
 
     n = vectors.shape[0]
     k = min(k, n - 1)
+
+    start = 0
+    ids_out, dists_out = [], []
+    if checkpoint is not None:
+        part = checkpoint.load("knn_partial")
+        if part is not None and int(part["k"]) == k:
+            start = int(part["next_i"])
+            if start > 0:
+                ids_out = [part["ids"]]
+                dists_out = [unpack_bf16(part["dists"])]
+            logger.info(
+                "resuming kNN pass at row %d/%d from checkpoint", start, n
+            )
+
     # cap_factor sizes the padded cell tiles (cap_factor * N * D * 2
     # bytes of HBM); past ~8M points tighten it so tiles + f32 vectors
     # + the accumulating [N, k] result fit a 16 GB chip
@@ -316,11 +338,27 @@ def approx_knn_ivf(
     # SECOND full device copy of the vectors for its rerank master —
     # 5.1 GB at 10M x 128. Point it at the caller's buffer instead.
     ivf.vectors = jnp.asarray(vectors)
+
+    def save_partial(next_i: int) -> None:
+        checkpoint.save(
+            "knn_partial",
+            ids=np.concatenate(ids_out) if ids_out else np.zeros(
+                (0, k), np.int32
+            ),
+            dists=pack_bf16(
+                np.concatenate(dists_out) if dists_out else np.zeros(
+                    (0, k), np.float32
+                )
+            ),
+            next_i=np.int64(next_i),
+            k=np.int64(k),
+        )
+
     # accumulate per-block results on the HOST: keeping ~1.2k block
     # arrays device-resident plus the final concatenate peaks at ~2x
     # the [N, k+1] table and OOMs a 16 GB chip at 10M
-    ids_out, dists_out = [], []
-    for i in range(0, n, query_block):
+    last_save = time.perf_counter()
+    for i in range(start, n, query_block):
         q = vectors[i : i + query_block]
         d, ids = ivf.search(q, k=k + 1, n_probe=n_probe)
         gid = jnp.arange(i, i + q.shape[0], dtype=jnp.int32)[:, None]
@@ -328,8 +366,20 @@ def approx_knn_ivf(
         neg, take = jax.lax.top_k(-d, k)
         ids_out.append(np.asarray(jnp.take_along_axis(ids, take, axis=1)))
         dists_out.append(np.asarray(-neg))
+        if (
+            checkpoint is not None
+            and time.perf_counter() - last_save >= checkpoint_every_s
+        ):
+            # consolidate so the partial holds one array per table
+            ids_out = [np.concatenate(ids_out)]
+            dists_out = [np.concatenate(dists_out)]
+            save_partial(i + query_block)
+            last_save = time.perf_counter()
     del ivf
-    return np.concatenate(ids_out), np.concatenate(dists_out)
+    out = np.concatenate(ids_out), np.concatenate(dists_out)
+    if checkpoint is not None:
+        checkpoint.clear("knn_partial")
+    return out
 
 
 def compute_entry_points(
@@ -395,6 +445,8 @@ def build_vamana_knn(
     knn_probe: int = 8,
     seed: int = 0,
     progress: bool = False,
+    checkpoint_dir: str | None = None,
+    checkpoint_every_s: float = 600.0,
 ) -> VamanaIndex:
     """Build a Vamana-quality graph from exact kNN lists (see module doc).
 
@@ -406,6 +458,17 @@ def build_vamana_knn(
     navigable — searches seed from them plus the medoid. `knn_backend`:
     "flat" (exact, O(N^2) MXU scans), "ivf" (approximate, O(N*probe) —
     for multi-million-point builds), or "auto" (flat below 2M points).
+
+    `checkpoint_dir` enables mid-build checkpoint/resume of the ivf-kNN
+    pass (the dominant phase of multi-million-point builds — ~40+ min of
+    a ~1 h 10M build): partial accumulation every `checkpoint_every_s`
+    seconds plus the completed kNN tables, all tagged with the build
+    params and a dataset fingerprint so a changed build never resumes
+    stale state. The reference has no mid-build checkpointing (its
+    checkpoint is the finished artifact set, build_index.py:251-332).
+    The flat backend ignores it: its kNN tables are device-resident and
+    a <2M build costs minutes, less than fetching them to the host over
+    this tunnel.
     """
     vectors = jnp.asarray(vectors, jnp.float32)
     n = vectors.shape[0]
@@ -448,18 +511,50 @@ def build_vamana_knn(
     if knn_backend == "auto":
         knn_backend = "flat" if n <= 2_000_000 else "ivf"
     if knn_backend == "ivf":
-        knn_ids_np, knn_dists_np = approx_knn_ivf(
-            vectors, knn_k, metric=metric, query_block=query_block, seed=seed,
-            n_probe=knn_probe, cap_factor=2.0 if n <= 6_000_000 else 1.5,
-        )
-        # the [N, knn_k] f32 dist table is 2.6 GB at 10M — cast to bf16
-        # on the host and upload that (f32 upload + device cast would
-        # transiently hold both); f32 restored inside _prune_block
+        ckpt = None
+        if checkpoint_dir is not None:
+            from diskrag_tpu.graph.checkpoint import (
+                BuildCheckpoint,
+                dataset_fingerprint,
+            )
+
+            ckpt = BuildCheckpoint(
+                checkpoint_dir,
+                tag={
+                    "phase_inputs": "ivf-knn",
+                    "n": n, "dim": int(vectors.shape[1]),
+                    "knn_k": knn_k, "knn_probe": knn_probe,
+                    "metric": metric, "seed": seed,
+                    "query_block": query_block,
+                    "data": dataset_fingerprint(vectors),
+                },
+            )
+        done = ckpt.load("knn") if ckpt is not None else None
+        if done is not None:
+            logger.info("kNN tables loaded from checkpoint %s", checkpoint_dir)
+            knn_ids_np = done["ids"]
+            knn_dists_np16 = done["dists"]  # bf16 bit patterns
+        else:
+            knn_ids_np, knn_dists_np = approx_knn_ivf(
+                vectors, knn_k, metric=metric, query_block=query_block,
+                seed=seed, n_probe=knn_probe,
+                cap_factor=2.0 if n <= 6_000_000 else 1.5,
+                checkpoint=ckpt, checkpoint_every_s=checkpoint_every_s,
+            )
+            from diskrag_tpu.graph.checkpoint import pack_bf16
+
+            knn_dists_np16 = pack_bf16(knn_dists_np)
+            del knn_dists_np
+            if ckpt is not None:
+                ckpt.save("knn", ids=knn_ids_np, dists=knn_dists_np16)
+        # the [N, knn_k] f32 dist table is 2.6 GB at 10M — kept bf16
+        # on the host and uploaded as such (f32 upload + device cast
+        # would transiently hold both); f32 restored inside _prune_block
         import ml_dtypes
 
         knn_ids = jnp.asarray(knn_ids_np)
-        knn_dists = jnp.asarray(knn_dists_np.astype(ml_dtypes.bfloat16))
-        del knn_ids_np, knn_dists_np
+        knn_dists = jnp.asarray(knn_dists_np16.view(ml_dtypes.bfloat16))
+        del knn_ids_np, knn_dists_np16
     else:
         knn_ids, knn_dists = exact_knn(
             vectors, knn_k, metric=metric, query_block=query_block

@@ -172,6 +172,34 @@ class HostTierIndex:
             ),
         )
 
+    def _dispatch_traversal(
+        self, q: jax.Array, *, search_width: int, expand_width: int
+    ) -> tuple[jax.Array, jax.Array]:
+        """Dispatch one traversal chunk; returns device arrays only.
+
+        (pool [B, P] = beam ∪ visited concatenated ON DEVICE so the host
+        needs exactly one fetch per chunk — every fetch on the tunneled
+        TPU costs a fixed ~30-40 ms RPC — and n_expanded summed to a
+        device scalar.)  Dispatch is async: nothing here blocks on the
+        device, which is what makes the pipelined path overlap.
+        """
+        if self.mode == "pq":
+            tables = self.pq.compute_distance_tables(q)
+            res: SearchResult = beam_search_pq(
+                self.codes, tables, self.adjacency, self.medoid,
+                search_width=search_width, k=search_width, rerank=False,
+                expand_width=expand_width, entry_points=self.entry_points,
+            )
+        else:
+            res = beam_search(
+                self.vectors_bf16, self.adjacency, self.medoid, q,
+                search_width=search_width, k=search_width,
+                metric=self.metric, expand_width=expand_width,
+                entry_points=self.entry_points,
+            )
+        pool = jnp.concatenate([res.ids, res.visited_ids], axis=1)
+        return pool, jnp.sum(res.n_expanded)
+
     def search(
         self,
         queries: np.ndarray,
@@ -192,26 +220,12 @@ class HostTierIndex:
         q = jnp.asarray(queries, jnp.float32)
         if q.ndim == 1:
             q = q[None, :]
-        b = q.shape[0]
-        if self.mode == "pq":
-            tables = self.pq.compute_distance_tables(q)
-            res: SearchResult = beam_search_pq(
-                self.codes, tables, self.adjacency, self.medoid,
-                search_width=search_width, k=search_width, rerank=False,
-                expand_width=expand_width, entry_points=self.entry_points,
-            )
-        else:
-            res = beam_search(
-                self.vectors_bf16, self.adjacency, self.medoid, q,
-                search_width=search_width, k=search_width,
-                metric=self.metric, expand_width=expand_width,
-                entry_points=self.entry_points,
-            )
-        # candidate pool: beam ∪ visited log (ids only cross the link;
-        # the np.asarray fetch is also the traversal completion barrier)
-        pool = np.concatenate(
-            [np.asarray(res.ids), np.asarray(res.visited_ids)], axis=1
-        )  # [B, P]
+        pool_dev, n_exp = self._dispatch_traversal(
+            q, search_width=search_width, expand_width=expand_width
+        )
+        # ids only cross the link; the np.asarray fetch is also the
+        # traversal completion barrier (in-order execution)
+        pool = np.asarray(pool_dev)  # [B, P]
         t1 = time.perf_counter()
         if rerank_pool is not None and pool.shape[1] > rerank_pool:
             pool = pool[:, :rerank_pool]
@@ -223,7 +237,7 @@ class HostTierIndex:
         stats = {
             "search_type": "host_tier",
             "mode": self.mode,
-            "nodes_visited": int(np.sum(np.asarray(res.n_expanded))),
+            "nodes_visited": int(n_exp),
             "host_vectors_fetched": n_uniq,
             "cache": self.reader.cache_stats(),
             "stage_ms": {
@@ -232,3 +246,103 @@ class HostTierIndex:
             },
         }
         return dists, ids, stats
+
+    def search_pipelined(
+        self,
+        queries: np.ndarray,
+        *,
+        search_width: int,
+        k: int,
+        chunk: int = 256,
+        expand_width: int = 4,
+        rerank_pool: int | None = None,
+        n_threads: int = 8,
+    ) -> tuple[np.ndarray, np.ndarray, dict]:
+        """Two-stage software pipeline over query chunks: the device
+        traverses chunk i+1 while the host gathers + reranks chunk i.
+
+        The two stages are close to balanced at 1-10M scale (traversal
+        ~55%, host rerank ~45% of the batch), so overlapping them is
+        worth up to ~1.8x QPS over `search()` on large batches. Relies
+        on two platform facts: dispatch is async (the jitted traversal
+        call returns before the device finishes) and execution is
+        in-order (fetching chunk i's pool blocks on chunk i only, never
+        on the already-queued chunk i+1).
+
+        The last chunk is padded to the chunk size so every dispatch
+        reuses one compiled shape. No counterpart in the reference (its
+        search loop is single-query sequential Python,
+        search_engine.py:429); this is TPU-native batching design.
+        """
+        import time
+
+        q_np = np.asarray(queries, np.float32)
+        if q_np.ndim == 1:
+            q_np = q_np[None, :]
+        b = q_np.shape[0]
+        if b <= chunk:
+            return self.search(
+                q_np, search_width=search_width, k=k,
+                expand_width=expand_width, rerank_pool=rerank_pool,
+                n_threads=n_threads,
+            )
+        n_chunks = -(-b // chunk)
+        padded = n_chunks * chunk
+        if padded != b:
+            q_np = np.concatenate(
+                [q_np, np.broadcast_to(q_np[:1], (padded - b, q_np.shape[1]))]
+            )
+
+        t_wait = 0.0
+        t_rerank = 0.0
+        n_uniq_total = 0
+        out_d = np.empty((padded, k), np.float64)
+        out_i = np.empty((padded, k), np.int64)
+        n_exp_parts = []
+
+        t0 = time.perf_counter()
+        pending = None  # (start_row, device pool)
+        for c in range(n_chunks + 1):
+            if c < n_chunks:
+                s = c * chunk
+                q_dev = jnp.asarray(q_np[s : s + chunk])
+                pool_dev, n_exp = self._dispatch_traversal(
+                    q_dev, search_width=search_width,
+                    expand_width=expand_width,
+                )
+                n_exp_parts.append(n_exp)
+                nxt = (s, pool_dev)
+            else:
+                nxt = None
+            if pending is not None:
+                s_prev, pool_dev_prev = pending
+                tw = time.perf_counter()
+                pool = np.asarray(pool_dev_prev)  # blocks on chunk c-1 only
+                t_wait += time.perf_counter() - tw
+                if rerank_pool is not None and pool.shape[1] > rerank_pool:
+                    pool = pool[:, :rerank_pool]
+                tr = time.perf_counter()
+                dists, ids, n_uniq = exact_rerank_pool(
+                    q_np[s_prev : s_prev + chunk], pool, self.reader,
+                    metric=self.metric, k=k, n_threads=n_threads,
+                )
+                t_rerank += time.perf_counter() - tr
+                out_d[s_prev : s_prev + chunk] = dists
+                out_i[s_prev : s_prev + chunk] = ids
+                n_uniq_total += n_uniq
+            pending = nxt
+        n_expanded = int(np.asarray(jnp.stack(n_exp_parts).sum()))
+        stats = {
+            "search_type": "host_tier",
+            "mode": self.mode,
+            "pipelined_chunks": n_chunks,
+            "nodes_visited": n_expanded,
+            "host_vectors_fetched": n_uniq_total,
+            "cache": self.reader.cache_stats(),
+            "stage_ms": {
+                "traverse_wait": t_wait * 1e3,
+                "gather_rerank_select": t_rerank * 1e3,
+                "wall": (time.perf_counter() - t0) * 1e3,
+            },
+        }
+        return out_d[:b], out_i[:b], stats

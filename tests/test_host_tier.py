@@ -57,3 +57,31 @@ def test_host_tier_bf16_mode(tmp_path, clustered_data):
     for row in ids:
         valid = row[row >= 0]
         assert len(np.unique(valid)) == len(valid)
+
+
+def test_host_tier_pipelined_matches_sequential(tmp_path, clustered_data):
+    """search_pipelined must return exactly what search() returns —
+    including a padded non-multiple last chunk — while chunking the
+    device/host overlap."""
+    pts = clustered_data
+    rng = np.random.default_rng(11)
+    build_index_from_vectors(
+        pts, tmp_path / "idx", write_compat=True,
+        params_override={"R": 32, "L": 64, "alpha": 1.2},
+    )
+    ht = HostTierIndex.from_store(tmp_path / "idx", mode="bf16")
+    qi = rng.integers(0, len(pts), size=50)
+    queries = pts[qi] + rng.normal(size=(50, pts.shape[1])).astype(np.float32) * 0.1
+    d_seq, i_seq, _ = ht.search(queries, search_width=48, k=10, expand_width=4)
+    # 50 queries / chunk 16 -> 4 chunks, last one padded
+    d_pip, i_pip, stats = ht.search_pipelined(
+        queries, search_width=48, k=10, chunk=16, expand_width=4
+    )
+    assert stats["pipelined_chunks"] == 4
+    assert stats["nodes_visited"] > 0
+    np.testing.assert_array_equal(i_pip, i_seq)
+    np.testing.assert_allclose(d_pip, d_seq, rtol=1e-5, atol=1e-5)
+    # small-batch fall-through: identical API, no chunking
+    d1, i1, s1 = ht.search_pipelined(queries[:8], search_width=48, k=10)
+    assert "pipelined_chunks" not in s1
+    np.testing.assert_array_equal(i1, i_seq[:8])
