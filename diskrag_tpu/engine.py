@@ -151,8 +151,19 @@ class SearchEngine:
 
     def _run_diagnostic_check(self) -> dict:
         """Startup self-check (reference search_engine.py:142-253): vector
-        stats sanity + exact-vs-ADC distance correlation >= 0.5."""
+        stats sanity + exact-vs-ADC distance correlation >= 0.5. Also
+        checks the dimension whitelist (reference search_engine.py:81) —
+        as a warning, not a hard failure: the index math is
+        dimension-agnostic here, the whitelist only reflects known
+        embedding-model sizes (documented deviation)."""
+        from diskrag_tpu.data.config import validate_vector_dimension
+
         vecs = self.index.vectors
+        if not validate_vector_dimension(int(vecs.shape[1])):
+            logger.warning(
+                "dimension %d is outside the supported whitelist "
+                "(reference search_engine.py:81)", int(vecs.shape[1]),
+            )
         stats = {
             "n_points": int(vecs.shape[0]),
             "dimension": int(vecs.shape[1]),

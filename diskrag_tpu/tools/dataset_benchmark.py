@@ -130,12 +130,24 @@ def main() -> int:
                 expand_widths=(expands[-1],),
             )
 
+    # process memory report — the reference's psutil monitor
+    # (dataset_benchmark.py:23-25); resource is the always-available
+    # stdlib fallback (ru_maxrss is KiB on linux)
+    try:
+        import psutil
+
+        rss_mb = psutil.Process().memory_info().rss / 1e6
+    except ImportError:
+        import resource
+
+        rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e3
     result = {
         "n": len(pts), "dim": pts.shape[1], "n_queries": len(queries),
         "R": args.R, "L_build": args.L_build, "alpha": args.alpha,
         "metric": args.metric,
         "build_method": args.build_method,
         "build_seconds": round(build_s, 1),
+        "host_rss_mb": round(rss_mb, 1),
         "sweep": [
             {
                 "mode": p.mode, "L": p.search_width, "E": p.expand_width,
