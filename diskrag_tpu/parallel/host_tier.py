@@ -169,3 +169,85 @@ class ShardedHostTier:
             "host_vectors_fetched": n_uniq,
         }
         return dists, ids, stats
+
+    def search_pipelined(
+        self,
+        queries: np.ndarray,
+        *,
+        search_width: int,
+        k: int,
+        chunk: int = 256,
+        expand_width: int = 4,
+        max_steps: int | None = None,
+        n_threads: int = 8,
+    ) -> tuple[np.ndarray, np.ndarray, dict]:
+        """Chunked two-stage pipeline, the sharded twin of
+        `HostTierIndex.search_pipelined`: the mesh traverses chunk i+1
+        while the host gathers + reranks chunk i's all-gathered pool.
+        The last chunk is padded to keep one compiled shape. Exact same
+        results as `search()`. `chunk` must be divisible by the mesh's
+        "data" axis size (each chunk is batch-sharded over it).
+        """
+        n_data = self.mesh.shape.get("data", 1)
+        if chunk % n_data:
+            raise ValueError(
+                f"chunk={chunk} must be divisible by the mesh data axis "
+                f"({n_data})"
+            )
+        q_np = np.asarray(queries, np.float32)
+        if q_np.ndim == 1:
+            q_np = q_np[None, :]
+        b = q_np.shape[0]
+        if b <= chunk:
+            return self.search(
+                q_np, search_width=search_width, k=k,
+                expand_width=expand_width, max_steps=max_steps,
+                n_threads=n_threads,
+            )
+        if max_steps is None:
+            max_steps = max(search_width, 16)
+        n_chunks = -(-b // chunk)
+        padded = n_chunks * chunk
+        if padded != b:
+            q_np = np.concatenate(
+                [q_np, np.broadcast_to(q_np[:1], (padded - b, q_np.shape[1]))]
+            )
+        out_d = np.empty((padded, k), np.float64)
+        out_i = np.empty((padded, k), np.int64)
+        n_uniq_total = 0
+        pool_width = 0
+        pending = None
+        for c in range(n_chunks + 1):
+            if c < n_chunks:
+                s = c * chunk
+                pool_dev = _sharded_pool_impl(
+                    self.vectors_bf16, self.adjacency, self.medoids,
+                    self.global_ids, self.entry_points,
+                    jnp.asarray(q_np[s : s + chunk]),
+                    search_width=search_width, k=search_width,
+                    max_steps=max_steps, expand_width=expand_width,
+                    metric=self.metric, mesh=self.mesh,
+                )
+                nxt = (s, pool_dev)
+            else:
+                nxt = None
+            if pending is not None:
+                s_prev, pool_dev_prev = pending
+                pool = np.asarray(pool_dev_prev)
+                pool_width = pool.shape[1]
+                dists, ids, n_uniq = exact_rerank_pool(
+                    q_np[s_prev : s_prev + chunk], pool, self.reader,
+                    metric=self.metric, k=k, n_threads=n_threads,
+                )
+                out_d[s_prev : s_prev + chunk] = dists
+                out_i[s_prev : s_prev + chunk] = ids
+                n_uniq_total += n_uniq
+            pending = nxt
+        stats = {
+            "search_type": "sharded_host_tier",
+            "n_shards": int(self.vectors_bf16.shape[0]),
+            "pool_width": pool_width,
+            "pipelined_chunks": n_chunks,
+            "host_vectors_fetched": n_uniq_total,
+        }
+        return out_d[:b], out_i[:b], stats

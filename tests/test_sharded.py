@@ -115,3 +115,30 @@ def test_sharded_host_tier(clustered_data, tmp_path):
     # exact rerank: distances ascending and correct vs direct computation
     d0 = ((queries[0] - pts[ids[0, 0]]) ** 2).sum()
     np.testing.assert_allclose(dists[0, 0], d0, rtol=1e-3)
+
+
+def test_sharded_host_tier_pipelined(clustered_data, tmp_path):
+    """Pipelined sharded host tier must match the sequential path
+    exactly, including the padded last chunk."""
+    from diskrag_tpu.index.persist import write_compat_records
+    from diskrag_tpu.native import RecordReader
+    from diskrag_tpu.parallel.host_tier import ShardedHostTier
+
+    pts = clustered_data
+    rng = np.random.default_rng(6)
+    sharded = build_sharded(pts, n_shards=4, degree_bound=24)
+    mesh = make_mesh(n_shards=4, n_data=2)
+    path = tmp_path / "vectors.dat"
+    write_compat_records(path, pts, np.empty((len(pts), 0), np.int32))
+    reader = RecordReader(path, len(pts), pts.shape[1], 0)
+    ht = ShardedHostTier.from_sharded_index(sharded, reader, mesh)
+
+    qi = rng.integers(0, len(pts), size=50)
+    queries = pts[qi] + rng.normal(size=(50, pts.shape[1])).astype(np.float32) * 0.1
+    d_seq, i_seq, _ = ht.search(queries, search_width=32, k=10)
+    d_pip, i_pip, stats = ht.search_pipelined(
+        queries, search_width=32, k=10, chunk=16
+    )
+    assert stats["pipelined_chunks"] == 4
+    np.testing.assert_array_equal(i_pip, i_seq)
+    np.testing.assert_allclose(d_pip, d_seq, rtol=1e-5, atol=1e-5)
