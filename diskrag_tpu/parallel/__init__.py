@@ -18,6 +18,8 @@ from diskrag_tpu.parallel.mesh import make_mesh
 from diskrag_tpu.parallel.sharded import (
     ShardedIndex,
     build_sharded,
+    load_sharded_index,
+    save_sharded_index,
     sharded_build_wave,
     sharded_flat_search,
     sharded_search,
@@ -29,6 +31,8 @@ __all__ = [
     "make_mesh",
     "ShardedIndex",
     "build_sharded",
+    "load_sharded_index",
+    "save_sharded_index",
     "sharded_build_wave",
     "sharded_flat_search",
     "sharded_search",

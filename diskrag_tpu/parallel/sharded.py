@@ -16,6 +16,9 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import json
+import os
+import pathlib
 
 import jax
 import jax.numpy as jnp
@@ -336,3 +339,75 @@ def sharded_search(
         metric=index.metric, mesh=mesh,
     )
     return ids, dists
+
+
+SHARDED_FORMAT_VERSION = "tpu-sharded-1"
+
+
+def save_sharded_index(index: ShardedIndex, index_dir: str | os.PathLike) -> None:
+    """Persist a ShardedIndex so serving restarts skip the per-shard builds.
+
+    Layout (all-atomic .tmp -> rename writes, same durability behavior as
+    index/persist.py; the reference has no multi-shard artifact — its index
+    is one mmap file, io/diskann_persist.py:11-24):
+
+        <index_dir>/
+          vectors.npy       float32[S, Ns, D]
+          adjacency.npy     int32[S, Ns, R]
+          medoids.npy       int32[S]
+          global_ids.npy    int32[S, Ns]
+          entry_points.npy  int32[S, E]        (only when present)
+          sharded_meta.json format/shape/metric
+    """
+    from diskrag_tpu.index.persist import _atomic_save_npy, _atomic_write_bytes
+
+    d = pathlib.Path(index_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    _atomic_save_npy(d / "vectors.npy", np.asarray(index.vectors, np.float32))
+    _atomic_save_npy(d / "adjacency.npy", np.asarray(index.adjacency, np.int32))
+    _atomic_save_npy(d / "medoids.npy", np.asarray(index.medoids, np.int32))
+    _atomic_save_npy(d / "global_ids.npy", np.asarray(index.global_ids, np.int32))
+    if index.entry_points is not None:
+        _atomic_save_npy(
+            d / "entry_points.npy", np.asarray(index.entry_points, np.int32)
+        )
+    s, ns, dim = index.vectors.shape
+    meta = {
+        "format": SHARDED_FORMAT_VERSION,
+        "n_shards": int(s),
+        "points_per_shard": int(ns),
+        "dim": int(dim),
+        "degree_bound": int(index.adjacency.shape[-1]),
+        "metric": index.metric,
+        "has_entry_points": index.entry_points is not None,
+    }
+    _atomic_write_bytes(
+        d / "sharded_meta.json", json.dumps(meta, indent=2).encode()
+    )
+
+
+def load_sharded_index(
+    index_dir: str | os.PathLike, mesh: Mesh | None = None
+) -> ShardedIndex:
+    """Load a saved ShardedIndex; with `mesh`, place it shard-per-device
+    (shard_to_mesh) in the same call."""
+    d = pathlib.Path(index_dir)
+    meta = json.loads((d / "sharded_meta.json").read_text())
+    if meta.get("format") != SHARDED_FORMAT_VERSION:
+        raise ValueError(
+            f"unsupported sharded index format: {meta.get('format')!r}"
+        )
+    entry_arr = None
+    if meta.get("has_entry_points"):
+        entry_arr = jnp.asarray(np.load(d / "entry_points.npy"))
+    index = ShardedIndex(
+        vectors=jnp.asarray(np.load(d / "vectors.npy")),
+        adjacency=jnp.asarray(np.load(d / "adjacency.npy")),
+        medoids=jnp.asarray(np.load(d / "medoids.npy")),
+        global_ids=jnp.asarray(np.load(d / "global_ids.npy")),
+        metric=Metric(meta["metric"]).value,
+        entry_points=entry_arr,
+    )
+    if mesh is not None:
+        index = shard_to_mesh(index, mesh)
+    return index

@@ -142,3 +142,51 @@ def test_sharded_host_tier_pipelined(clustered_data, tmp_path):
     assert stats["pipelined_chunks"] == 4
     np.testing.assert_array_equal(i_pip, i_seq)
     np.testing.assert_allclose(d_pip, d_seq, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_save_load_roundtrip(clustered_data, tmp_path):
+    """save_sharded_index/load_sharded_index: identical arrays and
+    identical search results after a restart, including mesh placement."""
+    from diskrag_tpu.parallel import load_sharded_index, save_sharded_index
+
+    pts = clustered_data
+    rng = np.random.default_rng(9)
+    sharded = build_sharded(pts, n_shards=4, degree_bound=24)
+    save_sharded_index(sharded, tmp_path / "sharded")
+    # atomic writes leave no .tmp droppings
+    assert not list((tmp_path / "sharded").glob("*.tmp"))
+
+    mesh = make_mesh(n_shards=4, n_data=2)
+    loaded = load_sharded_index(tmp_path / "sharded", mesh=mesh)
+    assert loaded.metric == sharded.metric
+    np.testing.assert_array_equal(
+        np.asarray(loaded.adjacency), np.asarray(sharded.adjacency)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loaded.global_ids), np.asarray(sharded.global_ids)
+    )
+    if sharded.entry_points is not None:
+        np.testing.assert_array_equal(
+            np.asarray(loaded.entry_points), np.asarray(sharded.entry_points)
+        )
+
+    queries = pts[rng.integers(0, len(pts), size=32)]
+    placed = shard_to_mesh(sharded, mesh)
+    i0, d0 = sharded_search(placed, queries, mesh, search_width=32, k=10)
+    i1, d1 = sharded_search(loaded, queries, mesh, search_width=32, k=10)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), rtol=1e-6)
+
+
+def test_load_sharded_index_bad_format(tmp_path):
+    import json as _json
+
+    from diskrag_tpu.parallel import load_sharded_index
+
+    d = tmp_path / "sharded"
+    d.mkdir()
+    (d / "sharded_meta.json").write_text(_json.dumps({"format": "bogus"}))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported sharded index format"):
+        load_sharded_index(d)
