@@ -155,6 +155,7 @@ def build_index_from_vectors(
     build_method: str = "knn",
     opq_iters: int = 0,
     checkpoint_dir=None,
+    n_shards: int | None = None,
 ) -> dict:
     """Build + persist a full index.
 
@@ -165,18 +166,36 @@ def build_index_from_vectors(
         persist with meta);
       - "flat": exhaustive MXU-scan index (vectors only);
       - "ivf": IVF-flat cells;
+      - "sharded": `n_shards` partitioned Vamana sub-indexes for
+        multi-chip serving (parallel/sharded.py; serving requires
+        device_count % n_shards == 0 — no reference counterpart,
+        SURVEY.md §2.6);
       - "auto": flat under 100k points (the scan wins there on TPU),
         else vamana.
 
     `checkpoint_dir`: mid-build checkpoint/resume for the long ivf-kNN
     phase of multi-million-point knn builds (graph/checkpoint.py).
     """
-    store = IndexStore(index_dir)
-    if store.exists() and not force_rebuild:
-        logger.info("index already exists at %s (use force_rebuild)", store.dir)
-        import json
+    import json
 
-        return json.loads(store.meta_path.read_text())
+    store = IndexStore(index_dir)
+    if not force_rebuild:
+        if store.exists():
+            logger.info(
+                "index already exists at %s (use force_rebuild)", store.dir
+            )
+            return json.loads(store.meta_path.read_text())
+        if store.meta_path.exists():
+            prev = json.loads(store.meta_path.read_text())
+            if (
+                prev.get("index_type") == "sharded"
+                and (store.dir / "sharded" / "sharded_meta.json").exists()
+            ):
+                logger.info(
+                    "sharded index already exists at %s (use force_rebuild)",
+                    store.dir,
+                )
+                return prev
 
     vectors = np.asarray(vectors)
     if vectors.dtype != np.float32:
@@ -217,6 +236,49 @@ def build_index_from_vectors(
             },
         )
         logger.info("ivf index persisted -> %s", store.dir)
+        return meta
+    if index_type == "sharded":
+        from diskrag_tpu.index.persist import _atomic_write_bytes
+        from diskrag_tpu.parallel.sharded import (
+            build_sharded,
+            save_sharded_index,
+        )
+
+        params = calculate_adaptive_build_params(n, target_quality)
+        if params_override:
+            params.update(params_override)
+        s = int(n_shards or 1)
+        t0 = time.perf_counter()
+        sharded = build_sharded(
+            vectors, s, degree_bound=params["R"], build_width=params["L"],
+            alpha=params["alpha"], metric=metric, seed=seed,
+            build_method=build_method,
+        )
+        save_sharded_index(sharded, store.dir / "sharded")
+        meta = {
+            "index_type": "sharded",
+            "n_shards": s,
+            "dimension": dim,
+            "num_points": n,
+            "R": params["R"],
+            "L": params["L"],
+            "alpha": params["alpha"],
+            "distance_metric": metric,
+            "target_quality": target_quality,
+            "recommended_search_L": calculate_adaptive_search_L(
+                n, params["target_recall"]
+            ),
+            "vector_stats": _vector_stats(vectors),
+            "build_seconds": time.perf_counter() - t0,
+            "build_method": build_method,
+        }
+        store.dir.mkdir(parents=True, exist_ok=True)
+        _atomic_write_bytes(
+            store.meta_path, json.dumps(meta, indent=2).encode()
+        )
+        logger.info(
+            "sharded index (%d shards) persisted -> %s", s, store.dir
+        )
         return meta
     if index_type != "vamana":
         raise ValueError(f"unknown index_type: {index_type}")

@@ -151,7 +151,7 @@ class DiskRAG:
     def build_index(
         self, collection: str, target_quality: str = "balanced",
         force_rebuild: bool = False, index_type: str | None = None,
-        checkpoint_dir: str | None = None,
+        checkpoint_dir: str | None = None, n_shards: int | None = None,
     ) -> dict:
         from diskrag_tpu.build_index import build_index_from_vectors
 
@@ -177,6 +177,7 @@ class DiskRAG:
             write_compat=icfg.write_compat,
             params_override=override or None,
             checkpoint_dir=checkpoint_dir,
+            n_shards=n_shards,
         )
         # record build stats on the collection (reference build_index.py:334-351)
         info = self.manager.get_collection_info(collection)
@@ -336,11 +337,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("collection")
     p.add_argument("--target-quality", choices=["fast", "balanced", "high"],
                    default="balanced")
-    p.add_argument("--index-type", choices=["vamana", "flat", "ivf", "auto"],
+    p.add_argument("--index-type",
+                   choices=["vamana", "flat", "ivf", "sharded", "auto"],
                    default=None, help="default: config index.type (vamana)")
     p.add_argument("--force-rebuild", action="store_true")
     p.add_argument("--checkpoint-dir", default=None,
                    help="mid-build checkpoint/resume dir for long builds")
+    p.add_argument("--shards", type=int, default=None,
+                   help="shard count for --index-type sharded (serving "
+                        "needs device_count divisible by it)")
 
     p = sub.add_parser("search", help="search a collection")
     p.add_argument("collection")
@@ -390,6 +395,7 @@ def main(argv: Optional[list[str]] = None) -> int:
         meta = rag.build_index(
             args.collection, args.target_quality, args.force_rebuild,
             index_type=args.index_type, checkpoint_dir=args.checkpoint_dir,
+            n_shards=args.shards,
         )
         print(
             f"index built: type={meta.get('index_type', 'vamana')} "

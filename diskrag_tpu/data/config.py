@@ -80,7 +80,7 @@ class IndexConfig:
 
     target_quality: str = "balanced"  # fast | balanced | high
     metric: str = "l2"
-    type: str = "vamana"  # vamana | flat | ivf | auto
+    type: str = "vamana"  # vamana | flat | ivf | sharded | auto
     force_pq: Optional[bool] = None  # None = adaptive decision
     # explicit graph params override the adaptive schedule when set
     # (the reference documents R/L/alpha in its config.yaml.example

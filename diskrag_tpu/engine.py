@@ -116,6 +116,28 @@ class SearchEngine:
                     self.meta.get("recommended_search_L", 64)
                 )
                 return
+            if self.index_type == "sharded":
+                import jax
+
+                from diskrag_tpu.parallel import load_sharded_index, make_mesh
+
+                self.meta = json.loads(meta_path.read_text())
+                s = int(self.meta["n_shards"])
+                ndev = jax.device_count()
+                if ndev % s:
+                    raise ValueError(
+                        f"sharded index has {s} shards but {ndev} device(s) "
+                        f"are visible — serving needs device_count % n_shards"
+                        f" == 0 (one shard per device over the mesh)"
+                    )
+                self.mesh = make_mesh(n_shards=s, n_data=ndev // s)
+                self.sharded = load_sharded_index(
+                    index_dir / "sharded", mesh=self.mesh
+                )
+                self.recommended_l = int(
+                    self.meta.get("recommended_search_L", 64)
+                )
+                return
             if self.index_type == "flat":
                 from diskrag_tpu.ops.flat import FlatIndex
 
@@ -264,6 +286,27 @@ class SearchEngine:
                 nodes_visited * self.host_tier.adjacency.shape[1]
                 if self.host_tier.mode == "pq" else 0
             )
+        elif self.index_type == "sharded":
+            from diskrag_tpu.parallel import sharded_search
+
+            # sharded_search splits the batch over the mesh's "data" axis;
+            # pad to a multiple and slice the padding back off
+            n_data = self.mesh.shape["data"]
+            pad = (-b) % n_data
+            qp = (
+                jnp.concatenate([q, jnp.zeros((pad, q.shape[1]), q.dtype)])
+                if pad else q
+            )
+            ids, dists = sharded_search(
+                self.sharded, qp, self.mesh, search_width=l_search, k=k
+            )
+            ids, dists = ids[:b], dists[:b]
+            search_type = "sharded"
+            # the merged shard_map path does not return per-shard expansion
+            # counters; report the frontier bound (E nodes/round x rounds)
+            nodes_visited = b * self.sharded.n_shards * 2 * l_search
+            n_exact = nodes_visited * self.sharded.adjacency.shape[-1]
+            n_pq = 0
         elif self.index_type == "flat":
             dists, ids = self.flat.search(q, k=k)
             search_type = "flat"

@@ -172,3 +172,40 @@ def test_engine_host_tier_serving_mode(faq_collection):
     top = out["results"][0]
     assert "功能3" in top["text"]
     assert top["distance"] < 0.05
+
+
+def test_engine_sharded_index_type(tmp_path, clustered_data):
+    """sharded index type end-to-end: build with n_shards=4, serve over
+    the emulated 8-device mesh (2 data rows x 4 shards), including the
+    batch-padding path (B=5 not divisible by the data axis)."""
+    vecs = clustered_data[:1200]
+    texts = [f"text {i}" for i in range(1200)]
+    metas = [{"i": i} for i in range(1200)]
+
+    mgr = CollectionManager(tmp_path / "coll_sharded")
+    mgr.create_collection("c", dimension=vecs.shape[1])
+    mgr.update_collection("c", vecs, texts, metas)
+    meta = build_index_from_vectors(
+        vecs, mgr.get_index_dir("c"), index_type="sharded", n_shards=4
+    )
+    assert meta["index_type"] == "sharded" and meta["n_shards"] == 4
+    # skip-if-exists must recognize the sharded artifact set
+    again = build_index_from_vectors(
+        vecs, mgr.get_index_dir("c"), index_type="sharded", n_shards=4
+    )
+    assert again["build_seconds"] == meta["build_seconds"]
+
+    eng = SearchEngine("c", base_dir=tmp_path / "coll_sharded")
+    assert eng.index_type == "sharded"
+    assert eng.mesh.shape == {"data": 2, "shard": 4}
+    # small 300-point shards need a wider search than the B=1 default
+    # (4 entry seeds/shard); L=48 is the adaptive recommendation scale
+    out = eng.search("q", k=3, l_search=48, embedding_fn=lambda t: vecs[42])
+    assert out["results"][0]["text"] == "text 42"
+    assert out["stats"]["search_type"] == "sharded"
+
+    queries = vecs[[10, 20, 30, 40, 50]]
+    dists, ids, stats = eng.search_batch(queries, k=5, l_search=48)
+    assert ids.shape == (5, 5)
+    np.testing.assert_array_equal(ids[:, 0], [10, 20, 30, 40, 50])
+    assert (np.diff(dists, axis=1) >= -1e-6).all()
