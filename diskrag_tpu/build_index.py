@@ -255,9 +255,20 @@ def build_index_from_vectors(
             build_method=build_method,
         )
         save_sharded_index(sharded, store.dir / "sharded")
+        if write_compat:
+            # f32 master for the sharded host tier's exact rerank; R=0
+            # records (per-shard adjacency lives in the sharded artifacts)
+            from diskrag_tpu.index.persist import write_compat_records
+
+            store.dir.mkdir(parents=True, exist_ok=True)
+            write_compat_records(
+                store.compat_path, vectors, np.empty((n, 0), np.int32)
+            )
         meta = {
             "index_type": "sharded",
             "n_shards": s,
+            "write_compat": bool(write_compat),
+            "compat_R": 0,
             "dimension": dim,
             "num_points": n,
             "R": params["R"],

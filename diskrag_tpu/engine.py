@@ -103,12 +103,55 @@ class SearchEngine:
                 pass
         try:
             if self.serving_mode == "host_tier":
+                if self.index_type == "sharded":
+                    # sharded host tier (the 100M-scale configuration):
+                    # per-shard bf16 traversal in HBM, pools all-gathered
+                    # over ICI, one exact host rerank against the f32
+                    # record file
+                    import jax
+
+                    from diskrag_tpu.native import RecordReader
+                    from diskrag_tpu.parallel import (
+                        load_sharded_index,
+                        make_mesh,
+                    )
+                    from diskrag_tpu.parallel.host_tier import ShardedHostTier
+
+                    self.meta = json.loads(meta_path.read_text())
+                    s = int(self.meta["n_shards"])
+                    ndev = jax.device_count()
+                    if ndev % s:
+                        raise ValueError(
+                            f"sharded index has {s} shards but {ndev} "
+                            f"device(s) are visible — serving needs "
+                            f"device_count % n_shards == 0"
+                        )
+                    compat = index_dir / "index.dat"
+                    if not compat.exists():
+                        raise ValueError(
+                            f"host_tier serving needs the packed record "
+                            f"file {compat} (build with write_compat)"
+                        )
+                    self.mesh = make_mesh(n_shards=s, n_data=ndev // s)
+                    reader = RecordReader(
+                        compat, int(self.meta["num_points"]),
+                        int(self.meta["dimension"]),
+                        int(self.meta.get("compat_R", 0)),
+                    )
+                    self.host_tier = ShardedHostTier.from_sharded_index(
+                        load_sharded_index(index_dir / "sharded"),
+                        reader, self.mesh,
+                    )
+                    self.recommended_l = int(
+                        self.meta.get("recommended_search_L", 64)
+                    )
+                    return
                 from diskrag_tpu.index.host_tier import HostTierIndex
 
                 if self.index_type != "vamana":
                     raise ValueError(
-                        f"host_tier serving needs a vamana index, got "
-                        f"{self.index_type}"
+                        f"host_tier serving needs a vamana or sharded "
+                        f"index, got {self.index_type}"
                     )
                 self.host_tier = HostTierIndex.from_store(index_dir)
                 self.meta = json.loads(meta_path.read_text())
@@ -279,12 +322,14 @@ class SearchEngine:
                 np.asarray(q), search_width=l_search, k=k,
                 chunk=self.host_tier_pipeline_chunk,
             )
-            search_type = "host_tier"
-            nodes_visited = ht_stats["nodes_visited"]
+            search_type = ht_stats.get("search_type", "host_tier")
+            # the sharded tier's merged shard_map path has no per-shard
+            # expansion counters (and no PQ mode)
+            nodes_visited = ht_stats.get("nodes_visited", 0)
             n_exact = ht_stats["host_vectors_fetched"]
             n_pq = (
-                nodes_visited * self.host_tier.adjacency.shape[1]
-                if self.host_tier.mode == "pq" else 0
+                nodes_visited * self.host_tier.adjacency.shape[-1]
+                if getattr(self.host_tier, "mode", "bf16") == "pq" else 0
             )
         elif self.index_type == "sharded":
             from diskrag_tpu.parallel import sharded_search

@@ -149,6 +149,12 @@ class ShardedHostTier:
             q = q[None, :]
         if max_steps is None:
             max_steps = max(search_width, 16)
+        b = q.shape[0]
+        # the pool impl splits the batch over the "data" mesh axis — pad
+        # odd batch sizes and slice the padding back off
+        pad = (-b) % self.mesh.shape.get("data", 1)
+        if pad:
+            q = jnp.concatenate([q, jnp.zeros((pad, q.shape[1]), q.dtype)])
         pool = np.asarray(
             _sharded_pool_impl(
                 self.vectors_bf16, self.adjacency, self.medoids,
@@ -157,7 +163,8 @@ class ShardedHostTier:
                 max_steps=max_steps, expand_width=expand_width,
                 metric=self.metric, mesh=self.mesh,
             )
-        )
+        )[:b]
+        q = q[:b]
         dists, ids, n_uniq = exact_rerank_pool(
             np.asarray(q), pool, self.reader, metric=self.metric, k=k,
             n_threads=n_threads,

@@ -209,3 +209,44 @@ def test_engine_sharded_index_type(tmp_path, clustered_data):
     assert ids.shape == (5, 5)
     np.testing.assert_array_equal(ids[:, 0], [10, 20, 30, 40, 50])
     assert (np.diff(dists, axis=1) >= -1e-6).all()
+
+
+def test_engine_sharded_host_tier(tmp_path, clustered_data):
+    """Sharded index served in host_tier mode: per-shard bf16 traversal
+    on the emulated mesh, exact host rerank against the f32 record file."""
+    vecs = clustered_data[:1200]
+    mgr = CollectionManager(tmp_path / "coll_sht")
+    mgr.create_collection("c", dimension=vecs.shape[1])
+    mgr.update_collection(
+        "c", vecs, [f"text {i}" for i in range(1200)],
+        [{"i": i} for i in range(1200)],
+    )
+    build_index_from_vectors(
+        vecs, mgr.get_index_dir("c"), index_type="sharded", n_shards=4,
+        write_compat=True,
+    )
+    eng = SearchEngine(
+        "c", base_dir=tmp_path / "coll_sht", serving_mode="host_tier"
+    )
+    out = eng.search("q", k=3, l_search=48, embedding_fn=lambda t: vecs[42])
+    assert out["stats"]["search_type"] == "sharded_host_tier"
+    assert out["results"][0]["text"] == "text 42"
+    assert out["results"][0]["distance"] < 1e-3
+
+    # without the record file the mode must fail with a clear error
+    build_index_from_vectors(
+        vecs, mgr.get_index_dir("c").parent / "index2",
+        index_type="sharded", n_shards=4,
+    )
+    import shutil
+
+    shutil.rmtree(mgr.get_index_dir("c"))
+    shutil.move(str(mgr.get_index_dir("c").parent / "index2"),
+                str(mgr.get_index_dir("c")))
+    # missing record file -> graceful degradation to brute force (the
+    # engine's established missing-artifact semantics, reference
+    # search_engine.py:49-72)
+    eng2 = SearchEngine(
+        "c", base_dir=tmp_path / "coll_sht", serving_mode="host_tier"
+    )
+    assert eng2.brute_force_mode
