@@ -255,6 +255,22 @@ def build_index_from_vectors(
             build_method=build_method,
         )
         save_sharded_index(sharded, store.dir / "sharded")
+        store.dir.mkdir(parents=True, exist_ok=True)
+        # adaptive PQ like the vamana path — enables the sharded host
+        # tier's "pq" traversal mode (m bytes/node per shard in HBM)
+        pq_rec = calculate_adaptive_pq_params(
+            n, dim, _pq_target(target_quality)
+        )
+        pq_meta = {}
+        if pq_rec.recommendation != "brute_force":
+            from diskrag_tpu.index.persist import save_pq_artifacts
+
+            pq = ProductQuantizer(n_subvectors=pq_rec.n_subvectors).fit(
+                vectors, seed=seed, opq_iters=opq_iters
+            )
+            pq_meta = save_pq_artifacts(
+                store, pq, np.asarray(pq.encode(vectors))
+            )
         if write_compat:
             # f32 master for the sharded host tier's exact rerank; R=0
             # records (per-shard adjacency lives in the sharded artifacts)
@@ -269,6 +285,8 @@ def build_index_from_vectors(
             "n_shards": s,
             "write_compat": bool(write_compat),
             "compat_R": 0,
+            "use_pq": bool(pq_meta),
+            **pq_meta,
             "dimension": dim,
             "num_points": n,
             "R": params["R"],

@@ -138,9 +138,27 @@ class SearchEngine:
                         int(self.meta["dimension"]),
                         int(self.meta.get("compat_R", 0)),
                     )
+                    # pq traversal when PQ artifacts exist (same mode
+                    # selection as HostTierIndex.from_store), else bf16
+                    from diskrag_tpu.index.persist import IndexStore
+
+                    store = IndexStore(index_dir)
+                    mode_kwargs: dict = {}
+                    if store.pq_model_path.exists():
+                        from diskrag_tpu.pq.product_quantizer import (
+                            ProductQuantizer,
+                        )
+
+                        with np.load(store.pq_model_path) as z:
+                            pq = ProductQuantizer.from_arrays(dict(z))
+                        mode_kwargs = {
+                            "mode": "pq",
+                            "pq": pq,
+                            "codes": np.load(store.pq_codes_path),
+                        }
                     self.host_tier = ShardedHostTier.from_sharded_index(
                         load_sharded_index(index_dir / "sharded"),
-                        reader, self.mesh,
+                        reader, self.mesh, **mode_kwargs,
                     )
                     self.recommended_l = int(
                         self.meta.get("recommended_search_L", 64)

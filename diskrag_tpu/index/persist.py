@@ -87,6 +87,28 @@ class IndexStore:
         return self.meta_path.exists() and self.vectors_path.exists()
 
 
+def save_pq_artifacts(
+    store: IndexStore, pq: ProductQuantizer, pq_codes: np.ndarray
+) -> dict:
+    """Persist pq_codes.npy + pq_model.npz (atomic, reload-validated like
+    the reference's pkl writer, io/diskann_persist.py:79-105); returns the
+    meta keys describing them."""
+    if pq_codes is None:
+        raise ValueError("pq given without pq_codes")
+    pq_codes = np.asarray(pq_codes, np.uint8)
+    _atomic_save_npy(store.pq_codes_path, pq_codes)
+    tmp = store.pq_model_path.with_suffix(".npz.tmp")
+    with open(tmp, "wb") as f:
+        np.savez(f, **pq.to_arrays())
+    with np.load(tmp) as loaded:
+        ProductQuantizer.from_arrays(dict(loaded))
+    os.replace(tmp, store.pq_model_path)
+    return {
+        "n_subvectors": int(pq.n_subvectors),
+        "pq_centroids": int(pq.n_centroids),
+    }
+
+
 def save_index(
     index_dir: str | os.PathLike,
     index: VamanaIndex,
@@ -132,20 +154,7 @@ def save_index(
     if index.entry_points is not None:
         meta["entry_points"] = np.asarray(index.entry_points).tolist()
     if pq is not None:
-        if pq_codes is None:
-            raise ValueError("pq given without pq_codes")
-        pq_codes = np.asarray(pq_codes, np.uint8)
-        _atomic_save_npy(store.pq_codes_path, pq_codes)
-        tmp = store.pq_model_path.with_suffix(".npz.tmp")
-        with open(tmp, "wb") as f:
-            np.savez(f, **pq.to_arrays())
-        # reload-validate before rename, like the reference's pkl writer
-        # (io/diskann_persist.py:79-105)
-        with np.load(tmp) as loaded:
-            ProductQuantizer.from_arrays(dict(loaded))
-        os.replace(tmp, store.pq_model_path)
-        meta["n_subvectors"] = int(pq.n_subvectors)
-        meta["pq_centroids"] = int(pq.n_centroids)
+        meta.update(save_pq_artifacts(store, pq, pq_codes))
     if meta_extra:
         meta.update(meta_extra)
     _atomic_write_bytes(

@@ -101,11 +101,83 @@ def _sharded_pool_impl(
     )(vectors_bf16, adjacency, medoids, global_ids, entry_points, queries)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "search_width", "k", "max_steps", "expand_width", "mesh",
+        "use_pallas_adc",
+    ),
+)
+def _sharded_pool_pq_impl(
+    codes, tables, adjacency, medoids, global_ids, entry_points, queries,
+    *, search_width: int, k: int, max_steps: int, expand_width: int,
+    mesh: Mesh, use_pallas_adc: bool,
+):
+    """PQ twin of `_sharded_pool_impl`: traversal guided by per-query ADC
+    tables over per-shard uint8 codes (m bytes/node in HBM instead of
+    2*D) — extends the per-chip shard capacity ~2*D/m beyond bf16 mode.
+    The exact host rerank downstream is unchanged, so result quality
+    follows the ADC-traversal recall (see docs/PERFORMANCE.md on when
+    PQ-guided traversal holds up)."""
+    from diskrag_tpu.ops.pq_scan import adc_lookup_gathered_pallas
+    from diskrag_tpu.pq.product_quantizer import adc_lookup, adc_lookup_gathered
+
+    def local_search(cds, adj, med, gid, ep, q, tbl):
+        cds, adj, gid = cds[0], adj[0], gid[0]
+        med = med[0]
+        ns = cds.shape[0]
+
+        def expand(ids):
+            gathered = cds[jnp.clip(ids, 0, ns - 1)]
+            if use_pallas_adc:
+                return adc_lookup_gathered_pallas(tbl, gathered)
+            return adc_lookup_gathered(tbl, gathered)
+
+        def seed_expand(seeds):
+            return adc_lookup(tbl, cds[seeds])  # one shared code gather
+
+        res = _frontier_search(
+            adj, med, expand, q.shape[0],
+            search_width=search_width, k=k, max_steps=max_steps,
+            expand_width=expand_width,
+            entry_points=None if ep is None else ep[0],
+            seed_expand_fn=seed_expand,
+        )
+        pool_local = jnp.concatenate([res.ids, res.visited_ids], axis=1)
+        pool_g = jnp.where(
+            pool_local == INVALID_ID, INVALID_ID,
+            gid[jnp.clip(pool_local, 0, ns - 1)],
+        )
+        return jax.lax.all_gather(pool_g, "shard", axis=1, tiled=True)
+
+    ep_spec = P() if entry_points is None else P("shard", None)
+    return jax.shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(
+            P("shard", None, None),
+            P("shard", None, None),
+            P("shard"),
+            P("shard", None),
+            ep_spec,
+            P("data", None),
+            P("data", None, None),
+        ),
+        out_specs=P("data", None),
+        check_vma=False,  # all_gather replicates over "shard"
+    )(codes, adjacency, medoids, global_ids, entry_points, queries, tables)
+
+
 @dataclasses.dataclass
 class ShardedHostTier:
-    """Sharded compressed-traversal tier + host-resident f32 rerank."""
+    """Sharded compressed-traversal tier + host-resident f32 rerank.
 
-    vectors_bf16: jax.Array   # [S, Ns, D] bf16, sharded over "shard"
+    mode "bf16": bf16 vectors/shard in HBM (2*D bytes/node, near-exact
+    traversal ordering). mode "pq": uint8 PQ codes/shard (m bytes/node,
+    ~2*D/m more capacity per chip; quality is data-dependent — the same
+    trade as the single-chip tier, index/host_tier.py)."""
+
+    vectors_bf16: jax.Array | None  # [S, Ns, D] bf16 (bf16 mode)
     adjacency: jax.Array      # [S, Ns, R]
     medoids: jax.Array        # [S]
     global_ids: jax.Array     # [S, Ns]
@@ -113,17 +185,49 @@ class ShardedHostTier:
     mesh: Mesh
     metric: str = Metric.L2.value
     entry_points: jax.Array | None = None
+    mode: str = "bf16"        # "bf16" | "pq"
+    codes: jax.Array | None = None  # [S, Ns, m] uint8 (pq mode)
+    pq: "object | None" = None      # ProductQuantizer (pq mode)
+
+    @property
+    def n_shards(self) -> int:
+        arr = self.vectors_bf16 if self.mode == "bf16" else self.codes
+        return int(arr.shape[0])
 
     @classmethod
     def from_sharded_index(
-        cls, index: ShardedIndex, reader: RecordReader, mesh: Mesh
+        cls, index: ShardedIndex, reader: RecordReader, mesh: Mesh,
+        *, mode: str = "bf16", pq=None, codes: np.ndarray | None = None,
     ) -> "ShardedHostTier":
         """Wrap a built ShardedIndex: lay its arrays out over the mesh and
-        keep only the bf16 copy of the vectors on device (the f32 master
-        lives behind `reader`)."""
+        keep only the compressed traversal copy on device (the f32 master
+        lives behind `reader`). For mode="pq" pass the fitted
+        ProductQuantizer and the *global* uint8 codes [N, m]; they are
+        regathered per shard through the global id maps here."""
+        from jax.sharding import NamedSharding
+
         placed = shard_to_mesh(index, mesh)
+        if mode == "bf16":
+            return cls(
+                vectors_bf16=placed.vectors.astype(jnp.bfloat16),
+                adjacency=placed.adjacency,
+                medoids=placed.medoids,
+                global_ids=placed.global_ids,
+                reader=reader,
+                mesh=mesh,
+                metric=index.metric,
+                entry_points=placed.entry_points,
+            )
+        if mode != "pq":
+            raise ValueError(f"unknown sharded host-tier mode: {mode}")
+        if pq is None or codes is None:
+            raise ValueError("mode='pq' needs pq model + global codes")
+        gids = np.asarray(index.global_ids)
+        # padding rows (gid -1) borrow row 0's codes; they are masked out
+        # of the pool by their -1 global id downstream
+        shard_codes = np.asarray(codes, np.uint8)[np.clip(gids, 0, None)]
         return cls(
-            vectors_bf16=placed.vectors.astype(jnp.bfloat16),
+            vectors_bf16=None,
             adjacency=placed.adjacency,
             medoids=placed.medoids,
             global_ids=placed.global_ids,
@@ -131,6 +235,31 @@ class ShardedHostTier:
             mesh=mesh,
             metric=index.metric,
             entry_points=placed.entry_points,
+            mode="pq",
+            codes=jax.device_put(
+                shard_codes, NamedSharding(mesh, P("shard", None, None))
+            ),
+            pq=pq,
+        )
+
+    def _pool(self, q: jax.Array, *, search_width, max_steps, expand_width):
+        """Dispatch one traversal round -> device pool array [B, S*P]."""
+        if self.mode == "pq":
+            tables = self.pq.compute_distance_tables(q)
+            return _sharded_pool_pq_impl(
+                self.codes, tables, self.adjacency, self.medoids,
+                self.global_ids, self.entry_points, q,
+                search_width=search_width, k=search_width,
+                max_steps=max_steps, expand_width=expand_width,
+                mesh=self.mesh,
+                use_pallas_adc=jax.default_backend() != "cpu",
+            )
+        return _sharded_pool_impl(
+            self.vectors_bf16, self.adjacency, self.medoids,
+            self.global_ids, self.entry_points, q,
+            search_width=search_width, k=search_width,
+            max_steps=max_steps, expand_width=expand_width,
+            metric=self.metric, mesh=self.mesh,
         )
 
     def search(
@@ -156,12 +285,9 @@ class ShardedHostTier:
         if pad:
             q = jnp.concatenate([q, jnp.zeros((pad, q.shape[1]), q.dtype)])
         pool = np.asarray(
-            _sharded_pool_impl(
-                self.vectors_bf16, self.adjacency, self.medoids,
-                self.global_ids, self.entry_points, q,
-                search_width=search_width, k=search_width,
-                max_steps=max_steps, expand_width=expand_width,
-                metric=self.metric, mesh=self.mesh,
+            self._pool(
+                q, search_width=search_width, max_steps=max_steps,
+                expand_width=expand_width,
             )
         )[:b]
         q = q[:b]
@@ -171,7 +297,8 @@ class ShardedHostTier:
         )
         stats = {
             "search_type": "sharded_host_tier",
-            "n_shards": int(self.vectors_bf16.shape[0]),
+            "mode": self.mode,
+            "n_shards": self.n_shards,
             "pool_width": int(pool.shape[1]),
             "host_vectors_fetched": n_uniq,
         }
@@ -227,13 +354,10 @@ class ShardedHostTier:
         for c in range(n_chunks + 1):
             if c < n_chunks:
                 s = c * chunk
-                pool_dev = _sharded_pool_impl(
-                    self.vectors_bf16, self.adjacency, self.medoids,
-                    self.global_ids, self.entry_points,
+                pool_dev = self._pool(
                     jnp.asarray(q_np[s : s + chunk]),
-                    search_width=search_width, k=search_width,
-                    max_steps=max_steps, expand_width=expand_width,
-                    metric=self.metric, mesh=self.mesh,
+                    search_width=search_width, max_steps=max_steps,
+                    expand_width=expand_width,
                 )
                 nxt = (s, pool_dev)
             else:
@@ -252,7 +376,8 @@ class ShardedHostTier:
             pending = nxt
         stats = {
             "search_type": "sharded_host_tier",
-            "n_shards": int(self.vectors_bf16.shape[0]),
+            "mode": self.mode,
+            "n_shards": self.n_shards,
             "pool_width": pool_width,
             "pipelined_chunks": n_chunks,
             "host_vectors_fetched": n_uniq_total,

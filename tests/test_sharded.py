@@ -190,3 +190,48 @@ def test_load_sharded_index_bad_format(tmp_path):
 
     with _pytest.raises(ValueError, match="unsupported sharded index format"):
         load_sharded_index(d)
+
+
+def test_sharded_host_tier_pq_mode(clustered_data, tmp_path):
+    """PQ traversal mode of the sharded host tier: uint8 codes/shard
+    guide the traversal, exact host rerank restores true distances."""
+    from diskrag_tpu.index.persist import write_compat_records
+    from diskrag_tpu.native import RecordReader
+    from diskrag_tpu.parallel.host_tier import ShardedHostTier
+    from diskrag_tpu.pq import ProductQuantizer
+
+    pts = clustered_data
+    rng = np.random.default_rng(11)
+    sharded = build_sharded(pts, n_shards=4, degree_bound=24)
+    mesh = make_mesh(n_shards=4, n_data=2)
+    path = tmp_path / "vectors.dat"
+    write_compat_records(path, pts, np.empty((len(pts), 0), np.int32))
+    reader = RecordReader(path, len(pts), pts.shape[1], 0)
+
+    pq = ProductQuantizer(n_subvectors=8).fit(pts, seed=0)
+    codes = np.asarray(pq.encode(pts))
+    ht = ShardedHostTier.from_sharded_index(
+        sharded, reader, mesh, mode="pq", pq=pq, codes=codes
+    )
+    assert ht.mode == "pq" and ht.vectors_bf16 is None
+    assert ht.codes.shape[0] == 4 and ht.codes.dtype == jnp.uint8
+
+    qi = rng.integers(0, len(pts), size=50)
+    queries = pts[qi] + rng.normal(size=(50, pts.shape[1])).astype(np.float32) * 0.1
+    dists, ids, stats = ht.search(queries, search_width=48, k=10)
+    assert stats["mode"] == "pq"
+    _, gt = brute_force_topk(jnp.asarray(queries), jnp.asarray(pts), k=10)
+    gt = np.asarray(gt)
+    recall = np.mean(
+        [len(set(ids[i]) & set(gt[i])) / 10 for i in range(len(ids))]
+    )
+    assert recall >= 0.8, f"pq sharded host-tier recall@10 = {recall}"
+    # rerank is exact regardless of the ADC traversal
+    d0 = ((queries[0] - pts[ids[0, 0]]) ** 2).sum()
+    np.testing.assert_allclose(dists[0, 0], d0, rtol=1e-3)
+    # pipelined path matches
+    d_pip, i_pip, pstats = ht.search_pipelined(
+        queries, search_width=48, k=10, chunk=16
+    )
+    assert pstats["mode"] == "pq"
+    np.testing.assert_array_equal(i_pip, ids)
