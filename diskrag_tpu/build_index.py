@@ -191,6 +191,18 @@ def build_index_from_vectors(
                 prev.get("index_type") == "sharded"
                 and (store.dir / "sharded" / "sharded_meta.json").exists()
             ):
+                if n_shards and int(prev.get("n_shards", 0)) != int(n_shards):
+                    logger.warning(
+                        "existing sharded index has %s shards, requested "
+                        "%s — keeping the existing one (use force_rebuild)",
+                        prev.get("n_shards"), n_shards,
+                    )
+                if write_compat and not prev.get("write_compat"):
+                    logger.warning(
+                        "existing sharded index lacks the compat record "
+                        "file needed for host_tier serving (use "
+                        "force_rebuild with write_compat)"
+                    )
                 logger.info(
                     "sharded index already exists at %s (use force_rebuild)",
                     store.dir,
@@ -254,8 +266,7 @@ def build_index_from_vectors(
             alpha=params["alpha"], metric=metric, seed=seed,
             build_method=build_method,
         )
-        save_sharded_index(sharded, store.dir / "sharded")
-        store.dir.mkdir(parents=True, exist_ok=True)
+        save_sharded_index(sharded, store.dir / "sharded")  # mkdirs store.dir
         # adaptive PQ like the vamana path — enables the sharded host
         # tier's "pq" traversal mode (m bytes/node per shard in HBM)
         pq_rec = calculate_adaptive_pq_params(
@@ -276,7 +287,6 @@ def build_index_from_vectors(
             # records (per-shard adjacency lives in the sharded artifacts)
             from diskrag_tpu.index.persist import write_compat_records
 
-            store.dir.mkdir(parents=True, exist_ok=True)
             write_compat_records(
                 store.compat_path, vectors, np.empty((n, 0), np.int32)
             )
@@ -301,7 +311,6 @@ def build_index_from_vectors(
             "build_seconds": time.perf_counter() - t0,
             "build_method": build_method,
         }
-        store.dir.mkdir(parents=True, exist_ok=True)
         _atomic_write_bytes(
             store.meta_path, json.dumps(meta, indent=2).encode()
         )

@@ -33,6 +33,14 @@ from diskrag_tpu.index.persist import load_index
 logger = logging.getLogger(__name__)
 
 
+class ServingConfigError(RuntimeError):
+    """Topology/configuration error at engine bring-up (e.g. device count
+    not divisible by the shard count). Deliberately NOT a ValueError:
+    the artifact-loading path degrades ValueError/FileNotFoundError to
+    brute-force serving (reference search_engine.py:49-72), but a config
+    error must surface to the operator instead."""
+
+
 class SearchEngine:
     """Per-collection search engine."""
 
@@ -117,32 +125,43 @@ class SearchEngine:
                     )
                     from diskrag_tpu.parallel.host_tier import ShardedHostTier
 
+                    from diskrag_tpu.index.persist import IndexStore
+
+                    store = IndexStore(index_dir)
                     self.meta = json.loads(meta_path.read_text())
                     s = int(self.meta["n_shards"])
                     ndev = jax.device_count()
                     if ndev % s:
-                        raise ValueError(
+                        # configuration error, not a missing artifact —
+                        # must surface, not degrade to brute force
+                        raise ServingConfigError(
                             f"sharded index has {s} shards but {ndev} "
                             f"device(s) are visible — serving needs "
                             f"device_count % n_shards == 0"
                         )
-                    compat = index_dir / "index.dat"
-                    if not compat.exists():
+                    if not store.compat_path.exists():
                         raise ValueError(
                             f"host_tier serving needs the packed record "
-                            f"file {compat} (build with write_compat)"
+                            f"file {store.compat_path} (build with "
+                            f"write_compat)"
                         )
                     self.mesh = make_mesh(n_shards=s, n_data=ndev // s)
+                    # pipelined chunks are batch-sharded over the data
+                    # axis — round the chunk up to a multiple of it
+                    n_data = ndev // s
+                    self.host_tier_pipeline_chunk = (
+                        -(-self.host_tier_pipeline_chunk // n_data) * n_data
+                    )
+                    # large pools: same reader cache sizing as the
+                    # single-chip tier (HostTierIndex.from_store)
                     reader = RecordReader(
-                        compat, int(self.meta["num_points"]),
+                        store.compat_path, int(self.meta["num_points"]),
                         int(self.meta["dimension"]),
                         int(self.meta.get("compat_R", 0)),
+                        cache_capacity=65_536,
                     )
                     # pq traversal when PQ artifacts exist (same mode
                     # selection as HostTierIndex.from_store), else bf16
-                    from diskrag_tpu.index.persist import IndexStore
-
-                    store = IndexStore(index_dir)
                     mode_kwargs: dict = {}
                     if store.pq_model_path.exists():
                         from diskrag_tpu.pq.product_quantizer import (
@@ -186,7 +205,7 @@ class SearchEngine:
                 s = int(self.meta["n_shards"])
                 ndev = jax.device_count()
                 if ndev % s:
-                    raise ValueError(
+                    raise ServingConfigError(
                         f"sharded index has {s} shards but {ndev} device(s) "
                         f"are visible — serving needs device_count % n_shards"
                         f" == 0 (one shard per device over the mesh)"

@@ -39,6 +39,27 @@ from diskrag_tpu.ops.topk import INVALID_ID
 from diskrag_tpu.parallel.sharded import ShardedIndex, shard_to_mesh
 
 
+def _local_pool(adj, med, gid, ep, expand, seed_expand, b, *,
+                search_width, k, max_steps, expand_width):
+    """Shared per-shard body of both pool impls: frontier search ->
+    globalized candidate pool (beam ∪ visited) -> ICI all_gather."""
+    ns = adj.shape[0]
+    res = _frontier_search(
+        adj, med, expand, b,
+        search_width=search_width, k=k, max_steps=max_steps,
+        expand_width=expand_width,
+        entry_points=None if ep is None else ep[0],
+        seed_expand_fn=seed_expand,
+    )
+    pool_local = jnp.concatenate([res.ids, res.visited_ids], axis=1)
+    pool_g = jnp.where(
+        pool_local == INVALID_ID, INVALID_ID,
+        gid[jnp.clip(pool_local, 0, ns - 1)],
+    )
+    # ids only over ICI: [Bd, P] x S shards -> [Bd, S*P]
+    return jax.lax.all_gather(pool_g, "shard", axis=1, tiled=True)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -69,20 +90,11 @@ def _sharded_pool_impl(
         def seed_expand(seeds):
             return pairwise_distance(q, vecs[seeds], metric)
 
-        res = _frontier_search(
-            adj, med, expand, q.shape[0],
+        return _local_pool(
+            adj, med, gid, ep, expand, seed_expand, q.shape[0],
             search_width=search_width, k=k, max_steps=max_steps,
             expand_width=expand_width,
-            entry_points=None if ep is None else ep[0],
-            seed_expand_fn=seed_expand,
         )
-        pool_local = jnp.concatenate([res.ids, res.visited_ids], axis=1)
-        pool_g = jnp.where(
-            pool_local == INVALID_ID, INVALID_ID,
-            gid[jnp.clip(pool_local, 0, ns - 1)],
-        )
-        # ids only over ICI: [Bd, P] x S shards -> [Bd, S*P]
-        return jax.lax.all_gather(pool_g, "shard", axis=1, tiled=True)
 
     ep_spec = P() if entry_points is None else P("shard", None)
     return jax.shard_map(
@@ -136,19 +148,11 @@ def _sharded_pool_pq_impl(
         def seed_expand(seeds):
             return adc_lookup(tbl, cds[seeds])  # one shared code gather
 
-        res = _frontier_search(
-            adj, med, expand, q.shape[0],
+        return _local_pool(
+            adj, med, gid, ep, expand, seed_expand, q.shape[0],
             search_width=search_width, k=k, max_steps=max_steps,
             expand_width=expand_width,
-            entry_points=None if ep is None else ep[0],
-            seed_expand_fn=seed_expand,
         )
-        pool_local = jnp.concatenate([res.ids, res.visited_ids], axis=1)
-        pool_g = jnp.where(
-            pool_local == INVALID_ID, INVALID_ID,
-            gid[jnp.clip(pool_local, 0, ns - 1)],
-        )
-        return jax.lax.all_gather(pool_g, "shard", axis=1, tiled=True)
 
     ep_spec = P() if entry_points is None else P("shard", None)
     return jax.shard_map(
@@ -199,47 +203,62 @@ class ShardedHostTier:
         cls, index: ShardedIndex, reader: RecordReader, mesh: Mesh,
         *, mode: str = "bf16", pq=None, codes: np.ndarray | None = None,
     ) -> "ShardedHostTier":
-        """Wrap a built ShardedIndex: lay its arrays out over the mesh and
-        keep only the compressed traversal copy on device (the f32 master
-        lives behind `reader`). For mode="pq" pass the fitted
+        """Wrap a built ShardedIndex: place each array straight into its
+        sharded layout and keep only the compressed traversal copy on
+        device (the f32 master lives behind `reader`; no device ever
+        holds more than its own shard — the full-precision vectors are
+        never uploaded at all). For mode="pq" pass the fitted
         ProductQuantizer and the *global* uint8 codes [N, m]; they are
         regathered per shard through the global id maps here."""
         from jax.sharding import NamedSharding
 
-        placed = shard_to_mesh(index, mesh)
+        spec3 = NamedSharding(mesh, P("shard", None, None))
+        spec2 = NamedSharding(mesh, P("shard", None))
+        spec1 = NamedSharding(mesh, P("shard"))
+        common = dict(
+            adjacency=jax.device_put(index.adjacency, spec3),
+            medoids=jax.device_put(index.medoids, spec1),
+            global_ids=jax.device_put(index.global_ids, spec2),
+            reader=reader,
+            mesh=mesh,
+            metric=index.metric,
+            entry_points=(
+                None if index.entry_points is None
+                else jax.device_put(index.entry_points, spec2)
+            ),
+        )
         if mode == "bf16":
-            return cls(
-                vectors_bf16=placed.vectors.astype(jnp.bfloat16),
-                adjacency=placed.adjacency,
-                medoids=placed.medoids,
-                global_ids=placed.global_ids,
-                reader=reader,
-                mesh=mesh,
-                metric=index.metric,
-                entry_points=placed.entry_points,
-            )
+            v = index.vectors
+            if isinstance(v, jax.Array):
+                v16 = jax.device_put(v, spec3).astype(jnp.bfloat16)
+            else:
+                # host-resident (e.g. mmapped from load_sharded_index):
+                # cast on host so only the bf16 copy crosses the link
+                import ml_dtypes
+
+                v16 = jax.device_put(
+                    np.asarray(v).astype(ml_dtypes.bfloat16), spec3
+                )
+            return cls(vectors_bf16=v16, **common)
         if mode != "pq":
             raise ValueError(f"unknown sharded host-tier mode: {mode}")
         if pq is None or codes is None:
             raise ValueError("mode='pq' needs pq model + global codes")
         gids = np.asarray(index.global_ids)
-        # padding rows (gid -1) borrow row 0's codes; they are masked out
-        # of the pool by their -1 global id downstream
         shard_codes = np.asarray(codes, np.uint8)[np.clip(gids, 0, None)]
+        pad_mask = gids < 0
+        if pad_mask.any():
+            # padding rows are wrap-around duplicates of real points;
+            # encode their actual vectors so traversal through them ranks
+            # correctly (their -1 gid still masks them out of the pool)
+            pad_vecs = np.asarray(index.vectors)[pad_mask]
+            shard_codes[pad_mask] = np.asarray(pq.encode(pad_vecs))
         return cls(
             vectors_bf16=None,
-            adjacency=placed.adjacency,
-            medoids=placed.medoids,
-            global_ids=placed.global_ids,
-            reader=reader,
-            mesh=mesh,
-            metric=index.metric,
-            entry_points=placed.entry_points,
             mode="pq",
-            codes=jax.device_put(
-                shard_codes, NamedSharding(mesh, P("shard", None, None))
-            ),
+            codes=jax.device_put(shard_codes, spec3),
             pq=pq,
+            **common,
         )
 
     def _pool(self, q: jax.Array, *, search_width, max_steps, expand_width):

@@ -389,8 +389,13 @@ def save_sharded_index(index: ShardedIndex, index_dir: str | os.PathLike) -> Non
 def load_sharded_index(
     index_dir: str | os.PathLike, mesh: Mesh | None = None
 ) -> ShardedIndex:
-    """Load a saved ShardedIndex; with `mesh`, place it shard-per-device
-    (shard_to_mesh) in the same call."""
+    """Load a saved ShardedIndex.
+
+    Without `mesh` the arrays stay host-resident (numpy, memory-mapped) —
+    nothing is committed to a device; consumers place them how they need
+    (e.g. ShardedHostTier keeps only a compressed copy on device). With
+    `mesh`, shard_to_mesh device_puts each array straight into its
+    sharded layout, so no device ever holds more than its own shard."""
     d = pathlib.Path(index_dir)
     meta = json.loads((d / "sharded_meta.json").read_text())
     if meta.get("format") != SHARDED_FORMAT_VERSION:
@@ -399,12 +404,12 @@ def load_sharded_index(
         )
     entry_arr = None
     if meta.get("has_entry_points"):
-        entry_arr = jnp.asarray(np.load(d / "entry_points.npy"))
+        entry_arr = np.load(d / "entry_points.npy")
     index = ShardedIndex(
-        vectors=jnp.asarray(np.load(d / "vectors.npy")),
-        adjacency=jnp.asarray(np.load(d / "adjacency.npy")),
-        medoids=jnp.asarray(np.load(d / "medoids.npy")),
-        global_ids=jnp.asarray(np.load(d / "global_ids.npy")),
+        vectors=np.load(d / "vectors.npy", mmap_mode="r"),
+        adjacency=np.load(d / "adjacency.npy", mmap_mode="r"),
+        medoids=np.load(d / "medoids.npy"),
+        global_ids=np.load(d / "global_ids.npy"),
         metric=Metric(meta["metric"]).value,
         entry_points=entry_arr,
     )

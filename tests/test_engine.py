@@ -250,3 +250,25 @@ def test_engine_sharded_host_tier(tmp_path, clustered_data):
         "c", base_dir=tmp_path / "coll_sht", serving_mode="host_tier"
     )
     assert eng2.brute_force_mode
+
+
+def test_engine_sharded_device_mismatch_raises(tmp_path, clustered_data):
+    """A shard count that does not divide the visible device count is a
+    configuration error — it must surface, not degrade to brute force."""
+    from diskrag_tpu.engine import ServingConfigError
+
+    vecs = clustered_data[:600]
+    mgr = CollectionManager(tmp_path / "coll_mm")
+    mgr.create_collection("c", dimension=vecs.shape[1])
+    mgr.update_collection(
+        "c", vecs, [f"t{i}" for i in range(600)], [{} for _ in range(600)]
+    )
+    build_index_from_vectors(
+        vecs, mgr.get_index_dir("c"), index_type="sharded", n_shards=3
+    )
+    with pytest.raises(ServingConfigError, match="3 shards"):
+        SearchEngine("c", base_dir=tmp_path / "coll_mm")
+    with pytest.raises(ServingConfigError, match="3 shards"):
+        SearchEngine(
+            "c", base_dir=tmp_path / "coll_mm", serving_mode="host_tier"
+        )
