@@ -47,6 +47,12 @@ class SearchRequest(BaseModel):
     use_faq_search: bool = False
 
 
+class BatchSearchRequest(BaseModel):
+    collection: str = Field(...)
+    queries: list[str] = Field(..., min_length=1, max_length=1024)
+    top_k: int = Field(5, ge=1, le=20)
+
+
 class AskRequest(BaseModel):
     collection: str = Field(...)
     question: str = Field(..., min_length=1, max_length=500)
@@ -176,6 +182,23 @@ def create_app(state: Optional[AppState] = None):
             return web.json_response(out)
         except Exception as e:  # noqa: BLE001
             logger.exception("search failed")
+            return _json_error(500, str(e))
+
+    async def search_batch(request: web.Request):
+        """Batched search (ours only — the reference serves one query
+        per request): one device dispatch for the whole list."""
+        try:
+            req = BatchSearchRequest(**await request.json())
+        except (ValidationError, ValueError) as e:
+            return _json_error(422, str(e))
+        try:
+            engine = state.get_engine(req.collection)
+            out = engine.search_many(
+                req.queries, k=req.top_k, embedding_fn=state.embed
+            )
+            return web.json_response(out)
+        except Exception as e:  # noqa: BLE001
+            logger.exception("search_batch failed")
             return _json_error(500, str(e))
 
     async def faq_search(request: web.Request):
@@ -322,6 +345,7 @@ def create_app(state: Optional[AppState] = None):
             return _json_error(500, str(e))
 
     app.router.add_post("/search", search)
+    app.router.add_post("/search-batch", search_batch)
     app.router.add_post("/faq-search", faq_search)
     app.router.add_get("/collections", collections)
     app.router.add_get("/health", health)
@@ -329,14 +353,26 @@ def create_app(state: Optional[AppState] = None):
     return app
 
 
-def main(host: str = "0.0.0.0", port: int = 8000) -> None:
+def main(
+    host: str = "0.0.0.0", port: int = 8000, config: str = "config.yaml"
+) -> None:
     # stream + app.log file logging, like the reference (app.py:16-24)
     logging.basicConfig(
         level=logging.INFO,
         handlers=[logging.StreamHandler(), logging.FileHandler("app.log")],
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
-    web.run_app(create_app(), host=host, port=port)
+    # honor ./config.yaml like the CLI does (embedding provider/model/
+    # dimension — otherwise a mock fallback defaults to 1536-d and
+    # mismatches any non-1536-d collection)
+    state = None
+    import pathlib
+
+    if pathlib.Path(config).exists():
+        from diskrag_tpu.data.config import load_config
+
+        state = AppState(embedding_config=load_config(config).embedding)
+    web.run_app(create_app(state), host=host, port=port)
 
 
 if __name__ == "__main__":

@@ -486,6 +486,49 @@ class SearchEngine:
             "stats": stats,
         }
 
+    def search_many(
+        self,
+        queries: list[str],
+        k: int = 5,
+        embedding_fn: Optional[Callable[[str], np.ndarray]] = None,
+        l_search: Optional[int] = None,
+        use_pq_search: bool = True,
+    ) -> dict[str, Any]:
+        """Batched text search: one device dispatch for the whole query
+        list, per-query result lists in order. Ours only — the reference
+        serves one query per call (search_engine.py:530); batching is
+        where the TPU throughput lives, so the public API exposes it."""
+        if embedding_fn is None:
+            raise ValueError("embedding_fn is required to embed the queries")
+        if not queries:
+            raise ValueError("queries must be non-empty")
+        t_total = time.perf_counter()
+        t_emb = time.perf_counter()
+        qv = np.stack(
+            [np.asarray(embedding_fn(q), np.float32) for q in queries]
+        )
+        embedding_time = time.perf_counter() - t_emb
+        if qv.ndim != 2 or qv.shape[1] != self.info.dimension:
+            raise ValueError(
+                f"query vector dimension mismatch: expected "
+                f"{self.info.dimension}, got {qv.shape}"
+            )
+        dists, ids, stats = self.search_batch(
+            qv, k=k, l_search=l_search, use_pq_search=use_pq_search
+        )
+        results = [
+            self._attach_texts(ids[i], dists[i]) for i in range(len(queries))
+        ]
+        return {
+            "results": results,
+            "timing": {
+                "embedding_time": embedding_time,
+                "search_time": stats["search_time"],
+                "total_time": time.perf_counter() - t_total,
+            },
+            "stats": stats,
+        }
+
     def faq_search(
         self,
         query: str,

@@ -181,3 +181,24 @@ def test_cli_process_article_csv_and_markdown(workspace, capsys):
     assert cli_main(["process", "manual.md", "-c", "docs"]) == 0
     info = rag.manager.get_collection_info("docs")
     assert info is not None and info.num_vectors >= 1
+
+
+def test_api_search_batch(api_client):
+    """Batched endpoint (ours only): one device dispatch per request,
+    per-query result lists in order."""
+    status, data = _run(
+        _request(api_client(), "POST", "/search-batch",
+                 {"collection": "faq",
+                  "queries": ["如何使用功能5?", "如何使用功能2?"],
+                  "top_k": 2})
+    )
+    assert status == 200
+    assert len(data["results"]) == 2
+    assert "功能5" in data["results"][0][0]["text"]
+    assert "功能2" in data["results"][1][0]["text"]
+
+    status, _ = _run(
+        _request(api_client(), "POST", "/search-batch",
+                 {"collection": "faq", "queries": []})
+    )
+    assert status == 422
