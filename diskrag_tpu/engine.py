@@ -57,8 +57,11 @@ class SearchEngine:
         HBM and reranks against host-resident f32 vectors (the
         counterpart of the reference's disk-resident serving path,
         search_engine.py:25-78 + MMapNodeReader — requires the packed
-        record file, i.e. an index saved with write_compat)."""
-        if serving_mode not in ("auto", "host_tier"):
+        record file, i.e. an index saved with write_compat);
+        "sharded_flat" serves a sharded index as an exhaustive bf16 MXU
+        scan per shard merged over ICI — exact result ids, distances at
+        bf16 precision (no reference counterpart)."""
+        if serving_mode not in ("auto", "host_tier", "sharded_flat"):
             raise ValueError(f"unknown serving_mode: {serving_mode}")
         self.serving_mode = serving_mode
         # host-tier batches larger than this are pipelined (device
@@ -192,6 +195,50 @@ class SearchEngine:
                     )
                 self.host_tier = HostTierIndex.from_store(index_dir)
                 self.meta = json.loads(meta_path.read_text())
+                self.recommended_l = int(
+                    self.meta.get("recommended_search_L", 64)
+                )
+                return
+            if self.serving_mode == "sharded_flat":
+                import jax
+
+                from diskrag_tpu.parallel import load_sharded_index, make_mesh
+
+                if self.index_type != "sharded":
+                    raise ServingConfigError(
+                        f"sharded_flat serving needs a sharded index, got "
+                        f"{self.index_type}"
+                    )
+                self.meta = json.loads(meta_path.read_text())
+                s = int(self.meta["n_shards"])
+                ndev = jax.device_count()
+                if ndev % s:
+                    raise ServingConfigError(
+                        f"sharded index has {s} shards but {ndev} device(s) "
+                        f"are visible — serving needs device_count % "
+                        f"n_shards == 0"
+                    )
+                self.mesh = make_mesh(n_shards=s, n_data=ndev // s)
+                idx = load_sharded_index(index_dir / "sharded")
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                import ml_dtypes
+
+                v = np.asarray(idx.vectors)
+                spec3 = NamedSharding(self.mesh, P("shard", None, None))
+                spec2 = NamedSharding(self.mesh, P("shard", None))
+                # bf16 scan copy + f32 norms; padding rows masked by their
+                # -1 global id inside the scan
+                self._sf_vectors = jax.device_put(
+                    v.astype(ml_dtypes.bfloat16), spec3
+                )
+                self._sf_norms = jax.device_put(
+                    np.sum(v.astype(np.float32) ** 2, axis=-1), spec2
+                )
+                self._sf_gids = jax.device_put(
+                    np.asarray(idx.global_ids), spec2
+                )
+                self._sf_metric = idx.metric
                 self.recommended_l = int(
                     self.meta.get("recommended_search_L", 64)
                 )
@@ -368,6 +415,25 @@ class SearchEngine:
                 nodes_visited * self.host_tier.adjacency.shape[-1]
                 if getattr(self.host_tier, "mode", "bf16") == "pq" else 0
             )
+        elif self.serving_mode == "sharded_flat":
+            from diskrag_tpu.parallel import sharded_flat_search
+
+            n_data = self.mesh.shape["data"]
+            pad = (-b) % n_data
+            qp = (
+                jnp.concatenate([q, jnp.zeros((pad, q.shape[1]), q.dtype)])
+                if pad else q
+            )
+            ids, dists = sharded_flat_search(
+                self._sf_vectors, self._sf_norms, self._sf_gids, qp,
+                self.mesh, k=k, metric=self._sf_metric,
+            )
+            ids, dists = ids[:b], dists[:b]
+            search_type = "sharded_flat"
+            n_points = int(self._sf_gids.shape[0] * self._sf_gids.shape[1])
+            nodes_visited = n_points * b
+            n_exact = nodes_visited
+            n_pq = 0
         elif self.index_type == "sharded":
             from diskrag_tpu.parallel import sharded_search
 

@@ -272,3 +272,47 @@ def test_engine_sharded_device_mismatch_raises(tmp_path, clustered_data):
         SearchEngine(
             "c", base_dir=tmp_path / "coll_mm", serving_mode="host_tier"
         )
+
+
+def test_engine_sharded_flat_serving(tmp_path, clustered_data):
+    """sharded_flat serving: exhaustive bf16 scan per shard of a sharded
+    index, merged over ICI — exact-quality results, no graph traversal."""
+    vecs = clustered_data[:1200]
+    mgr = CollectionManager(tmp_path / "coll_sf")
+    mgr.create_collection("c", dimension=vecs.shape[1])
+    mgr.update_collection(
+        "c", vecs, [f"text {i}" for i in range(1200)],
+        [{"i": i} for i in range(1200)],
+    )
+    build_index_from_vectors(
+        vecs, mgr.get_index_dir("c"), index_type="sharded", n_shards=4
+    )
+    eng = SearchEngine(
+        "c", base_dir=tmp_path / "coll_sf", serving_mode="sharded_flat"
+    )
+    out = eng.search("q", k=3, embedding_fn=lambda t: vecs[42])
+    assert out["stats"]["search_type"] == "sharded_flat"
+    assert out["results"][0]["text"] == "text 42"
+
+    # exhaustive scan: every self-query hits itself (B=5 pads data axis)
+    queries = vecs[[10, 20, 30, 40, 50]]
+    dists, ids, stats = eng.search_batch(queries, k=5)
+    np.testing.assert_array_equal(ids[:, 0], [10, 20, 30, 40, 50])
+
+    # on a non-sharded index the mode is a config error
+    from diskrag_tpu.engine import ServingConfigError
+
+    mgr2 = CollectionManager(tmp_path / "coll_sf2")
+    mgr2.create_collection("c", dimension=vecs.shape[1])
+    mgr2.update_collection(
+        "c", vecs[:100], [f"t{i}" for i in range(100)],
+        [{} for _ in range(100)],
+    )
+    build_index_from_vectors(
+        vecs[:100], mgr2.get_index_dir("c"), index_type="flat"
+    )
+    with pytest.raises(ServingConfigError, match="needs a sharded index"):
+        SearchEngine(
+            "c", base_dir=tmp_path / "coll_sf2",
+            serving_mode="sharded_flat",
+        )
