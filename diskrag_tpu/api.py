@@ -21,7 +21,7 @@ import logging
 import os
 import pathlib
 import time
-from typing import Any, Optional
+from typing import Annotated, Any, Optional
 
 from pydantic import BaseModel, Field, ValidationError
 
@@ -49,7 +49,10 @@ class SearchRequest(BaseModel):
 
 class BatchSearchRequest(BaseModel):
     collection: str = Field(...)
-    queries: list[str] = Field(..., min_length=1, max_length=1024)
+    # same per-query constraints as SearchRequest.query
+    queries: list[Annotated[str, Field(min_length=1, max_length=500)]] = (
+        Field(..., min_length=1, max_length=1024)
+    )
     top_k: int = Field(5, ge=1, le=20)
 
 
@@ -366,12 +369,18 @@ def main(
     # dimension — otherwise a mock fallback defaults to 1536-d and
     # mismatches any non-1536-d collection)
     state = None
-    import pathlib
-
     if pathlib.Path(config).exists():
-        from diskrag_tpu.data.config import load_config
+        # only the embedding: block matters here — read it directly so a
+        # serving-only config.yaml without a `collection` key works
+        import yaml
 
-        state = AppState(embedding_config=load_config(config).embedding)
+        from diskrag_tpu.data.config import EmbeddingConfig
+
+        with open(config, encoding="utf-8") as f:
+            data = yaml.safe_load(f) or {}
+        state = AppState(
+            embedding_config=EmbeddingConfig(**data.get("embedding", {}))
+        )
     web.run_app(create_app(state), host=host, port=port)
 
 

@@ -232,8 +232,9 @@ class SearchEngine:
                 self._sf_vectors = jax.device_put(
                     v.astype(ml_dtypes.bfloat16), spec3
                 )
+                # einsum streams from the mmap without a full f32 copy
                 self._sf_norms = jax.device_put(
-                    np.sum(v.astype(np.float32) ** 2, axis=-1), spec2
+                    np.einsum("snd,snd->sn", v, v, dtype=np.float32), spec2
                 )
                 self._sf_gids = jax.device_put(
                     np.asarray(idx.global_ids), spec2
@@ -418,17 +419,10 @@ class SearchEngine:
         elif self.serving_mode == "sharded_flat":
             from diskrag_tpu.parallel import sharded_flat_search
 
-            n_data = self.mesh.shape["data"]
-            pad = (-b) % n_data
-            qp = (
-                jnp.concatenate([q, jnp.zeros((pad, q.shape[1]), q.dtype)])
-                if pad else q
-            )
             ids, dists = sharded_flat_search(
-                self._sf_vectors, self._sf_norms, self._sf_gids, qp,
+                self._sf_vectors, self._sf_norms, self._sf_gids, q,
                 self.mesh, k=k, metric=self._sf_metric,
             )
-            ids, dists = ids[:b], dists[:b]
             search_type = "sharded_flat"
             n_points = int(self._sf_gids.shape[0] * self._sf_gids.shape[1])
             nodes_visited = n_points * b
@@ -437,18 +431,9 @@ class SearchEngine:
         elif self.index_type == "sharded":
             from diskrag_tpu.parallel import sharded_search
 
-            # sharded_search splits the batch over the mesh's "data" axis;
-            # pad to a multiple and slice the padding back off
-            n_data = self.mesh.shape["data"]
-            pad = (-b) % n_data
-            qp = (
-                jnp.concatenate([q, jnp.zeros((pad, q.shape[1]), q.dtype)])
-                if pad else q
-            )
             ids, dists = sharded_search(
-                self.sharded, qp, self.mesh, search_width=l_search, k=k
+                self.sharded, q, self.mesh, search_width=l_search, k=k
             )
-            ids, dists = ids[:b], dists[:b]
             search_type = "sharded"
             # the merged shard_map path does not return per-shard expansion
             # counters; report the frontier bound (E nodes/round x rounds)
@@ -526,31 +511,11 @@ class SearchEngine:
         l_search: Optional[int] = None,
         use_pq_search: bool = True,
     ) -> dict[str, Any]:
-        if embedding_fn is None:
-            raise ValueError("embedding_fn is required to embed the query")
-        t_total = time.perf_counter()
-        t_emb = time.perf_counter()
-        qv = np.asarray(embedding_fn(query), np.float32)
-        embedding_time = time.perf_counter() - t_emb
-        if qv.ndim != 1 or qv.shape[0] != self.info.dimension:
-            raise ValueError(
-                f"query vector dimension mismatch: expected "
-                f"{self.info.dimension}, got {qv.shape}"
-            )
-        dists, ids, stats = self.search_batch(
-            qv[None, :], k=k, l_search=l_search, use_pq_search=use_pq_search
+        out = self.search_many(
+            [query], k=k, embedding_fn=embedding_fn, l_search=l_search,
+            use_pq_search=use_pq_search,
         )
-        results = self._attach_texts(ids[0], dists[0])
-        total_time = time.perf_counter() - t_total
-        return {
-            "results": results,
-            "timing": {
-                "embedding_time": embedding_time,
-                "search_time": stats["search_time"],
-                "total_time": total_time,
-            },
-            "stats": stats,
-        }
+        return {**out, "results": out["results"][0]}
 
     def search_many(
         self,

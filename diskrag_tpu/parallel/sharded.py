@@ -301,12 +301,19 @@ def sharded_flat_search(
     through the MXU; per-shard top-k lists merge over the ICI all-gather.
     The scale-out mode for datasets above one chip's HBM
     (vectors_bf16 [S, Ns, D] / norms [S, Ns] / global_ids [S, Ns] sharded
-    over "shard"; queries split over "data")."""
+    over "shard"; queries split over "data" — odd batch sizes padded)."""
     queries = jnp.asarray(queries, jnp.float32)
+    b = queries.shape[0]
+    pad = (-b) % mesh.shape["data"]
+    if pad:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((pad, queries.shape[1]), queries.dtype)]
+        )
     q = jax.device_put(queries, NamedSharding(mesh, P("data", None)))
-    return _sharded_flat_impl(
+    ids, dists = _sharded_flat_impl(
         vectors_bf16, norms_sq, global_ids, q, k=k, metric=metric, mesh=mesh
     )
+    return ids[:b], dists[:b]
 
 
 def sharded_search(
@@ -329,8 +336,13 @@ def sharded_search(
     queries = jnp.asarray(queries, jnp.float32)
     b = queries.shape[0]
     n_data = mesh.shape["data"]
-    if b % n_data:
-        raise ValueError(f"batch {b} not divisible by data axis {n_data}")
+    # the batch is split over the "data" mesh axis — pad odd sizes and
+    # slice the padding back off
+    pad = (-b) % n_data
+    if pad:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((pad, queries.shape[1]), queries.dtype)]
+        )
     q = jax.device_put(queries, NamedSharding(mesh, P("data", None)))
     ids, dists = _sharded_search_impl(
         index.vectors, index.adjacency, index.medoids, index.global_ids,
@@ -338,7 +350,7 @@ def sharded_search(
         search_width=search_width, k=k, max_steps=max_steps,
         metric=index.metric, mesh=mesh,
     )
-    return ids, dists
+    return ids[:b], dists[:b]
 
 
 SHARDED_FORMAT_VERSION = "tpu-sharded-1"
