@@ -177,7 +177,7 @@ class DiskRAG:
             write_compat=icfg.write_compat,
             params_override=override or None,
             checkpoint_dir=checkpoint_dir,
-            n_shards=n_shards,
+            n_shards=n_shards or icfg.n_shards,
         )
         # record build stats on the collection (reference build_index.py:334-351)
         info = self.manager.get_collection_info(collection)

@@ -93,6 +93,8 @@ class IndexConfig:
     # also write the packed record file (index.dat) — required for
     # host_tier serving (f32 vectors host-resident, rerank on host)
     write_compat: bool = False
+    # shard count for type: sharded (CLI --shards overrides)
+    n_shards: Optional[int] = None
 
 
 @dataclasses.dataclass
