@@ -181,19 +181,24 @@ def build_ivf(
     )
     centroids = np.asarray(centers[0])  # [C, D]
 
-    # top-4 cell choices per point (chunked). The chunk scales down with
+    # top-8 cell choices per point (chunked). The chunk scales down with
     # the cell count: the [step, C] distance block lives twice on device
     # (cross + dist) and async dispatch keeps ~2 iterations in flight, so
     # a fixed 65k step at C≈12k cells (N=10M) peaks at >13 GB and OOMs a
     # 16 GB chip — cap the in-flight block at ~256 MB per array instead.
-    choices = np.empty((n, 4), np.int32)
+    # 8 choices (not 4): a point placed outside its near-centroid cells
+    # is invisible to query-side probing, and at 4M points the 4-choice
+    # schedule left ~2% of points as stragglers — a recall CEILING that
+    # no n_probe can recover (measured plateau at 0.977).
+    n_choice = min(8, n_cells)
+    choices = np.empty((n, n_choice), np.int32)
     cj = jnp.asarray(centroids)
     step = max(4096, min(65_536, (1 << 26) // max(n_cells, 1)) // 512 * 512)
     for i in range(0, n, step):
         q = jnp.asarray(vectors[i : i + step])
         cross = jnp.matmul(q, cj.T, precision=jax.lax.Precision.HIGHEST)
         dist = jnp.sum(cj * cj, -1)[None, :] - 2.0 * cross
-        _, idx = jax.lax.top_k(-dist, 4)
+        _, idx = jax.lax.top_k(-dist, n_choice)
         choices[i : i + step] = np.asarray(idx)
 
     # capacity-aware placement: rank points within each chosen cell by
@@ -201,7 +206,7 @@ def build_ivf(
     assigned = np.full(n, -1, np.int64)
     remaining = np.full(n_cells, cap, np.int64)
     todo = np.arange(n)
-    for round_i in range(4):
+    for round_i in range(n_choice):
         if len(todo) == 0:
             break
         want = choices[todo, round_i].astype(np.int64)
@@ -216,14 +221,33 @@ def build_ivf(
         remaining -= counts
         todo = todo[order[~ok]]
     if len(todo):
-        # final stragglers: force into globally least-filled cells
-        space_order = np.argsort(-remaining)
-        spill_cells = []
-        for cell in space_order:
-            spill_cells.extend([cell] * int(remaining[cell]))
-            if len(spill_cells) >= len(todo):
-                break
-        assigned[todo] = np.asarray(spill_cells[: len(todo)], np.int64)
+        # final stragglers go to their NEAREST cell with space — placing
+        # them by global fill order scattered them into arbitrary far
+        # cells that no query-side probe schedule ever visits. Chunked
+        # BLAS distances + a preference list keep this O(T·O) matmul +
+        # O(T) python, even for adversarially many stragglers.
+        open_cells = np.flatnonzero(remaining > 0)
+        slack = remaining[open_cells].copy()
+        oc = centroids[open_cells]
+        oc_norm = np.sum(oc * oc, axis=-1)
+        n_pref = min(16, len(open_cells))
+        for s in range(0, len(todo), 4096):
+            chunk = todo[s : s + 4096]
+            d2 = oc_norm[None, :] - 2.0 * vectors[chunk] @ oc.T
+            pref = np.argpartition(d2, n_pref - 1, axis=1)[:, :n_pref]
+            pref = np.take_along_axis(
+                pref, np.argsort(np.take_along_axis(d2, pref, 1), 1), 1
+            )
+            for row, p in enumerate(chunk):
+                for j in pref[row]:
+                    if slack[j] > 0:
+                        assigned[p] = open_cells[j]
+                        slack[j] -= 1
+                        break
+                else:  # all preferred cells full — least-filled fallback
+                    j = int(np.argmax(slack))
+                    assigned[p] = open_cells[j]
+                    slack[j] -= 1
 
     tile_ids = np.full((n_cells, cap), INVALID_ID, np.int32)
     order = np.argsort(assigned, kind="stable")
