@@ -29,10 +29,11 @@ bench:
 baseline:
 	$(PY) benchmarks/measure_baseline.py
 
+# offline end-to-end demo (mock embeddings — no TPU, no API key)
 demo:
-	$(PY) -m diskrag_tpu.cli --config examples/config.yaml process examples/faq_data.csv -c demo
-	$(PY) -m diskrag_tpu.cli --config examples/config.yaml index demo
-	$(PY) -m diskrag_tpu.cli --config examples/config.yaml search demo "如何使用?"
+	PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu $(PY) -m diskrag_tpu.cli --config examples/config.yaml process examples/faq_data.csv -c demo --questions
+	PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu $(PY) -m diskrag_tpu.cli --config examples/config.yaml index demo
+	PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu $(PY) -m diskrag_tpu.cli --config examples/config.yaml search demo "如何使用?"
 
 run-api:
 	$(PY) -m diskrag_tpu.api
