@@ -235,3 +235,22 @@ def test_sharded_host_tier_pq_mode(clustered_data, tmp_path):
     )
     assert pstats["mode"] == "pq"
     np.testing.assert_array_equal(i_pip, ids)
+
+
+def test_sharded_save_load_without_entry_points(clustered_data, tmp_path):
+    """Wave-built shards carry no entry points; the artifact round-trip
+    must preserve that (has_entry_points=False path)."""
+    from diskrag_tpu.parallel import load_sharded_index, save_sharded_index
+
+    pts = clustered_data[:800]
+    sharded = build_sharded(
+        pts, n_shards=2, degree_bound=16, build_width=32, wave_size=128,
+        build_method="wave",
+    )
+    assert sharded.entry_points is None
+    save_sharded_index(sharded, tmp_path / "s")
+    loaded = load_sharded_index(tmp_path / "s")
+    assert loaded.entry_points is None
+    np.testing.assert_array_equal(
+        np.asarray(loaded.adjacency), np.asarray(sharded.adjacency)
+    )
