@@ -265,6 +265,26 @@ class DiskRAG:
             return report
 
         vectors = np.load(vec_path)
+        index_type = "vamana"
+        if store.meta_path.exists():
+            import json
+
+            try:
+                index_type = json.loads(store.meta_path.read_text()).get(
+                    "index_type", "vamana"
+                )
+            except ValueError:
+                pass
+        if index_type in ("flat", "ivf", "sharded"):
+            # these types have no detached PQ artifact set to repair
+            # (flat/ivf are self-contained; sharded trains PQ inline) —
+            # report health instead of mis-detecting "no index"
+            report["actions"].append(
+                f"{index_type} index present — nothing to repair "
+                f"(use --force-rebuild to rebuild)"
+            )
+            report["status"] = "ok"
+            return report
         if not store.exists():
             report["actions"].append("no index yet — run `index`")
             report["status"] = "ok"

@@ -64,6 +64,12 @@ def test_cli_merge_and_doctor(workspace, capsys):
     report = rag.doctor("m")
     assert report["status"] == "ok"
 
+    # self-contained index types must report healthy, not "no index"
+    rag.build_index("m", index_type="flat", force_rebuild=True)
+    report = rag.doctor("m")
+    assert report["status"] == "ok"
+    assert any("flat index present" in a for a in report["actions"])
+
 
 @pytest.fixture()
 def api_client(workspace):
