@@ -247,10 +247,31 @@ def create_app(state: Optional[AppState] = None):
             required = {
                 "vectors.npy": state.manager.get_vectors_path(name),
                 "metadata.parquet": state.manager.get_metadata_path(name),
-                "index/vectors.npy": index_dir / "vectors.npy",
-                "index/adjacency.npy": index_dir / "adjacency.npy",
                 "index/meta.json": meta_path,
             }
+            # per-index-type artifact sets (flat/ivf/sharded are not the
+            # vamana layout — reporting adjacency.npy as missing for a
+            # flat index would be a false "incomplete")
+            itype = meta.get("index_type", "vamana")
+            if itype == "flat":
+                required["index/vectors.npy"] = index_dir / "vectors.npy"
+            elif itype == "ivf":
+                required["index/vectors.npy"] = index_dir / "vectors.npy"
+                required["index/ivf_centroids.npy"] = (
+                    index_dir / "ivf_centroids.npy"
+                )
+                required["index/ivf_tile_ids.npy"] = (
+                    index_dir / "ivf_tile_ids.npy"
+                )
+            elif itype == "sharded":
+                for f in ("sharded_meta.json", "vectors.npy",
+                          "adjacency.npy", "medoids.npy", "global_ids.npy"):
+                    required[f"index/sharded/{f}"] = index_dir / "sharded" / f
+                if meta.get("write_compat"):
+                    required["index/index.dat"] = index_dir / "index.dat"
+            else:
+                required["index/vectors.npy"] = index_dir / "vectors.npy"
+                required["index/adjacency.npy"] = index_dir / "adjacency.npy"
             if meta.get("use_pq"):
                 required["index/pq_model.npz"] = index_dir / "pq_model.npz"
                 required["index/pq_codes.npy"] = index_dir / "pq_codes.npy"
