@@ -52,6 +52,13 @@ def _scan_kernel(q_ref, db_ref, dbn_ref, *args, use_norms, int8):
     outer product on the int32 tile.
     bestv_ref/besti_ref: [BQ, NB] running per-bucket best (accumulated
     across the db-tile grid axis; initialized at tile 0).
+
+    VPU economy (the fold, not the matmul, bounds this kernel): the L2
+    "2*q.v" doubling is pre-folded by the wrapper (into the dequant
+    scales for int8, into the bf16 query copy otherwise), and besti_ref
+    stores the winning *segment* number — a scalar select per segment —
+    rather than a full element-id lane; the wrapper reconstructs
+    ids = seg * NB + lane once per batch.
     """
     if int8:
         qs_ref, bestv_ref, besti_ref = args
@@ -70,7 +77,7 @@ def _scan_kernel(q_ref, db_ref, dbn_ref, *args, use_norms, int8):
     if int8:
         cross = cross.astype(jnp.float32) * qs_ref[...] * dbn_ref[1, :][None, :]
     if use_norms:
-        score = 2.0 * cross - dbn_ref[0, :][None, :]
+        score = cross - dbn_ref[0, :][None, :]
     else:
         score = jnp.where(
             jnp.isinf(dbn_ref[0, :])[None, :], NEG_INF, cross
@@ -85,14 +92,12 @@ def _scan_kernel(q_ref, db_ref, dbn_ref, *args, use_norms, int8):
     # segment into the running state. Static unroll over F segments (F is
     # tiny); plain 2D compare/select throughout — no 3D reshape or argmax,
     # which Mosaic does not lower here.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (bq, nb), 1)
     best_v = bestv_ref[...]
     best_i = besti_ref[...]
     for fi in range(f):
         seg = score[:, fi * nb : (fi + 1) * nb]  # [BQ, NB]
-        seg_ids = t_idx * t + fi * nb + lane
         upd = seg > best_v
-        best_i = jnp.where(upd, seg_ids, best_i)
+        best_i = jnp.where(upd, t_idx * f + fi, best_i)
         best_v = jnp.where(upd, seg, best_v)
     bestv_ref[...] = best_v
     besti_ref[...] = best_i
@@ -153,12 +158,15 @@ def scan_bucketed_topk(
 
     pad_q = (-b) % query_block
     q = jnp.pad(queries_bf16, ((0, pad_q), (0, 0)))
+    if use_norms and not int8:
+        q = q + q  # fold L2's "2*q.v" into the query copy (exact in bf16)
     pad_n = (-n) % db_tile
     db = jnp.pad(db_bf16, ((0, pad_n), (0, 0)))
     norms = jnp.pad(db_norms, (0, pad_n), constant_values=jnp.inf)[None, :]
     if int8:
+        scales = db_scales * 2.0 if use_norms else db_scales
         norms = jnp.concatenate(
-            [norms, jnp.pad(db_scales, (0, pad_n))[None, :]], axis=0
+            [norms, jnp.pad(scales, (0, pad_n))[None, :]], axis=0
         )  # [2, Npad]
 
     n_q_blocks = q.shape[0] // query_block
@@ -189,7 +197,7 @@ def scan_bucketed_topk(
         kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         )
-    vals, ids = pl.pallas_call(
+    vals, segs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -198,7 +206,9 @@ def scan_bucketed_topk(
         interpret=interpret,
         **kwargs,
     )(*operands)
-    ids = jnp.where(ids >= n, -1, ids)
+    # reconstruct element ids from (winning segment, bucket lane)
+    ids = segs * nb + jnp.arange(nb, dtype=jnp.int32)[None, :]
+    ids = jnp.where((segs < 0) | (ids >= n), -1, ids)
     return vals[:b], ids[:b]
 
 
