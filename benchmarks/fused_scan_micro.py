@@ -1,0 +1,135 @@
+"""Microbenchmark of the fused flat-scan kernel (run on the real TPU).
+
+Breaks the headline flat path into stages so kernel work can be
+attributed: the bucketed scan alone, the full fused path (scan +
+approx_max_k cut + f32 rerank), and a (db_tile, query_block, n_buckets)
+sweep. Timing via diskrag_tpu.benchmark._measure (see CLAUDE.md — naive
+block_until_ready timing lies on this platform).
+
+    JAX_COMPILATION_CACHE_DIR=.jax_cache python benchmarks/fused_scan_micro.py \
+        --n 200000 --queries 1000
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=200_000)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--queries", type=int, default=1000)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument(
+        "--sweep", action="store_true",
+        help="also sweep (db_tile, query_block, n_buckets)",
+    )
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from diskrag_tpu.benchmark import (
+        _measure, ground_truth, make_dataset, recall_at_k,
+    )
+    from diskrag_tpu.ops.flat_scan_pallas import (
+        flat_search_fused, quantize_int8, scan_bucketed_topk,
+    )
+
+    pts, queries = make_dataset(args.n, args.dim, args.queries)
+    gt = ground_truth(pts, queries, args.k)
+    v = jnp.asarray(pts)
+    norms = jnp.sum(jnp.square(v), axis=-1)
+    codes, scales = quantize_int8(v)
+    qcodes, qscales = quantize_int8(jnp.asarray(queries))
+    q = jnp.asarray(queries)
+    nq = args.queries
+
+    def report(name, dt, ids=None, extra=None):
+        line = {"stage": name, "qps": round(nq / dt, 1),
+                "batch_ms": round(dt * 1e3, 3)}
+        if ids is not None:
+            line["recall"] = round(recall_at_k(ids, gt, args.k), 4)
+        if extra:
+            line.update(extra)
+        print(json.dumps(line))
+
+    # stage 1: the Pallas scan alone (int8), default blocks
+    dt, _ = _measure(
+        lambda: scan_bucketed_topk(
+            qcodes, codes, norms, q_scales=qscales, db_scales=scales,
+        ),
+        nq, args.repeats,
+    )
+    report("scan_only_int8", dt)
+
+    # stage 2: scan alone, bf16
+    vb = v.astype(jnp.bfloat16)
+    qb = q.astype(jnp.bfloat16)
+    dt, _ = _measure(
+        lambda: scan_bucketed_topk(qb, vb, norms), nq, args.repeats
+    )
+    report("scan_only_bf16", dt)
+
+    # stage 3: full fused path (scan + candidate cut + f32 rerank)
+    def full():
+        return flat_search_fused(
+            q, codes, norms, v, k=args.k, db_scales=scales,
+        )
+
+    dt, (d, ids) = _measure(full, nq, args.repeats)
+    import numpy as np
+
+    report("fused_full_int8", dt, np.asarray(ids))
+
+    # stage 4: packed-int32 fold (global scales)
+    from diskrag_tpu.ops.flat_scan_pallas import (
+        quantize_int8_global, scan_bucketed_topk_packed,
+    )
+
+    gcodes, gscale = quantize_int8_global(v)
+    gq, gqs = quantize_int8_global(q)
+    dt, _ = _measure(
+        lambda: scan_bucketed_topk_packed(gq, gqs, gcodes, norms, gscale),
+        nq, args.repeats,
+    )
+    report("scan_only_packed", dt)
+
+    dt, (d, ids) = _measure(
+        lambda: flat_search_fused(
+            q, gcodes, norms, v, k=args.k, db_scale_global=gscale,
+        ),
+        nq, args.repeats,
+    )
+    report("fused_full_packed", dt, np.asarray(ids))
+
+    if not args.sweep:
+        return
+    for tile, qblk, nb in itertools.product(
+        (2048, 4096, 8192), (256, 512, 1024), (512, 1024)
+    ):
+        try:
+            dt, (d, ids) = _measure(
+                lambda: flat_search_fused(
+                    q, codes, norms, v, k=args.k, db_scales=scales,
+                    db_tile=tile, query_block=qblk, n_buckets=nb,
+                ),
+                nq, args.repeats,
+            )
+        except Exception as e:  # VMEM overflow compiles fail loudly
+            print(json.dumps({
+                "stage": f"sweep t{tile} qb{qblk} nb{nb}",
+                "error": str(e)[:120],
+            }))
+            continue
+        report(
+            f"sweep", dt, np.asarray(ids),
+            {"db_tile": tile, "query_block": qblk, "n_buckets": nb},
+        )
+
+
+if __name__ == "__main__":
+    main()

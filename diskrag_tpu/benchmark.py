@@ -244,7 +244,8 @@ def sweep_flat(
     pts: np.ndarray, queries: np.ndarray, gt: np.ndarray, *, k: int,
     metric: str = "l2", repeats: int = 3,
 ) -> list[SweepPoint]:
-    """Exhaustive MXU-scan mode (bf16 stream + f32 rerank)."""
+    """Exhaustive MXU-scan mode: the default per-row-int8 fused scan,
+    plus (on TPU) the packed-int32-fold variant as its own point."""
     from diskrag_tpu.ops.flat import FlatIndex
 
     idx = FlatIndex(pts, metric=metric)
@@ -255,9 +256,20 @@ def sweep_flat(
 
     dt, (dists, ids) = _measure(run, len(queries), repeats)
     rec = recall_at_k(np.asarray(ids), gt, k)
-    return [
+    points = [
         SweepPoint(0, rec, len(queries) / dt, dt / len(queries) * 1e3, "flat")
     ]
+    if idx.use_fused and metric != "dot":
+        idx = FlatIndex(pts, metric=metric, fused_precision="int8_packed")
+
+        dt, (dists, ids) = _measure(lambda: idx.search(q, k=k),
+                                    len(queries), repeats)
+        rec = recall_at_k(np.asarray(ids), gt, k)
+        points.append(
+            SweepPoint(0, rec, len(queries) / dt,
+                       dt / len(queries) * 1e3, "flat-packed")
+        )
+    return points
 
 
 def sweep_ivf(

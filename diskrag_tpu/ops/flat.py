@@ -161,6 +161,12 @@ class FlatIndex:
         self.use_fused = use_fused
         self._fused_db = None
         self._fused_db_scales = None
+        self._fused_db_scale_global = None
+        self._fused_db_norms = None
+        if use_fused and fused_precision == "int8_packed" and (
+            self.metric == Metric.DOT.value
+        ):
+            fused_precision = "int8"  # packed fold is l2/cosine-only
         if use_fused:
             if self.metric == Metric.COSINE.value:
                 inv = jax.lax.rsqrt(self.norms_sq + 1e-12)[:, None]
@@ -171,6 +177,21 @@ class FlatIndex:
                 from diskrag_tpu.ops.flat_scan_pallas import quantize_int8
 
                 self._fused_db, self._fused_db_scales = quantize_int8(scan_src)
+            elif fused_precision == "int8_packed":
+                from diskrag_tpu.ops.flat_scan_pallas import (
+                    quantize_int8_global,
+                )
+
+                self._fused_db, self._fused_db_scale_global = (
+                    quantize_int8_global(scan_src)
+                )
+                # the packed kernel needs the scan copy's own norms
+                # (ones for cosine), not the raw-vector norms
+                self._fused_db_norms = (
+                    jnp.sum(jnp.square(scan_src), axis=-1)
+                    if self.metric == Metric.COSINE.value
+                    else self.norms_sq
+                )
             else:
                 self._fused_db = scan_src.astype(jnp.bfloat16)
                 if self.metric != Metric.COSINE.value:
@@ -207,8 +228,16 @@ class FlatIndex:
             from diskrag_tpu.ops.flat_scan_pallas import flat_search_fused
 
             return flat_search_fused(
-                q, self._fused_db, self.norms_sq, self.vectors, k=k,
-                metric=self.metric, db_scales=self._fused_db_scales,
+                q,
+                self._fused_db,
+                self._fused_db_norms
+                if self._fused_db_norms is not None
+                else self.norms_sq,
+                self.vectors,
+                k=k,
+                metric=self.metric,
+                db_scales=self._fused_db_scales,
+                db_scale_global=self._fused_db_scale_global,
             )
         if chunk is not None:
             return flat_search(

@@ -212,6 +212,142 @@ def scan_bucketed_topk(
     return vals[:b], ids[:b]
 
 
+def _scan_kernel_packed(q_ref, db_ref, nc_ref, bestp_ref, *, pack):
+    """Packed-int32 variant of the fold (int8 L2 only, global scales).
+
+    With one dequant scale for the whole database (and one per query
+    batch), L2 score order is preserved in the integer domain:
+    score_int = 2*cross_i32 - n_int, so value and winning-segment id
+    pack into a single int32, p = score_int*PACK + seg, and the whole
+    per-bucket fold is one `maximum` — 4 VPU ops per score element
+    (mul, sub, add, max) with a single [BQ, NB] state array.
+
+    q_ref [BQ, D] int8, db_ref [T, D] int8, nc_ref [1, T] int32 =
+    clip(round(norms/(S*QS)))*PACK (padding columns carry the max
+    clip so they only win empty buckets). Range proof: |cross| <=
+    127*127*128 < 2^21, n_int clipped to 2^21, PACK = 256 → p in
+    (-2^30 - 2^29, 2^30 + 2^8) — no int32 overflow.
+    """
+    t_idx = pl.program_id(1)
+    bq = q_ref.shape[0]
+    t = db_ref.shape[0]
+    nb = bestp_ref.shape[1]
+    f = t // nb
+
+    cross = jax.lax.dot_general(
+        q_ref[...], db_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [BQ, T]
+    scored = cross * (2 * pack) - nc_ref[0, :][None, :]
+
+    @pl.when(t_idx == 0)
+    def _init():
+        bestp_ref[...] = jnp.full((bq, nb), jnp.iinfo(jnp.int32).min, jnp.int32)
+
+    best_p = bestp_ref[...]
+    for fi in range(f):
+        best_p = jnp.maximum(best_p, scored[:, fi * nb : (fi + 1) * nb] + (t_idx * f + fi))
+    bestp_ref[...] = best_p
+
+
+_PACK = 256  # segment-id bits per packed int32 (max 256 segments)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_buckets", "query_block", "db_tile", "interpret"),
+)
+def scan_bucketed_topk_packed(
+    queries_i8: jax.Array,
+    q_scale: jax.Array,
+    db_i8: jax.Array,
+    db_norms: jax.Array,
+    db_scale: jax.Array,
+    *,
+    n_buckets: int = 1024,
+    query_block: int = 1024,
+    db_tile: int = 2048,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused L2 scan with the packed-int32 fold (see _scan_kernel_packed).
+
+    queries_i8 [B, D] + q_scale (scalar f32, one per batch), db_i8
+    [N, D] + db_scale (scalar f32, one for the whole database) from
+    `quantize_int8_global`; db_norms [N] f32 squared norms of the
+    *original* f32 rows. Returns (scores [B, NB] — packed ints as f32,
+    order-correct, NOT distances — and ids [B, NB], -1 for empty
+    buckets). NB auto-widens so the segment count stays within the
+    256-id pack budget; wider NB also tightens the collision bound, and
+    the single int32 state keeps the VMEM cost half the generic
+    kernel's.
+    """
+    b, d = queries_i8.shape
+    n = db_i8.shape[0]
+    nb = n_buckets
+    while nb > 128 and nb > n:
+        nb //= 2
+    db_tile = max(nb, (min(db_tile, 1 << 20) // nb) * nb)
+    pad_n = (-n) % db_tile
+    while (n + pad_n) > _PACK * nb:  # keep global segment ids < PACK
+        nb *= 2
+        db_tile = max(nb, (db_tile // nb) * nb)
+        pad_n = (-n) % db_tile
+    query_block = min(query_block, max(128, -(-b // 128) * 128))
+
+    pad_q = (-b) % query_block
+    q = jnp.pad(queries_i8, ((0, pad_q), (0, 0)))
+    db = jnp.pad(db_i8, ((0, pad_n), (0, 0)))
+    # integer norm table, rebuilt per batch (q_scale is per-batch):
+    # n_int = round(n / (S*QS)), clipped into the packing range proof
+    nc = jnp.round(db_norms / (db_scale * q_scale)).astype(jnp.int32)
+    nc = jnp.clip(nc, 0, 1 << 21)
+    nc = jnp.pad(nc, (0, pad_n), constant_values=1 << 21)
+    nc = (nc * _PACK)[None, :]
+
+    n_q_blocks = q.shape[0] // query_block
+    n_tiles = db.shape[0] // db_tile
+
+    kernel = functools.partial(_scan_kernel_packed, pack=_PACK)
+    grid = (n_q_blocks, n_tiles)
+    kwargs = {}
+    if pltpu is not None and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        )
+    packed = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((query_block, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((db_tile, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, db_tile), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((query_block, nb), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((q.shape[0], nb), jnp.int32),
+        interpret=interpret,
+        **kwargs,
+    )(q, db, nc)
+    empty = packed == jnp.iinfo(jnp.int32).min
+    seg = jnp.mod(packed, _PACK)
+    ids = seg * nb + jnp.arange(nb, dtype=jnp.int32)[None, :]
+    ids = jnp.where(empty | (ids >= n), -1, ids)
+    scores = jnp.where(empty, NEG_INF, packed.astype(jnp.float32))
+    return scores[:b], ids[:b]
+
+
+def quantize_int8_global(x) -> tuple:
+    """Symmetric int8 quantization with ONE scale for the whole array
+    (vs `quantize_int8`'s per-vector scales): codes [..., D] int8 and a
+    scalar f32 scale. Coarser per-row precision, but keeps integer dot
+    products comparable across rows — the packed-fold scan's contract."""
+    xp = np if isinstance(x, np.ndarray) else jnp
+    x = x.astype(xp.float32)
+    s = xp.max(xp.abs(x)) / 127.0
+    s = xp.where(s > 0, s, 1.0)
+    codes = xp.clip(xp.round(x / s), -127, 127).astype(xp.int8)
+    return codes, s
+
+
 def quantize_int8(x) -> tuple:
     """Per-vector symmetric int8 quantization over the last axis:
     codes [..., D] int8 and dequant scales [...] f32
@@ -248,6 +384,7 @@ def flat_search_fused(
     db_tile: int = 2048,
     query_block: int = 1024,
     db_scales: jax.Array | None = None,
+    db_scale_global: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exhaustive top-k via the fused Pallas scan + exact f32 rerank.
 
@@ -272,6 +409,9 @@ def flat_search_fused(
     b, d = queries.shape
     n = vectors_bf16.shape[0]
     int8 = vectors_bf16.dtype == jnp.int8
+    packed = db_scale_global is not None
+    if packed and m == Metric.DOT:
+        raise ValueError("the packed-int32 scan supports l2/cosine only")
 
     while n_buckets < min(50 * (k - 1), 1 << 15):
         n_buckets *= 2
@@ -279,9 +419,33 @@ def flat_search_fused(
         raise ValueError(f"k={k} too large for the fused scan (max 32768)")
     db_tile = max(db_tile, n_buckets)  # scan_bucketed_topk needs T % NB == 0
     # 12 MB working-set budget (of the 16 MB scoped-VMEM limit, leaving
-    # room for double-buffered input tiles): QB*(T*4 + NB*8) bytes
-    fit = (12 << 20) // (db_tile * 4 + n_buckets * 8) // 8 * 8
+    # room for double-buffered input tiles): QB*(T*4 + NB*8) bytes —
+    # the packed fold's single int32 state halves the NB term
+    state_b = 4 if packed else 8
+    fit = (12 << 20) // (db_tile * 4 + n_buckets * state_b) // 8 * 8
     query_block = max(8, min(query_block, fit))
+    if packed:
+        # cosine rides the packed L2 kernel: on a normalized database
+        # copy (norms_sq must be the scan copy's norms, ~1) with
+        # normalized queries, L2 order == cosine order; the rerank
+        # computes true cosine distances.
+        if m == Metric.COSINE:
+            qf = queries / (
+                jnp.linalg.norm(queries, axis=-1, keepdims=True) + 1e-12
+            )
+        else:
+            qf = queries
+        aq = jnp.max(jnp.abs(qf))
+        q_scale = jnp.where(aq > 0, aq, 1.0) / 127.0
+        q_i8 = jnp.clip(
+            jnp.round(qf / q_scale), -127, 127
+        ).astype(jnp.int8)
+        scores, ids = scan_bucketed_topk_packed(
+            q_i8, q_scale, vectors_bf16, norms_sq, db_scale_global,
+            n_buckets=n_buckets, query_block=query_block, db_tile=db_tile,
+            interpret=interpret,
+        )
+        return _rerank(queries, vectors_f32, scores, ids, k, rerank_mult, m)
     if m == Metric.COSINE:
         qn = jnp.sqrt(jnp.sum(jnp.square(queries), -1, keepdims=True)) + 1e-12
         qf = queries / qn
@@ -298,7 +462,14 @@ def flat_search_fused(
         use_norms=use_norms, interpret=interpret, db_tile=db_tile,
         query_block=query_block, q_scales=q_scales, db_scales=db_scales,
     )
+    return _rerank(queries, vectors_f32, scores, ids, k, rerank_mult, m)
 
+
+def _rerank(queries, vectors_f32, scores, ids, k, rerank_mult, m):
+    """Candidate cut + exact f32 rerank shared by both scan kernels."""
+    from diskrag_tpu.ops.distance import Metric
+
+    n = vectors_f32.shape[0]
     # cut the NB bucket winners down to k*rerank_mult by kernel score
     # BEFORE touching f32 vectors: reranking all NB winners costs a
     # [B, NB, D] gather (1 GB at NB=2048) that swamps the kernel's win.

@@ -141,3 +141,84 @@ def test_bucketed_topk_state_and_padding():
     assert ids_np.max() < 5000
     # every valid bucket winner is a real row; -1 only where bucket empty
     assert ((ids_np >= -1)).all()
+
+
+def test_fused_scan_packed_matches_oracle():
+    """Packed-int32 fold (global scales): l2 + cosine vs the oracle,
+    exercised through flat_search_fused and FlatIndex plumbing."""
+    from diskrag_tpu.ops.flat_scan_pallas import quantize_int8_global
+
+    pts, q = make_dataset(20000, 64, 64)
+    v = jnp.asarray(pts)
+    norms = jnp.sum(jnp.square(v), -1)
+    codes, scale = quantize_int8_global(v)
+    d, ids = flat_search_fused(
+        jnp.asarray(q), codes, norms, v, k=10, n_buckets=2048,
+        interpret=True, db_scale_global=scale,
+    )
+    gt_d, gt_i = brute_force_topk(jnp.asarray(q), v, k=10)
+    assert _recall(np.asarray(ids), np.asarray(gt_i)) >= 0.98
+    np.testing.assert_allclose(
+        np.asarray(d)[:, 0], np.asarray(gt_d)[:, 0], rtol=1e-3, atol=1e-3
+    )
+    assert (np.diff(np.asarray(d), axis=1) >= -1e-6).all()
+    # cosine rides the packed L2 kernel on the normalized copy: the
+    # norms argument must then be the scan copy's norms (ones)
+    vn = v / jnp.linalg.norm(v, axis=1, keepdims=True)
+    codes_c, scale_c = quantize_int8_global(vn)
+    _, ids_c = flat_search_fused(
+        jnp.asarray(q), codes_c, jnp.sum(jnp.square(vn), -1), v, k=10,
+        metric="cosine", interpret=True, db_scale_global=scale_c,
+    )
+    _, gt_c = brute_force_topk(jnp.asarray(q), v, k=10, metric="cosine")
+    assert _recall(np.asarray(ids_c), np.asarray(gt_c)) >= 0.98
+
+
+def test_packed_scan_segment_budget_and_padding():
+    """NB must auto-widen so global segment ids fit the 256-id pack
+    budget (N=200k forces NB>=1024 from a 512 request), padded rows and
+    empty buckets must come back as -1, never as ids >= N."""
+    from diskrag_tpu.ops.flat_scan_pallas import (
+        quantize_int8_global, scan_bucketed_topk_packed,
+    )
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(5000, 32)).astype(np.float32)
+    q = rng.normal(size=(7, 32)).astype(np.float32)
+    v = jnp.asarray(pts)
+    codes, scale = quantize_int8_global(v)
+    qc, qs = quantize_int8_global(jnp.asarray(q))
+    vals, ids = scan_bucketed_topk_packed(
+        qc, qs, codes, jnp.sum(jnp.square(v), -1), scale,
+        n_buckets=256, interpret=True,
+    )
+    ids_np = np.asarray(ids)
+    assert ids_np.shape[0] == 7
+    assert ids_np.max() < 5000
+    assert (ids_np >= -1).all()
+    # ids must be consistent: re-derive each winner's true score and
+    # check it beats every other member of its bucket (spot check row 0)
+    nb = ids_np.shape[1]
+    full = 2.0 * (q[0] @ pts.T) - np.sum(pts * pts, -1)
+    for lane in range(0, nb, 37):
+        i = ids_np[0, lane]
+        if i < 0:
+            continue
+        bucket = full[lane::nb]
+        assert full[i] >= bucket.max() - np.abs(bucket.max()) * 0.2
+
+
+def test_flat_index_packed_precision():
+    from diskrag_tpu.ops.flat import FlatIndex
+
+    pts, q = make_dataset(8000, 32, 16)
+    idx = FlatIndex(
+        pts, use_fused=True, fused_precision="int8_packed",
+    )
+    assert idx._fused_db_scale_global is not None
+    # dot falls back to per-row int8 (packed fold is l2/cosine-only)
+    idx_dot = FlatIndex(
+        pts, metric="dot", use_fused=True, fused_precision="int8_packed",
+    )
+    assert idx_dot._fused_db_scale_global is None
+    assert idx_dot._fused_db_scales is not None
