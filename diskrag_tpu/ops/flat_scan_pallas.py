@@ -212,19 +212,20 @@ def scan_bucketed_topk(
     return vals[:b], ids[:b]
 
 
-def _scan_kernel_packed(q_ref, db_ref, nc_ref, bestp_ref, *, pack):
+def _scan_kernel_packed(q_ref, db_ref, nc_ref, bestp_ref):
     """Packed-int32 variant of the fold (int8 L2 only, global scales).
 
     With one dequant scale for the whole database (and one per query
     batch), L2 score order is preserved in the integer domain:
     score_int = 2*cross_i32 - n_int, so value and winning-segment id
-    pack into a single int32, p = score_int*PACK + seg, and the whole
-    per-bucket fold is one `maximum` — 4 VPU ops per score element
-    (mul, sub, add, max) with a single [BQ, NB] state array.
-
+    pack into a single int32, p = score_int*PACK + seg. seg = j // NB
+    is a pure function of the global column, so the wrapper pre-folds
+    it into the norm table (nc_j = seg_j - n_int_j*PACK) and the whole
+    fold is 3 VPU ops per score element — mul, add, maximum — with a
+    single [BQ, NB] int32 state array.
     q_ref [BQ, D] int8, db_ref [T, D] int8, nc_ref [1, T] int32 =
-    clip(round(norms/(S*QS)))*PACK (padding columns carry the max
-    clip so they only win empty buckets). Range proof: |cross| <=
+    seg_j - clip(round(norms/(S*QS)))*PACK (padding columns carry the
+    max clip so they only win empty buckets). Range proof: |cross| <=
     127*127*128 < 2^21, n_int clipped to 2^21, PACK = 256 → p in
     (-2^30 - 2^29, 2^30 + 2^8) — no int32 overflow.
     """
@@ -238,7 +239,7 @@ def _scan_kernel_packed(q_ref, db_ref, nc_ref, bestp_ref, *, pack):
         q_ref[...], db_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # [BQ, T]
-    scored = cross * (2 * pack) - nc_ref[0, :][None, :]
+    scored = cross * (2 * _PACK) + nc_ref[0, :][None, :]
 
     @pl.when(t_idx == 0)
     def _init():
@@ -246,7 +247,7 @@ def _scan_kernel_packed(q_ref, db_ref, nc_ref, bestp_ref, *, pack):
 
     best_p = bestp_ref[...]
     for fi in range(f):
-        best_p = jnp.maximum(best_p, scored[:, fi * nb : (fi + 1) * nb] + (t_idx * f + fi))
+        best_p = jnp.maximum(best_p, scored[:, fi * nb : (fi + 1) * nb])
     bestp_ref[...] = best_p
 
 
@@ -298,16 +299,18 @@ def scan_bucketed_topk_packed(
     q = jnp.pad(queries_i8, ((0, pad_q), (0, 0)))
     db = jnp.pad(db_i8, ((0, pad_n), (0, 0)))
     # integer norm table, rebuilt per batch (q_scale is per-batch):
-    # n_int = round(n / (S*QS)), clipped into the packing range proof
+    # n_int = round(n / (S*QS)) clipped into the packing range proof,
+    # with each column's segment id folded in (see _scan_kernel_packed)
     nc = jnp.round(db_norms / (db_scale * q_scale)).astype(jnp.int32)
     nc = jnp.clip(nc, 0, 1 << 21)
     nc = jnp.pad(nc, (0, pad_n), constant_values=1 << 21)
-    nc = (nc * _PACK)[None, :]
+    seg_of_col = jnp.arange(n + pad_n, dtype=jnp.int32) // nb
+    nc = (seg_of_col - nc * _PACK)[None, :]
 
     n_q_blocks = q.shape[0] // query_block
     n_tiles = db.shape[0] // db_tile
 
-    kernel = functools.partial(_scan_kernel_packed, pack=_PACK)
+    kernel = _scan_kernel_packed
     grid = (n_q_blocks, n_tiles)
     kwargs = {}
     if pltpu is not None and not interpret:
