@@ -156,6 +156,7 @@ def build_index_from_vectors(
     opq_iters: int = 0,
     checkpoint_dir=None,
     n_shards: int | None = None,
+    flat_precision: str = "int8",
 ) -> dict:
     """Build + persist a full index.
 
@@ -229,6 +230,7 @@ def build_index_from_vectors(
         meta = save_flat_index(
             index_dir, vectors, metric=metric,
             meta_extra={"target_quality": target_quality,
+                        "flat_precision": flat_precision,
                         "vector_stats": _vector_stats(vectors)},
         )
         logger.info("flat index persisted -> %s", store.dir)

@@ -178,6 +178,7 @@ class DiskRAG:
             params_override=override or None,
             checkpoint_dir=checkpoint_dir,
             n_shards=n_shards or icfg.n_shards,
+            flat_precision=icfg.flat_precision,
         )
         # record build stats on the collection (reference build_index.py:334-351)
         info = self.manager.get_collection_info(collection)

@@ -89,6 +89,10 @@ class IndexConfig:
     L: Optional[int] = None
     alpha: Optional[float] = None
     build_method: str = "knn"  # knn (MXU kNN-based) | wave (insertion)
+    # scan-copy precision for type: flat serving — int8 (per-row scales,
+    # default), int8_packed (global scales + packed-int32 fold; fastest,
+    # l2/cosine only), or bf16
+    flat_precision: str = "int8"
     opq_iters: int = 0  # >0 trains an OPQ rotation with the PQ codebooks
     # also write the packed record file (index.dat) — required for
     # host_tier serving (f32 vectors host-resident, rerank on host)

@@ -272,7 +272,8 @@ class SearchEngine:
                 self.meta = json.loads(meta_path.read_text())
                 vecs = np.load(index_dir / "vectors.npy")
                 self.flat = FlatIndex(
-                    vecs, metric=self.meta.get("distance_metric", "l2")
+                    vecs, metric=self.meta.get("distance_metric", "l2"),
+                    fused_precision=self.meta.get("flat_precision", "int8"),
                 )
                 return
             if self.index_type == "ivf":
