@@ -106,6 +106,33 @@ def main() -> None:
     )
     report("fused_full_packed", dt, np.asarray(ids))
 
+    # stage 5: rerank breakdown on the packed scan's output (the
+    # post-scan stages dominate the fused path once the scan is packed)
+    import jax
+
+    from diskrag_tpu.ops.flat_scan_pallas import _rerank
+    from diskrag_tpu.ops.distance import Metric
+
+    scores, cids = scan_bucketed_topk_packed(gq, gqs, gcodes, norms, gscale)
+    scores.block_until_ready()
+
+    cut = jax.jit(lambda s, i: jax.lax.approx_max_k(s, 40))
+    dt, _ = _measure(lambda: cut(scores, cids), nq, args.repeats)
+    report("rerank_cut_only", dt)
+
+    rr = jax.jit(lambda qq, s, i: _rerank(qq, v, s, i, args.k, 4, Metric.L2))
+    dt, (d, ids) = _measure(lambda: rr(q, scores, cids), nq, args.repeats)
+    report("rerank_full", dt, np.asarray(ids))
+
+    # no-rerank variant: trust packed kernel scores outright
+    def norerank(s, i):
+        top_s, take = jax.lax.approx_max_k(s, args.k)
+        return top_s, jnp.take_along_axis(i, take, axis=1)
+
+    nr = jax.jit(norerank)
+    dt, (d, ids) = _measure(lambda: nr(scores, cids), nq, args.repeats)
+    report("packed_no_rerank", dt, np.asarray(ids))
+
     if not args.sweep:
         return
     for tile, qblk, nb in itertools.product(

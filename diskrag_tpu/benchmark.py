@@ -259,16 +259,27 @@ def sweep_flat(
     points = [
         SweepPoint(0, rec, len(queries) / dt, dt / len(queries) * 1e3, "flat")
     ]
-    if idx.use_fused and metric != "dot":
-        idx = FlatIndex(pts, metric=metric, fused_precision="int8_packed")
-
-        dt, (dists, ids) = _measure(lambda: idx.search(q, k=k),
-                                    len(queries), repeats)
-        rec = recall_at_k(np.asarray(ids), gt, k)
-        points.append(
-            SweepPoint(0, rec, len(queries) / dt,
-                       dt / len(queries) * 1e3, "flat-packed")
-        )
+    if idx.use_fused:
+        # narrow-rerank point: the post-scan candidate gather is
+        # row-latency-bound, so rerank_width is the biggest knob left
+        # (see flat_search_fused docstring for the measured tradeoff)
+        variants = [("flat-rr24", "int8", 24)]
+        if metric != "dot":
+            variants += [
+                ("flat-packed", "int8_packed", None),
+                ("flat-packed-rr24", "int8_packed", 24),
+            ]
+        for mode, prec, rw in variants:
+            idx = FlatIndex(
+                pts, metric=metric, fused_precision=prec, rerank_width=rw
+            )
+            dt, (dists, ids) = _measure(lambda: idx.search(q, k=k),
+                                        len(queries), repeats)
+            rec = recall_at_k(np.asarray(ids), gt, k)
+            points.append(
+                SweepPoint(0, rec, len(queries) / dt,
+                           dt / len(queries) * 1e3, mode)
+            )
     return points
 
 

@@ -157,6 +157,7 @@ def build_index_from_vectors(
     checkpoint_dir=None,
     n_shards: int | None = None,
     flat_precision: str = "int8",
+    flat_rerank_width: int | None = None,
 ) -> dict:
     """Build + persist a full index.
 
@@ -231,6 +232,7 @@ def build_index_from_vectors(
             index_dir, vectors, metric=metric,
             meta_extra={"target_quality": target_quality,
                         "flat_precision": flat_precision,
+                        "flat_rerank_width": flat_rerank_width,
                         "vector_stats": _vector_stats(vectors)},
         )
         logger.info("flat index persisted -> %s", store.dir)

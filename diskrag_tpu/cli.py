@@ -179,6 +179,7 @@ class DiskRAG:
             checkpoint_dir=checkpoint_dir,
             n_shards=n_shards or icfg.n_shards,
             flat_precision=icfg.flat_precision,
+            flat_rerank_width=icfg.flat_rerank_width,
         )
         # record build stats on the collection (reference build_index.py:334-351)
         info = self.manager.get_collection_info(collection)

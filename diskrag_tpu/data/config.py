@@ -93,6 +93,11 @@ class IndexConfig:
     # default), int8_packed (global scales + packed-int32 fold; fastest,
     # l2/cosine only), or bf16
     flat_precision: str = "int8"
+    # candidates kept for the flat scan's exact f32 rerank; None = auto
+    # (max(4k, 32)). The post-scan gather is row-latency-bound, so 24
+    # trades ~1% recall@10 for ~1.5x QPS at 200k x 128 (see
+    # ops/flat_scan_pallas.flat_search_fused).
+    flat_rerank_width: Optional[int] = None
     opq_iters: int = 0  # >0 trains an OPQ rotation with the PQ codebooks
     # also write the packed record file (index.dat) — required for
     # host_tier serving (f32 vectors host-resident, rerank on host)

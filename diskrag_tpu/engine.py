@@ -274,6 +274,7 @@ class SearchEngine:
                 self.flat = FlatIndex(
                     vecs, metric=self.meta.get("distance_metric", "l2"),
                     fused_precision=self.meta.get("flat_precision", "int8"),
+                    rerank_width=self.meta.get("flat_rerank_width"),
                 )
                 return
             if self.index_type == "ivf":

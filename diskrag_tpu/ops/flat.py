@@ -151,7 +151,9 @@ class FlatIndex:
         metric: str = "l2",
         use_fused: bool | None = None,
         fused_precision: str = "int8",
+        rerank_width: int | None = None,
     ):
+        self.rerank_width = rerank_width
         self.vectors = jnp.asarray(vectors, jnp.float32)
         self._vectors_bf16 = None
         self.norms_sq = jnp.sum(jnp.square(self.vectors), axis=-1)
@@ -238,6 +240,7 @@ class FlatIndex:
                 metric=self.metric,
                 db_scales=self._fused_db_scales,
                 db_scale_global=self._fused_db_scale_global,
+                rerank_width=self.rerank_width,
             )
         if chunk is not None:
             return flat_search(

@@ -370,7 +370,7 @@ def quantize_int8(x) -> tuple:
     jax.jit,
     static_argnames=(
         "k", "metric", "n_buckets", "interpret", "rerank_mult", "db_tile",
-        "query_block",
+        "query_block", "rerank_width",
     ),
 )
 def flat_search_fused(
@@ -388,6 +388,7 @@ def flat_search_fused(
     query_block: int = 1024,
     db_scales: jax.Array | None = None,
     db_scale_global: jax.Array | None = None,
+    rerank_width: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exhaustive top-k via the fused Pallas scan + exact f32 rerank.
 
@@ -398,6 +399,14 @@ def flat_search_fused(
     int8 path: pass int8 codes as `vectors_bf16` plus their per-vector
     `db_scales` (for cosine, quantize the *normalized* database);
     queries are quantized on the fly.
+
+    `rerank_width` pins the candidate count kept for the exact f32
+    rerank (default `max(rerank_mult*k, 32)`). The post-scan stage is
+    row-*latency*-bound (the [B, kk, D] gather costs the same in bf16
+    as f32) and `approx_max_k` jumps in cost past kk=24 on [B, 1024]
+    rows, so narrower widths buy large wins: measured at 200k x 128,
+    B=1000, k=10 (2026-08, v5e): per-row int8 scan kk=24 -> 0.9907
+    recall at ~1.8x the kk=40 rerank rate; packed scan kk=24 -> 0.9813.
 
     The bucket count auto-scales with k: the collision bound
     1 - (k-1)/(2*NB) needs NB ~ 50*(k-1) to stay ≈0.99, so large-k
@@ -420,6 +429,9 @@ def flat_search_fused(
         n_buckets *= 2
     if k > n_buckets:
         raise ValueError(f"k={k} too large for the fused scan (max 32768)")
+    kk = max(rerank_mult * k, 32) if rerank_width is None else max(
+        rerank_width, k
+    )
     db_tile = max(db_tile, n_buckets)  # scan_bucketed_topk needs T % NB == 0
     # 12 MB working-set budget (of the 16 MB scoped-VMEM limit, leaving
     # room for double-buffered input tiles): QB*(T*4 + NB*8) bytes —
@@ -448,7 +460,7 @@ def flat_search_fused(
             n_buckets=n_buckets, query_block=query_block, db_tile=db_tile,
             interpret=interpret,
         )
-        return _rerank(queries, vectors_f32, scores, ids, k, rerank_mult, m)
+        return _rerank(queries, vectors_f32, scores, ids, k, kk, m)
     if m == Metric.COSINE:
         qn = jnp.sqrt(jnp.sum(jnp.square(queries), -1, keepdims=True)) + 1e-12
         qf = queries / qn
@@ -465,18 +477,19 @@ def flat_search_fused(
         use_norms=use_norms, interpret=interpret, db_tile=db_tile,
         query_block=query_block, q_scales=q_scales, db_scales=db_scales,
     )
-    return _rerank(queries, vectors_f32, scores, ids, k, rerank_mult, m)
+    return _rerank(queries, vectors_f32, scores, ids, k, kk, m)
 
 
-def _rerank(queries, vectors_f32, scores, ids, k, rerank_mult, m):
+def _rerank(queries, vectors_f32, scores, ids, k, kk, m):
     """Candidate cut + exact f32 rerank shared by both scan kernels."""
     from diskrag_tpu.ops.distance import Metric
 
     n = vectors_f32.shape[0]
-    # cut the NB bucket winners down to k*rerank_mult by kernel score
-    # BEFORE touching f32 vectors: reranking all NB winners costs a
-    # [B, NB, D] gather (1 GB at NB=2048) that swamps the kernel's win.
-    kk = min(max(rerank_mult * k, 32), ids.shape[1])
+    # cut the NB bucket winners down to kk by kernel score BEFORE
+    # touching f32 vectors: reranking all NB winners costs a [B, NB, D]
+    # gather (1 GB at NB=2048) that swamps the kernel's win, and the
+    # row gather is latency-bound, so kk is the knob that matters.
+    kk = min(kk, ids.shape[1])
     top_s, take = jax.lax.approx_max_k(scores, kk)  # hardware-bucketed
     ids = jnp.take_along_axis(ids, take, axis=1)
 

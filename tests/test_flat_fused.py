@@ -222,3 +222,32 @@ def test_flat_index_packed_precision():
     )
     assert idx_dot._fused_db_scale_global is None
     assert idx_dot._fused_db_scales is not None
+
+
+def test_fused_scan_rerank_width_override():
+    """rerank_width pins the candidate cut (serving's QPS/recall knob):
+    narrow widths must still clear the bucket bound minus the expected
+    ordering loss, width=k must work, and FlatIndex must plumb it."""
+    from diskrag_tpu.ops.flat import FlatIndex
+    from diskrag_tpu.ops.flat_scan_pallas import quantize_int8
+
+    pts, q = make_dataset(20000, 64, 64)
+    v = jnp.asarray(pts)
+    norms = jnp.sum(jnp.square(v), -1)
+    codes, scales = quantize_int8(v)
+    _, gt_i = brute_force_topk(jnp.asarray(q), v, k=10)
+    for rw, floor in ((24, 0.97), (10, 0.85)):
+        d, ids = flat_search_fused(
+            jnp.asarray(q), codes, norms, v, k=10, n_buckets=2048,
+            interpret=True, db_scales=scales, rerank_width=rw,
+        )
+        assert _recall(np.asarray(ids), np.asarray(gt_i)) >= floor
+        assert (np.diff(np.asarray(d), axis=1) >= -1e-6).all()
+    # width below k is clamped up to k, not an error
+    d, ids = flat_search_fused(
+        jnp.asarray(q), codes, norms, v, k=10, n_buckets=2048,
+        interpret=True, db_scales=scales, rerank_width=4,
+    )
+    assert ids.shape == (64, 10)
+    idx = FlatIndex(pts, use_fused=True, rerank_width=24)
+    assert idx.rerank_width == 24
