@@ -263,11 +263,12 @@ def sweep_flat(
         # narrow-rerank point: the post-scan candidate gather is
         # row-latency-bound, so rerank_width is the biggest knob left
         # (see flat_search_fused docstring for the measured tradeoff)
-        variants = [("flat-rr24", "int8", 24)]
+        variants = [("flat-rr24", "int8", 24), ("flat-rr16", "int8", 16)]
         if metric != "dot":
             variants += [
                 ("flat-packed", "int8_packed", None),
                 ("flat-packed-rr24", "int8_packed", 24),
+                ("flat-packed-rr20", "int8_packed", 20),
             ]
         for mode, prec, rw in variants:
             idx = FlatIndex(

@@ -251,3 +251,24 @@ def test_fused_scan_rerank_width_override():
     assert ids.shape == (64, 10)
     idx = FlatIndex(pts, use_fused=True, rerank_width=24)
     assert idx.rerank_width == 24
+
+
+def test_topk_lanes_pallas_exact():
+    """The Pallas cut kernel is EXACT top-kk (unlike approx_max_k):
+    match a numpy argsort oracle, including ties (lowest lane wins),
+    -inf rows, and non-multiple-of-block batch sizes."""
+    from diskrag_tpu.ops.flat_scan_pallas import topk_lanes_pallas
+
+    rng = np.random.default_rng(3)
+    s = rng.normal(size=(37, 512)).astype(np.float32)
+    s[5, 7] = s[5, 100] = 99.0  # tie at the top: lane 7 must win first
+    s[11] = -np.inf      # empty row
+    lanes = np.asarray(topk_lanes_pallas(jnp.asarray(s), 24, interpret=True))
+    assert lanes.shape == (37, 24)
+    order = np.argsort(-s, axis=1, kind="stable")[:, :24]
+    for r in range(37):
+        if r == 11:
+            continue  # all -inf: any lanes are "correct"
+        got, want = lanes[r], order[r]
+        assert (np.sort(s[r][got]) == np.sort(s[r][want])).all(), r
+    assert 7 in lanes[5][:24]
