@@ -46,6 +46,12 @@ def main() -> None:
         help="where to build the index if --index-dir is not given",
     )
     ap.add_argument(
+        "--extra-entry-points", type=int, default=0,
+        help="augment the persisted entry points with this many extra "
+        "uniform random seeds (no rebuild needed)",
+    )
+    ap.add_argument("--entry-seed", type=int, default=0)
+    ap.add_argument(
         "--pipeline-chunk", type=int, default=0,
         help="chunk size for search_pipelined (0 = unpipelined search)",
     )
@@ -60,22 +66,39 @@ def main() -> None:
     from diskrag_tpu.benchmark import ground_truth, make_dataset, recall_at_k
     from diskrag_tpu.index.host_tier import HostTierIndex
 
-    t0 = time.perf_counter()
-    pts, queries = make_dataset(args.n, args.dim, args.queries)
-    print(f"dataset {args.n}x{args.dim}: {time.perf_counter() - t0:.1f}s")
+    scratch = pathlib.Path(args.scratch)
+    gt_path = scratch / f"gt_{args.n}_{args.dim}_{args.queries}_{args.k}.npy"
+    q_path = scratch / f"q_{args.n}_{args.dim}_{args.queries}.npy"
 
     if args.index_dir:
         index_dir = pathlib.Path(args.index_dir)
     else:
-        index_dir = (
-            pathlib.Path(args.scratch) / f"idx_{args.n}_{args.dim}" / "index"
-        )
-        meta_p = index_dir / "meta.json"
-        if meta_p.exists() and json.loads(meta_p.read_text()).get(
-            "num_points"
-        ) == args.n and (index_dir / "index.dat").exists():
+        index_dir = scratch / f"idx_{args.n}_{args.dim}" / "index"
+    meta_p = index_dir / "meta.json"
+    index_ready = (
+        meta_p.exists()
+        and json.loads(meta_p.read_text()).get("num_points") == args.n
+        and (index_dir / "index.dat").exists()
+    )
+
+    # the dataset itself is only needed to build the index / ground truth;
+    # at 10M its generation costs ~15 min, so skip it when everything is
+    # already on disk (queries are cached beside the gt for that purpose)
+    pts = None
+    if index_ready and gt_path.exists() and q_path.exists():
+        queries = np.load(q_path)
+        print(f"reusing index at {index_dir} (dataset gen skipped)")
+    else:
+        t0 = time.perf_counter()
+        pts, queries = make_dataset(args.n, args.dim, args.queries)
+        print(f"dataset {args.n}x{args.dim}: {time.perf_counter() - t0:.1f}s")
+        q_path.parent.mkdir(parents=True, exist_ok=True)
+        np.save(q_path, queries)
+        if index_ready:
             print(f"reusing index at {index_dir}")
-        else:
+
+    if not args.index_dir:
+        if not index_ready:
             from diskrag_tpu.graph.knn_build import build_vamana_knn
             from diskrag_tpu.index.persist import save_index
 
@@ -92,10 +115,6 @@ def main() -> None:
             del index
 
     t0 = time.perf_counter()
-    gt_path = (
-        pathlib.Path(args.scratch)
-        / f"gt_{args.n}_{args.dim}_{args.queries}_{args.k}.npy"
-    )
     if gt_path.exists():
         gt = np.load(gt_path)
         print(f"ground truth (cached): {time.perf_counter() - t0:.1f}s")
@@ -107,6 +126,25 @@ def main() -> None:
     del pts
 
     ht = HostTierIndex.from_store(index_dir, mode=args.mode)
+    if args.extra_entry_points:
+        # entry points are search-time seeds, not graph structure: augment
+        # the persisted set with extra uniform random ids to test/extend
+        # seed coverage without rebuilding (see knn_build.compute_entry_points
+        # — past 20k seeds random sampling matches k-means placement)
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(args.entry_seed)
+        base = (
+            np.zeros((0,), np.int64) if ht.entry_points is None
+            else np.asarray(ht.entry_points, np.int64)
+        )
+        extra = rng.choice(
+            ht.adjacency.shape[0], size=args.extra_entry_points, replace=False
+        )
+        merged = np.unique(np.concatenate([base, extra]))
+        ht.entry_points = jnp.asarray(merged, jnp.int32)
+        print(f"entry points: {len(base)} persisted + {args.extra_entry_points} "
+              f"random -> {len(merged)} unique")
 
     n_total = args.queries * args.stream
     stream_q = (
