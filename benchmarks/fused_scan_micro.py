@@ -120,7 +120,7 @@ def main() -> None:
     dt, _ = _measure(lambda: cut(scores, cids), nq, args.repeats)
     report("rerank_cut_only", dt)
 
-    rr = jax.jit(lambda qq, s, i: _rerank(qq, v, s, i, args.k, 4, Metric.L2))
+    rr = jax.jit(lambda qq, s, i: _rerank(qq, v, s, i, args.k, 40, Metric.L2))
     dt, (d, ids) = _measure(lambda: rr(q, scores, cids), nq, args.repeats)
     report("rerank_full", dt, np.asarray(ids))
 

@@ -169,6 +169,12 @@ class FlatIndex:
             self.metric == Metric.DOT.value
         ):
             fused_precision = "int8"  # packed fold is l2/cosine-only
+        if use_fused and fused_precision == "int8_packed":
+            from diskrag_tpu.ops.flat_scan_pallas import _PACKED_MAX_DIM
+
+            if self.vectors.shape[-1] > _PACKED_MAX_DIM:
+                # packed int32 range proof caps D (see _scan_kernel_packed)
+                fused_precision = "int8"
         if use_fused:
             if self.metric == Metric.COSINE.value:
                 inv = jax.lax.rsqrt(self.norms_sq + 1e-12)[:, None]

@@ -226,8 +226,10 @@ def _scan_kernel_packed(q_ref, db_ref, nc_ref, bestp_ref):
     q_ref [BQ, D] int8, db_ref [T, D] int8, nc_ref [1, T] int32 =
     seg_j - clip(round(norms/(S*QS)))*PACK (padding columns carry the
     max clip so they only win empty buckets). Range proof: |cross| <=
-    127*127*128 < 2^21, n_int clipped to 2^21, PACK = 256 → p in
-    (-2^30 - 2^29, 2^30 + 2^8) — no int32 overflow.
+    127*127*D, n_int clipped to 2^21, PACK = 256 → |p| <=
+    512*16129*D + 2^29 + 2^8, inside int32 for D <= 192
+    (`_PACKED_MAX_DIM`; D = 256 would overflow and corrupt winners —
+    the wrapper rejects it).
     """
     t_idx = pl.program_id(1)
     bq = q_ref.shape[0]
@@ -252,6 +254,36 @@ def _scan_kernel_packed(q_ref, db_ref, nc_ref, bestp_ref):
 
 
 _PACK = 256  # segment-id bits per packed int32 (max 256 segments)
+
+# packed-int32 range proof dimension cap: |2*PACK*cross| + PACK*2^21 +
+# PACK must stay below 2^31, with |cross| <= 127*127*D. D <= 192 gives
+# 512*127*127*192 + 2^29 + 256 = 2.12e9 < INT32_MAX; D = 256 overflows
+# and silently corrupts winners, so callers must not route D > 192 here.
+_PACKED_MAX_DIM = 192
+
+
+def _packed_layout(
+    n: int, n_buckets: int, query_block: int, db_tile: int
+) -> tuple[int, int, int, int]:
+    """Static geometry for the packed scan: (nb, db_tile, query_block,
+    pad_n). Widens NB until global segment ids fit the PACK budget, then
+    re-clamps the query block so the [QB, T] i32 score tile + [QB, NB]
+    i32 state stay inside the 12 MB working-set budget — the widen loop
+    can grow both well past what the caller sized for (at N=1M a
+    512-bucket request widens to NB=4096/T=4096, where the caller's
+    QB=1024 would need 32 MB and fail the 16 MB scoped-VMEM limit)."""
+    nb = n_buckets
+    while nb > 128 and nb > n:
+        nb //= 2  # degenerate tiny databases
+    db_tile = max(nb, (min(db_tile, 1 << 20) // nb) * nb)
+    pad_n = (-n) % db_tile
+    while (n + pad_n) > _PACK * nb:  # keep global segment ids < PACK
+        nb *= 2
+        db_tile = max(nb, (db_tile // nb) * nb)
+        pad_n = (-n) % db_tile
+    fit = (12 << 20) // (db_tile * 4 + nb * 4) // 8 * 8
+    query_block = max(8, min(query_block, fit))
+    return nb, db_tile, query_block, pad_n
 
 
 @functools.partial(
@@ -278,21 +310,21 @@ def scan_bucketed_topk_packed(
     *original* f32 rows. Returns (scores [B, NB] — packed ints as f32,
     order-correct, NOT distances — and ids [B, NB], -1 for empty
     buckets). NB auto-widens so the segment count stays within the
-    256-id pack budget; wider NB also tightens the collision bound, and
-    the single int32 state keeps the VMEM cost half the generic
-    kernel's.
+    256-id pack budget, with the query block re-shrunk to keep the
+    widened tiles inside VMEM (see `_packed_layout`); wider NB also
+    tightens the collision bound, and the single int32 state keeps the
+    VMEM cost half the generic kernel's.
     """
     b, d = queries_i8.shape
     n = db_i8.shape[0]
-    nb = n_buckets
-    while nb > 128 and nb > n:
-        nb //= 2
-    db_tile = max(nb, (min(db_tile, 1 << 20) // nb) * nb)
-    pad_n = (-n) % db_tile
-    while (n + pad_n) > _PACK * nb:  # keep global segment ids < PACK
-        nb *= 2
-        db_tile = max(nb, (db_tile // nb) * nb)
-        pad_n = (-n) % db_tile
+    if d > _PACKED_MAX_DIM:
+        raise ValueError(
+            f"packed scan caps D at {_PACKED_MAX_DIM} (int32 range proof); "
+            f"got D={d} — use the per-row int8 scan instead"
+        )
+    nb, db_tile, query_block, pad_n = _packed_layout(
+        n, n_buckets, query_block, db_tile
+    )
     query_block = min(query_block, max(128, -(-b // 128) * 128))
 
     pad_q = (-b) % query_block
@@ -450,11 +482,7 @@ def flat_search_fused(
             )
         else:
             qf = queries
-        aq = jnp.max(jnp.abs(qf))
-        q_scale = jnp.where(aq > 0, aq, 1.0) / 127.0
-        q_i8 = jnp.clip(
-            jnp.round(qf / q_scale), -127, 127
-        ).astype(jnp.int8)
+        q_i8, q_scale = quantize_int8_global(qf)
         scores, ids = scan_bucketed_topk_packed(
             q_i8, q_scale, vectors_bf16, norms_sq, db_scale_global,
             n_buckets=n_buckets, query_block=query_block, db_tile=db_tile,
@@ -490,6 +518,10 @@ def _cut_kernel(s_ref, out_ref, *, kk):
     `jax.lax.approx_max_k` on [1000, 1024] -> 24 (0.03 ms vs 0.20 ms),
     which re-reads the scores from HBM and pays its bucketing machinery
     for a reduction this narrow. Exact, unlike approx_max_k.
+
+    Rows with fewer than kk finite lanes emit NB (an out-of-range
+    sentinel the caller must map to "no candidate") once exhausted —
+    re-selecting a knocked-out lane would duplicate a valid id.
     """
     s = s_ref[...]  # [QB, NB] f32
     qb, nb = s.shape
@@ -499,8 +531,9 @@ def _cut_kernel(s_ref, out_ref, *, kk):
     for i in range(kk):
         m = jnp.max(s, axis=1, keepdims=True)  # [QB, 1]
         lane = jnp.min(
-            jnp.where(s == m, iota, nb), axis=1, keepdims=True
-        )  # [QB, 1] lowest lane holding the max
+            jnp.where((s == m) & (m != NEG_INF), iota, nb),
+            axis=1, keepdims=True,
+        )  # [QB, 1] lowest lane holding the max; nb when exhausted
         acc = jnp.where(out_iota == i, lane, acc)
         s = jnp.where(iota == lane, NEG_INF, s)
     out_ref[...] = acc
@@ -516,7 +549,8 @@ def topk_lanes_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     """Exact top-kk lane indices per row of `scores` [B, NB] f32
-    (descending score order). Pallas kernel; see `_cut_kernel`."""
+    (descending score order); exhausted rows pad with the sentinel NB.
+    Pallas kernel; see `_cut_kernel`."""
     b, nb = scores.shape
     out_w = max(128, -(-kk // 128) * 128)  # lane-tile-aligned output
     # keep the block + its iotas well inside scoped VMEM
@@ -535,9 +569,6 @@ def topk_lanes_pallas(
     return lanes[:b, :kk]
 
 
-_FORCE_APPROX_CUT = False  # test/bench hook: bypass the Pallas cut
-
-
 def _rerank(queries, vectors_f32, scores, ids, k, kk, m, interpret=False):
     """Candidate cut + exact f32 rerank shared by both scan kernels."""
     from diskrag_tpu.ops.distance import Metric
@@ -552,16 +583,23 @@ def _rerank(queries, vectors_f32, scores, ids, k, kk, m, interpret=False):
     # cuts; fall back for wide cuts (unroll blow-up) or huge NB rows
     # (VMEM) or non-TPU backends without interpret mode
     use_pallas_cut = (
-        not _FORCE_APPROX_CUT
-        and kk <= 64
+        kk <= 64
         and scores.shape[1] <= 8192
         and (interpret or jax.default_backend() not in ("cpu",))
     )
     if use_pallas_cut:
         take = topk_lanes_pallas(scores, kk, interpret=interpret)
+        # rows with fewer finite lanes than kk pad with the sentinel NB:
+        # map those to id -1 instead of re-gathering (and duplicating)
+        # an already-taken winner
+        dead = take >= scores.shape[1]
+        ids = jnp.where(
+            dead, -1,
+            jnp.take_along_axis(ids, jnp.where(dead, 0, take), axis=1),
+        )
     else:
         _, take = jax.lax.approx_max_k(scores, kk)  # hardware-bucketed
-    ids = jnp.take_along_axis(ids, take, axis=1)
+        ids = jnp.take_along_axis(ids, take, axis=1)
 
     # exact f32 rerank of the surviving candidates
     cand = vectors_f32[jnp.clip(ids, 0, n - 1)]  # [B, kk, D]

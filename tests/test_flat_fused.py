@@ -175,9 +175,8 @@ def test_fused_scan_packed_matches_oracle():
 
 
 def test_packed_scan_segment_budget_and_padding():
-    """NB must auto-widen so global segment ids fit the 256-id pack
-    budget (N=200k forces NB>=1024 from a 512 request), padded rows and
-    empty buckets must come back as -1, never as ids >= N."""
+    """Padded rows and empty buckets must come back as -1, never as
+    ids >= N (widen-loop coverage lives in test_packed_scan_widen_loop)."""
     from diskrag_tpu.ops.flat_scan_pallas import (
         quantize_int8_global, scan_bucketed_topk_packed,
     )
@@ -208,6 +207,91 @@ def test_packed_scan_segment_budget_and_padding():
         assert full[i] >= bucket.max() - np.abs(bucket.max()) * 0.2
 
 
+def test_packed_scan_widen_loop():
+    """N past PACK*NB must widen NB, and the layout must keep the
+    widened tiles inside the VMEM working-set budget (regression: at
+    N=1M a 512-bucket request widens to NB=4096/T=4096, where the
+    caller-sized QB=1024 needed 32 MB and failed to compile)."""
+    from diskrag_tpu.ops.flat_scan_pallas import (
+        _PACK,
+        _packed_layout,
+        quantize_int8_global,
+        scan_bucketed_topk_packed,
+    )
+
+    for n, req_nb in ((1_000_000, 512), (10_000_000, 1024), (262_145, 512)):
+        nb, t, qb, pad = _packed_layout(n, req_nb, 1024, 2048)
+        assert (n + pad) <= _PACK * nb
+        assert qb * (t * 4 + nb * 4) <= (12 << 20), (n, nb, t, qb)
+        assert qb >= 8 and qb % 8 == 0 and t % nb == 0
+
+    # end-to-end at a CPU-tractable widened size: 40k rows with a
+    # 128-bucket request exceed the 32768-id pack budget -> NB = 256
+    rng = np.random.default_rng(2)
+    pts = rng.normal(size=(40_000, 8)).astype(np.float32)
+    q = rng.normal(size=(5, 8)).astype(np.float32)
+    v = jnp.asarray(pts)
+    norms = np.sum(pts * pts, -1).astype(np.float32)
+    codes, scale = quantize_int8_global(v)
+    qc, qs = quantize_int8_global(jnp.asarray(q))
+    vals, ids = scan_bucketed_topk_packed(
+        qc, qs, codes, jnp.asarray(norms), scale,
+        n_buckets=128, interpret=True,
+    )
+    assert vals.shape == (5, 256)  # widened from the 128 request
+    ids_np = np.asarray(ids)
+    assert ids_np.max() < 40_000 and (ids_np >= -1).all()
+    # exact integer oracle: the kernel's packed scores are pure int32
+    # arithmetic over the quantized codes, so every bucket winner is
+    # deterministic — recompute in numpy and compare ids lane by lane
+    nb = 256
+    cross = np.asarray(qc, np.int64) @ np.asarray(codes, np.int64).T
+    n_int = np.clip(
+        np.round(norms / float(np.asarray(scale) * np.asarray(qs))), 0, 1 << 21
+    ).astype(np.int64)
+    packed = cross * (2 * 256) + (np.arange(40_000) // nb - n_int * 256)
+    for r in range(5):
+        want = np.full(nb, -1)
+        for lane in range(nb):
+            bucket = packed[r, lane::nb]
+            want[lane] = lane + nb * int(bucket.argmax())
+        np.testing.assert_array_equal(ids_np[r], want)
+
+
+def test_fused_scan_tiny_db_no_duplicates():
+    """n < rerank width: exhausted cut lanes must pad with -1, never
+    duplicate an already-selected id (regression: the exact cut kernel
+    re-emitted lane 0 once every finite lane had been extracted)."""
+    from diskrag_tpu.ops.flat_scan_pallas import (
+        quantize_int8,
+        quantize_int8_global,
+    )
+
+    rng = np.random.default_rng(5)
+    pts = rng.normal(size=(20, 32)).astype(np.float32)
+    q = rng.normal(size=(9, 32)).astype(np.float32)
+    v = jnp.asarray(pts)
+    norms = jnp.sum(jnp.square(v), -1)
+    _, gt_i = brute_force_topk(jnp.asarray(q), v, k=10)
+    codes, scales = quantize_int8(v)
+    gcodes, gscale = quantize_int8_global(v)
+    for db, kwargs in (
+        (codes, dict(db_scales=scales)),
+        (gcodes, dict(db_scale_global=gscale)),
+    ):
+        d, ids = flat_search_fused(
+            jnp.asarray(q), db, norms, v, k=10, interpret=True,
+            rerank_width=32, **kwargs,
+        )
+        ids_np, d_np = np.asarray(ids), np.asarray(d)
+        for r in range(len(q)):
+            valid = ids_np[r][ids_np[r] >= 0]
+            assert len(set(valid.tolist())) == len(valid), ids_np[r]
+            # 20 points, k=10, exact rerank of all of them: exact top-10
+            assert set(valid.tolist()) == set(np.asarray(gt_i)[r].tolist())
+        assert np.isfinite(d_np).all()
+
+
 def test_flat_index_packed_precision():
     from diskrag_tpu.ops.flat import FlatIndex
 
@@ -222,6 +306,26 @@ def test_flat_index_packed_precision():
     )
     assert idx_dot._fused_db_scale_global is None
     assert idx_dot._fused_db_scales is not None
+    # D past the packed int32 range proof (192) must downgrade to the
+    # per-row int8 scan — D=256 would overflow and corrupt winners
+    import pytest
+
+    from diskrag_tpu.ops.flat_scan_pallas import (
+        quantize_int8_global, scan_bucketed_topk_packed,
+    )
+
+    rng = np.random.default_rng(0)
+    big = rng.normal(size=(300, 256)).astype(np.float32)
+    idx_big = FlatIndex(big, use_fused=True, fused_precision="int8_packed")
+    assert idx_big._fused_db_scale_global is None
+    assert idx_big._fused_db_scales is not None
+    codes, scale = quantize_int8_global(jnp.asarray(big))
+    qc, qs = quantize_int8_global(jnp.asarray(big[:4]))
+    with pytest.raises(ValueError, match="packed scan caps D"):
+        scan_bucketed_topk_packed(
+            qc, qs, codes, jnp.sum(jnp.square(jnp.asarray(big)), -1), scale,
+            interpret=True,
+        )
 
 
 def test_fused_scan_rerank_width_override():
@@ -268,7 +372,10 @@ def test_topk_lanes_pallas_exact():
     order = np.argsort(-s, axis=1, kind="stable")[:, :24]
     for r in range(37):
         if r == 11:
-            continue  # all -inf: any lanes are "correct"
+            # exhausted row: every lane must be the out-of-range
+            # sentinel NB, not a duplicated real lane
+            assert (lanes[r] == 512).all()
+            continue
         got, want = lanes[r], order[r]
         assert (np.sort(s[r][got]) == np.sort(s[r][want])).all(), r
     assert 7 in lanes[5][:24]
