@@ -300,8 +300,14 @@ def approx_knn_ivf(
     """Approximate top-k neighbors via an IVF probe instead of the full
     scan — O(N * probed-cells) instead of O(N^2), the backend for builds
     past a couple million points. Candidates come from each point's
-    `n_probe` nearest cells; the miss rate only perturbs the prune pool
-    (the recall gate is on the final index).
+    `n_probe` nearest cells. Table misses are NOT benign: a true
+    neighbor assigned outside the probed cells is absent from the
+    candidate pool of *every* point, the graph never gets an edge to
+    it, and the final index recall inherits the table ceiling (10M,
+    2026-08: cap_factor=1.5 tables capped at 0.89 at any depth, index
+    at 0.96-0.98 across L; neither probe width nor entry-point count
+    could recover it). `cap_factor` is the knob that sets that ceiling
+    — see `build_ivf`.
 
     With `checkpoint`, the host-side accumulation is written to
     `<dir>/knn_partial.npz` every `checkpoint_every_s` seconds together
@@ -328,9 +334,9 @@ def approx_knn_ivf(
                 "resuming kNN pass at row %d/%d from checkpoint", start, n
             )
 
-    # cap_factor sizes the padded cell tiles (cap_factor * N * D * 2
-    # bytes of HBM); past ~8M points tighten it so tiles + f32 vectors
-    # + the accumulating [N, k] result fit a 16 GB chip
+    # cap_factor sizes the padded cell tiles (cap_factor * N * D bytes
+    # of HBM at int8) AND sets the table recall ceiling — see the
+    # module callers for the measured tradeoff
     ivf = build_ivf(
         np.asarray(vectors), metric=metric, seed=seed, cap_factor=cap_factor
     )
@@ -535,10 +541,17 @@ def build_vamana_knn(
             knn_ids_np = done["ids"]
             knn_dists_np16 = done["dists"]  # bf16 bit patterns
         else:
+            # cap_factor is the kNN-table recall ceiling (see build_ivf
+            # docstring): at 1.5 the 10M tables capped at 0.89 recall at
+            # ANY depth/probe — points displaced past their 8 nearest
+            # cells are invisible to query-side probing. 3.0 measured a
+            # 1.00 co-probe ceiling at 2M; past ~8M points it drops to
+            # 2.5 so tiles (cap*N*D int8) + the f32 vectors + per-probe
+            # [QB, cap, D] gathers still fit a 16 GB chip.
             knn_ids_np, knn_dists_np = approx_knn_ivf(
                 vectors, knn_k, metric=metric, query_block=query_block,
                 seed=seed, n_probe=knn_probe,
-                cap_factor=2.0 if n <= 6_000_000 else 1.5,
+                cap_factor=3.0 if n <= 8_000_000 else 2.5,
                 checkpoint=ckpt, checkpoint_every_s=checkpoint_every_s,
             )
             from diskrag_tpu.graph.checkpoint import pack_bf16

@@ -153,7 +153,7 @@ def build_ivf(
     *,
     metric: str = "l2",
     seed: int = 0,
-    max_train: int = 131_072,
+    max_train: int | None = None,
     cap_factor: float = 2.0,
     kmeans_iters: int = 20,
     tile_precision: str = "int8",
@@ -161,11 +161,31 @@ def build_ivf(
     """Train cells (batched k-means), assign with capacity-aware spill to
     the next-nearest cell, and lay members out as padded scan tiles
     (per-vector-scaled int8 by default — half the probed-gather bytes and
-    2x the MXU rate of bf16; the f32 rerank keeps ordering exact)."""
+    2x the MXU rate of bf16; the f32 rerank keeps ordering exact).
+
+    `max_train` (None = `max(131_072, 24 * n_cells)`) caps the k-means
+    training sample; the default keeps >=24 samples per center as the
+    cell count grows (a fixed 131k sample would leave ~10/center at
+    N=10M's 12.6k cells). Measured effect is small — a 2M-point
+    co-probe study (2026-08) found 10 vs 48 samples/center moved the
+    ceiling by <1.5pt — but the fit is cheap MXU work, so the default
+    errs on coverage for far larger cell counts.
+
+    `cap_factor` bounds each padded cell tile at `cap_factor * N /
+    n_cells` rows. **This is the recall-ceiling knob**: points that
+    don't fit any of their 8 nearest cells get displaced to cells the
+    query side never probes. Same 2M study: cap 1.5 capped the
+    co-probe ceiling (the fraction of true top-10 neighbors assigned
+    inside a query's 16 probed cells) at 0.93-0.94 regardless of
+    k-means quality; cap 3.0 lifted it to 1.00 with either k-means.
+    The cost is HBM (tiles are `cap_factor * N * D` bytes at int8) and
+    per-probe scan width."""
     vectors = np.asarray(vectors, np.float32)
     n, d = vectors.shape
     if n_cells is None:
         n_cells = int(max(16, min(4 * np.sqrt(n), n // 8)))
+    if max_train is None:
+        max_train = max(131_072, 24 * n_cells)
     cap = int(np.ceil(cap_factor * n / n_cells))
 
     rng = np.random.default_rng(seed)
