@@ -517,6 +517,14 @@ def build_vamana_knn(
     if knn_backend == "auto":
         knn_backend = "flat" if n <= 2_000_000 else "ivf"
     if knn_backend == "ivf":
+        # cap_factor is the kNN-table recall ceiling (see build_ivf
+        # docstring): at 1.5 the 10M tables capped at 0.89 recall at
+        # ANY depth/probe — points displaced past their 8 nearest
+        # cells are invisible to query-side probing. 3.0 measured a
+        # 1.00 co-probe ceiling at 2M; past ~8M points it drops to
+        # 2.5 so tiles (cap*N*D int8) + the f32 vectors + per-probe
+        # [QB, cap, D] gathers still fit a 16 GB chip.
+        cap_factor = 3.0 if n <= 8_000_000 else 2.5
         ckpt = None
         if checkpoint_dir is not None:
             from diskrag_tpu.graph.checkpoint import (
@@ -532,6 +540,8 @@ def build_vamana_knn(
                     "knn_k": knn_k, "knn_probe": knn_probe,
                     "metric": metric, "seed": seed,
                     "query_block": query_block,
+                    # a cap change must invalidate old checkpoints
+                    "cap_factor": cap_factor,
                     "data": dataset_fingerprint(vectors),
                 },
             )
@@ -541,17 +551,10 @@ def build_vamana_knn(
             knn_ids_np = done["ids"]
             knn_dists_np16 = done["dists"]  # bf16 bit patterns
         else:
-            # cap_factor is the kNN-table recall ceiling (see build_ivf
-            # docstring): at 1.5 the 10M tables capped at 0.89 recall at
-            # ANY depth/probe — points displaced past their 8 nearest
-            # cells are invisible to query-side probing. 3.0 measured a
-            # 1.00 co-probe ceiling at 2M; past ~8M points it drops to
-            # 2.5 so tiles (cap*N*D int8) + the f32 vectors + per-probe
-            # [QB, cap, D] gathers still fit a 16 GB chip.
             knn_ids_np, knn_dists_np = approx_knn_ivf(
                 vectors, knn_k, metric=metric, query_block=query_block,
                 seed=seed, n_probe=knn_probe,
-                cap_factor=3.0 if n <= 8_000_000 else 2.5,
+                cap_factor=cap_factor,
                 checkpoint=ckpt, checkpoint_every_s=checkpoint_every_s,
             )
             from diskrag_tpu.graph.checkpoint import pack_bf16
