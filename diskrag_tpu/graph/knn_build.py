@@ -294,6 +294,7 @@ def approx_knn_ivf(
     query_block: int = 8192,
     seed: int = 0,
     cap_factor: float = 2.0,
+    n_cells: int | None = None,
     checkpoint: "BuildCheckpoint | None" = None,
     checkpoint_every_s: float = 600.0,
 ) -> tuple[jax.Array, jax.Array]:
@@ -338,7 +339,8 @@ def approx_knn_ivf(
     # of HBM at int8) AND sets the table recall ceiling — see the
     # module callers for the measured tradeoff
     ivf = build_ivf(
-        np.asarray(vectors), metric=metric, seed=seed, cap_factor=cap_factor
+        np.asarray(vectors), n_cells, metric=metric, seed=seed,
+        cap_factor=cap_factor,
     )
     # build_ivf round-trips through numpy and would otherwise hold a
     # SECOND full device copy of the vectors for its rerank master —

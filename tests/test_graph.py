@@ -239,7 +239,7 @@ def test_incoming_tables_host_matches_device(rng):
 
 def test_build_vamana_knn_ivf_backend(clustered_data):
     """The approximate (IVF-probe) kNN backend must still clear the
-    recall gate — it only perturbs the prune candidate pool."""
+    recall gate on the final index."""
     from diskrag_tpu.graph.knn_build import build_vamana_knn
 
     pts = clustered_data
@@ -260,3 +260,37 @@ def test_build_vamana_knn_ivf_backend(clustered_data):
         [len(set(got[i]) & set(want[i])) / 10 for i in range(len(got))]
     )
     assert recall >= 0.93, f"recall@10 = {recall}"
+
+
+def test_approx_knn_ivf_table_recall_clustered():
+    """The ivf-kNN backend's tables must be near-exact on clustered
+    data at the shipped cap_factor. Regression gate for the 10M recall
+    ceiling (2026-08): capacity caps displaced ~11% of points past
+    their 8 nearest cells, capping table recall at 0.89 at ANY depth
+    and the final index at 0.96 — invisible points never enter any
+    candidate pool, so no probe width or entry-point count recovers
+    them. cap_factor >= 3 measured a 1.0 co-probe ceiling."""
+    from diskrag_tpu.benchmark import make_dataset
+    from diskrag_tpu.graph.knn_build import approx_knn_ivf, exact_knn
+
+    pts, _ = make_dataset(30_000, 64, 4)  # 30 natural clusters of 1000
+    v = jnp.asarray(pts)
+    ids_exact, _ = exact_knn(v, 16, query_block=8192)
+    ids_exact = np.asarray(ids_exact)
+
+    # n_cells matches the >2M regime's cell/cluster geometry (~350
+    # points per cell vs 1000-point clusters); the default small-N
+    # formula would give 43-point cells, a shape the auto backend
+    # never produces (ivf only engages past 2M points)
+    ids_tbl, _ = approx_knn_ivf(
+        v, 16, n_probe=8, query_block=8192, seed=0, cap_factor=3.0,
+        n_cells=90,
+    )
+    ids_tbl = np.asarray(ids_tbl)
+    sample = np.random.default_rng(0).choice(30_000, 512, replace=False)
+    rec = np.mean([
+        len(set(ids_tbl[r, :10].tolist()) & set(ids_exact[r, :10].tolist()))
+        / 10
+        for r in sample
+    ])
+    assert rec >= 0.97, f"ivf-kNN table recall@10 = {rec}"
