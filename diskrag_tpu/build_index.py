@@ -158,6 +158,8 @@ def build_index_from_vectors(
     n_shards: int | None = None,
     flat_precision: str = "int8",
     flat_rerank_width: int | None = None,
+    ivf_n_cells: int | None = None,
+    ivf_cap_factor: float | None = None,
 ) -> dict:
     """Build + persist a full index.
 
@@ -242,7 +244,12 @@ def build_index_from_vectors(
         from diskrag_tpu.index.persist import save_ivf_index
 
         t0 = time.perf_counter()
-        ivf = build_ivf(vectors, metric=metric, seed=seed)
+        ivf_kwargs = {}
+        if ivf_cap_factor is not None:
+            ivf_kwargs["cap_factor"] = ivf_cap_factor
+        ivf = build_ivf(
+            vectors, ivf_n_cells, metric=metric, seed=seed, **ivf_kwargs
+        )
         meta = save_ivf_index(
             index_dir, ivf,
             meta_extra={

@@ -180,6 +180,8 @@ class DiskRAG:
             n_shards=n_shards or icfg.n_shards,
             flat_precision=icfg.flat_precision,
             flat_rerank_width=icfg.flat_rerank_width,
+            ivf_n_cells=icfg.ivf_n_cells,
+            ivf_cap_factor=icfg.ivf_cap_factor,
         )
         # record build stats on the collection (reference build_index.py:334-351)
         info = self.manager.get_collection_info(collection)

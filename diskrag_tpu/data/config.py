@@ -99,6 +99,13 @@ class IndexConfig:
     # ops/flat_scan_pallas.flat_search_fused).
     flat_rerank_width: Optional[int] = None
     opq_iters: int = 0  # >0 trains an OPQ rotation with the PQ codebooks
+    # type: ivf knobs (None = build_ivf defaults). cap_factor bounds the
+    # padded cell tiles AND sets the recall ceiling: points that fit
+    # none of their 8 nearest cells are displaced where probes never
+    # look (see index/ivf.build_ivf). Raise it for recall, at the cost
+    # of tile HBM and per-probe scan width.
+    ivf_n_cells: Optional[int] = None
+    ivf_cap_factor: Optional[float] = None
     # also write the packed record file (index.dat) — required for
     # host_tier serving (f32 vectors host-resident, rerank on host)
     write_compat: bool = False
