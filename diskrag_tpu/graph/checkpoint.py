@@ -80,21 +80,27 @@ class BuildCheckpoint:
         self.dir.mkdir(parents=True, exist_ok=True)
         self.tag = {k: tag[k] for k in sorted(tag)}
         tag_path = self.dir / "tag.json"
+        old = None
         if tag_path.exists():
             try:
                 old = json.loads(tag_path.read_text())
             except ValueError:
                 old = None
-            if old != self.tag:
-                stale = list(self.dir.glob("*.npz")) + list(
-                    self.dir.glob("*.npz.tmp")
-                )
+        # phase files with a missing/unreadable tag are just as stale as
+        # a mismatched one — adopting them would silently resume another
+        # build's state, the exact thing the tag exists to prevent
+        if old != self.tag:
+            stale = list(self.dir.glob("*.npz")) + list(
+                self.dir.glob("*.npz.tmp")
+            )
+            if stale:
                 logger.info(
-                    "checkpoint tag changed — dropping %d stale file(s) "
-                    "in %s", len(stale), self.dir,
+                    "checkpoint tag %s — dropping %d stale file(s) in %s",
+                    "changed" if old is not None else "missing",
+                    len(stale), self.dir,
                 )
-                for p in stale:
-                    p.unlink()
+            for p in stale:
+                p.unlink()
         tmp = tag_path.with_name("tag.json.tmp")
         tmp.write_text(json.dumps(self.tag, indent=1))
         os.replace(tmp, tag_path)
@@ -112,12 +118,16 @@ class BuildCheckpoint:
         p = self._path(phase)
         if not p.exists():
             return None
+        import zipfile
+
         try:
             with np.load(p) as z:
                 return {k: z[k] for k in z.files}
-        except (ValueError, OSError, EOFError) as e:
+        except (ValueError, OSError, EOFError, zipfile.BadZipFile) as e:
             # torn/corrupt file (e.g. disk full mid-rename on a non-posix
-            # fs): treat as absent, rebuild the phase
+            # fs): treat as absent, rebuild the phase. BadZipFile is what
+            # np.load actually raises on a truncated .npz (it subclasses
+            # neither ValueError nor OSError).
             logger.warning("unreadable checkpoint %s (%s) — ignoring", p, e)
             return None
 

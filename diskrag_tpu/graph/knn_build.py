@@ -78,13 +78,16 @@ def exact_knn(
     """
     n = vectors.shape[0]
     k = min(k, n - 1)
-    vec_bf16 = vectors.astype(jnp.bfloat16)
     norms = jnp.sum(jnp.square(vectors), axis=-1)
     # On TPU the fused Pallas scan (matmul + bucketed top-k in VMEM)
     # replaces the tiled XLA scan, which writes a [block, chunk] f32
     # distance tile to HBM per step and runs approx_max_k over it —
     # selection traffic, not the matmul, dominated the build's kNN pass.
     use_fused = jax.default_backend() not in ("cpu",)
+    # the bf16 copy is only for the non-fused XLA path — allocating it
+    # up front would hold a dead N*D*2-byte array through the whole
+    # fused-path loop on an HBM-budgeted build
+    vec_bf16 = None
     if use_fused:
         from diskrag_tpu.ops.flat_scan_pallas import quantize_int8
 
@@ -111,6 +114,8 @@ def exact_knn(
                 db_tile=4096, query_block=128, db_scales=scan_scales,
             )
         else:
+            if vec_bf16 is None:
+                vec_bf16 = vectors.astype(jnp.bfloat16)
             d, ids = flat_search(
                 q, vec_bf16, norms, vectors, k=k + 1, metric=metric,
                 chunk=min(scan_chunk, n), rerank_mult=rerank_mult,
@@ -338,14 +343,14 @@ def approx_knn_ivf(
     # cap_factor sizes the padded cell tiles (cap_factor * N * D bytes
     # of HBM at int8) AND sets the table recall ceiling — see the
     # module callers for the measured tradeoff
+    # rerank_master: build_ivf round-trips through numpy and would
+    # otherwise upload a SECOND full device copy of the vectors for its
+    # rerank master — a transient 5.1 GB at 10M x 128 on top of the
+    # caller's resident one
     ivf = build_ivf(
         np.asarray(vectors), n_cells, metric=metric, seed=seed,
-        cap_factor=cap_factor,
+        cap_factor=cap_factor, rerank_master=jnp.asarray(vectors),
     )
-    # build_ivf round-trips through numpy and would otherwise hold a
-    # SECOND full device copy of the vectors for its rerank master —
-    # 5.1 GB at 10M x 128. Point it at the caller's buffer instead.
-    ivf.vectors = jnp.asarray(vectors)
 
     def save_partial(next_i: int) -> None:
         checkpoint.save(
@@ -384,10 +389,11 @@ def approx_knn_ivf(
             save_partial(i + query_block)
             last_save = time.perf_counter()
     del ivf
-    out = np.concatenate(ids_out), np.concatenate(dists_out)
-    if checkpoint is not None:
-        checkpoint.clear("knn_partial")
-    return out
+    # NOTE: the partial is NOT cleared here — the caller persists the
+    # completed "knn" phase (a multi-GB savez at 10M) and must clear
+    # the partial only after that lands, or a crash in the window
+    # between would lose the whole pass
+    return np.concatenate(ids_out), np.concatenate(dists_out)
 
 
 def compute_entry_points(
@@ -565,6 +571,7 @@ def build_vamana_knn(
             del knn_dists_np
             if ckpt is not None:
                 ckpt.save("knn", ids=knn_ids_np, dists=knn_dists_np16)
+                ckpt.clear("knn_partial")
         # the [N, knn_k] f32 dist table is 2.6 GB at 10M — kept bf16
         # on the host and uploaded as such (f32 upload + device cast
         # would transiently hold both); f32 restored inside _prune_block

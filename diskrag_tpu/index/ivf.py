@@ -157,6 +157,7 @@ def build_ivf(
     cap_factor: float = 2.0,
     kmeans_iters: int = 20,
     tile_precision: str = "int8",
+    rerank_master: "jax.Array | None" = None,
 ) -> IVFIndex:
     """Train cells (batched k-means), assign with capacity-aware spill to
     the next-nearest cell, and lay members out as padded scan tiles
@@ -182,6 +183,11 @@ def build_ivf(
     per-probe scan width."""
     vectors = np.asarray(vectors, np.float32)
     n, d = vectors.shape
+    metric = Metric(metric).value
+    if cap_factor < 1.0:
+        # total capacity below N would silently overwrite tile slots —
+        # the overflowing points would be in NO tile, unreturnable
+        raise ValueError(f"cap_factor must be >= 1, got {cap_factor}")
     if n_cells is None:
         n_cells = int(max(16, min(4 * np.sqrt(n), n // 8)))
     if max_train is None:
@@ -213,11 +219,20 @@ def build_ivf(
     n_choice = min(8, n_cells)
     choices = np.empty((n, n_choice), np.int32)
     cj = jnp.asarray(centroids)
+    l2_cells = Metric(metric) == Metric.L2
     step = max(4096, min(65_536, (1 << 26) // max(n_cells, 1)) // 512 * 512)
     for i in range(0, n, step):
         q = jnp.asarray(vectors[i : i + step])
         cross = jnp.matmul(q, cj.T, precision=jax.lax.Precision.HIGHEST)
-        dist = jnp.sum(cj * cj, -1)[None, :] - 2.0 * cross
+        # rank cells with the SAME score the query side probes with
+        # (_ivf_search_impl: L2 by distance, cosine/dot by dot) — an
+        # assignment metric that disagrees with the probe metric places
+        # points in cells queries never visit, the invisible-point
+        # recall ceiling all over again
+        if l2_cells:
+            dist = jnp.sum(cj * cj, -1)[None, :] - 2.0 * cross
+        else:
+            dist = -cross
         _, idx = jax.lax.top_k(-dist, n_choice)
         choices[i : i + step] = np.asarray(idx)
 
@@ -253,7 +268,10 @@ def build_ivf(
         n_pref = min(16, len(open_cells))
         for s in range(0, len(todo), 4096):
             chunk = todo[s : s + 4096]
-            d2 = oc_norm[None, :] - 2.0 * vectors[chunk] @ oc.T
+            if l2_cells:
+                d2 = oc_norm[None, :] - 2.0 * vectors[chunk] @ oc.T
+            else:
+                d2 = -(vectors[chunk] @ oc.T)
             pref = np.argpartition(d2, n_pref - 1, axis=1)[:, :n_pref]
             pref = np.take_along_axis(
                 pref, np.argsort(np.take_along_axis(d2, pref, 1), 1), 1
@@ -295,7 +313,13 @@ def build_ivf(
         tiles=tiles_j,
         tile_ids=jnp.asarray(tile_ids),
         tile_norms=jnp.asarray(tile_norms),
-        vectors=jnp.asarray(vectors),
-        metric=Metric(metric).value,
+        # an already-device-resident master avoids a second transient
+        # full f32 upload (5.1 GB at 10M — the kNN backend's caller
+        # holds one on device already)
+        vectors=(
+            rerank_master if rerank_master is not None
+            else jnp.asarray(vectors)
+        ),
+        metric=metric,
         tile_scales=tile_scales,
     )

@@ -54,6 +54,22 @@ def test_corrupt_checkpoint_ignored(tmp_path):
     ck = BuildCheckpoint(tmp_path, tag={"x": 1})
     (tmp_path / "knn.npz").write_bytes(b"not an npz")
     assert ck.load("knn") is None
+    # truncated npz (np.load raises zipfile.BadZipFile, which is neither
+    # ValueError nor OSError): the torn-file case the handler exists for
+    ck.save("knn", ids=np.arange(4096, dtype=np.int32))
+    full = (tmp_path / "knn.npz").read_bytes()
+    (tmp_path / "knn.npz").write_bytes(full[: len(full) // 2])
+    assert ck.load("knn") is None
+
+
+def test_orphan_phase_without_tag_is_dropped(tmp_path):
+    """Phase files with no tag.json must be wiped, not silently adopted
+    under the new tag — they may belong to a different build."""
+    ck = BuildCheckpoint(tmp_path, tag={"seed": 0})
+    ck.save("knn", ids=np.arange(4, dtype=np.int32))
+    (tmp_path / "tag.json").unlink()
+    ck2 = BuildCheckpoint(tmp_path, tag={"seed": 0})
+    assert not ck2.has("knn")
 
 
 def test_approx_knn_partial_resume_matches_fresh(tmp_path):
@@ -77,7 +93,10 @@ def test_approx_knn_partial_resume_matches_fresh(tmp_path):
     )
     np.testing.assert_array_equal(ids_res, ids_fresh)
     np.testing.assert_allclose(dists_res, dists_fresh, rtol=8e-3, atol=1e-4)
-    assert not ck.has("knn_partial")  # cleared on completion
+    # the partial survives approx_knn_ivf: only the caller may clear it,
+    # after the completed "knn" phase has been persisted (a crash in
+    # that window must not lose the pass)
+    assert ck.has("knn_partial")
 
 
 def test_build_vamana_knn_checkpoint_reuse(tmp_path):
@@ -87,6 +106,7 @@ def test_build_vamana_knn_checkpoint_reuse(tmp_path):
         checkpoint_dir=tmp_path, checkpoint_every_s=0.0,
     )
     assert (tmp_path / "knn.npz").exists()
+    assert not (tmp_path / "knn_partial.npz").exists()  # cleared post-save
     # second build loads the finished kNN phase and must produce the
     # exact same graph
     idx2 = build_vamana_knn(

@@ -98,3 +98,22 @@ def test_ivf_spill_points_stay_findable(clustered_data):
     _, ids = ivf.search(q, k=1, n_probe=16)
     hit = float(np.mean(np.asarray(ids)[:, 0] == np.arange(0, len(pts), 7)))
     assert hit >= 0.99, f"self-hit rate after spill: {hit}"
+
+
+def test_ivf_cosine_recall_clustered():
+    """Cosine IVF: cell ASSIGNMENT must rank cells with the same score
+    the query side probes with (dot, not L2) — a disagreement places
+    points in cells queries never probe (the invisible-point ceiling)."""
+    from diskrag_tpu.benchmark import make_dataset
+    from diskrag_tpu.index.ivf import build_ivf
+    from diskrag_tpu.ops.distance import brute_force_topk
+
+    pts, q = make_dataset(20_000, 64, 64)
+    ivf = build_ivf(pts, 64, metric="cosine", seed=0, cap_factor=3.0)
+    d, ids = ivf.search(jnp.asarray(q), k=10, n_probe=8)
+    _, gt = brute_force_topk(
+        jnp.asarray(q), jnp.asarray(pts), k=10, metric="cosine"
+    )
+    got, want = np.asarray(ids), np.asarray(gt)
+    rec = np.mean([len(set(got[i]) & set(want[i])) / 10 for i in range(64)])
+    assert rec >= 0.95, f"cosine ivf recall@10 = {rec}"
