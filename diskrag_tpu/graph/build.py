@@ -106,7 +106,6 @@ def _reverse_edges(
     uniq_t = uniq_t.at[jnp.where(is_first, seg_id, e)].set(t_s, mode="drop")
 
     # process targets in chunks: union or re-prune
-    c2 = r + max_incoming
     pad_e = (-e) % chunk
     uniq_t_p = jnp.pad(uniq_t, (0, pad_e), constant_values=INVALID_ID)
     inc_p = jnp.pad(inc, ((0, pad_e), (0, 0)), constant_values=INVALID_ID)
@@ -123,11 +122,10 @@ def _reverse_edges(
         dists = _gathered_distance(t_vecs, cand_vecs, metric)
         dists = jnp.where(cands == INVALID_ID, INF, dists)
         union_ids, union_dists, _ = sort_topk_unique(cands, dists, r)
+        # count distinct candidates without a second full-width
+        # sort_topk_unique: the duplicate mask alone gives the tally
         n_unique = jnp.sum(
-            jnp.isfinite(
-                sort_topk_unique(cands, dists, c2)[1]
-            ),
-            axis=1,
+            jnp.isfinite(mask_duplicates(cands, dists)), axis=1
         )
         overflow = n_unique > r
         pruned_rows = robust_prune_batch(

@@ -124,12 +124,11 @@ def consolidate(
     old_to_new[keep] = np.arange(n_new)
 
     vectors = np.asarray(index.vectors)[keep]
-    adj = np.asarray(index.adjacency)
-    adj_full = np.asarray(index.adjacency)
+    adj_full = np.asarray(index.adjacency)  # one device->host fetch
 
     # stitch: edges into deleted nodes are replaced by that node's own
     # out-edges (one hop through the tombstone), then remapped + deduped
-    kept_adj = adj[keep]  # [n_new, R] old ids
+    kept_adj = adj_full[keep]  # [n_new, R] old ids
     r = kept_adj.shape[1]
     safe = np.clip(kept_adj, 0, n - 1)
     edge_deleted = (kept_adj >= 0) & deleted[safe]
@@ -185,7 +184,7 @@ def consolidate(
     new_index = VamanaIndex(
         vectors=vectors_j,
         adjacency=jnp.asarray(new_adj),
-        medoid=approximate_medoid(vectors_j),
+        medoid=approximate_medoid(vectors_j, metric=index.metric),
         metric=index.metric,
         entry_points=new_entries,
     )

@@ -94,7 +94,11 @@ def robust_prune_batch(
 
     pair = _pairwise_within(cand_vecs, metric)  # [W, C, C]
 
-    n_rounds = -(-degree_bound // g) + 2  # slack rounds for block underfill
+    # Worst case one survivor per round (tight clusters eliminate the other
+    # G-1 in-block), so correctness needs up to `degree_bound` rounds; the
+    # while_loop below exits as soon as every row has R kept or no active
+    # candidates left, so well-separated data still pays only ~ceil(R/G).
+    n_rounds = degree_bound
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c), 2)
 
     def round_step(active_dists, _):
@@ -135,7 +139,26 @@ def robust_prune_batch(
                             INVALID_ID)
         return active_dists, sel_ids
 
-    _, picks = jax.lax.scan(round_step, dists, None, length=n_rounds)
+    def cond(state):
+        r, active_dists, _, kept = state
+        done = (kept >= degree_bound) | jnp.all(
+            jnp.isinf(active_dists), axis=1
+        )
+        return (r < n_rounds) & ~jnp.all(done)
+
+    def body(state):
+        r, active_dists, picks, kept = state
+        active_dists, sel_ids = round_step(active_dists, None)
+        picks = jax.lax.dynamic_update_slice(
+            picks, sel_ids[None], (r, 0, 0)
+        )
+        kept = kept + jnp.sum(sel_ids != INVALID_ID, axis=1)
+        return r + 1, active_dists, picks, kept
+
+    picks0 = jnp.full((n_rounds, w, g), INVALID_ID, jnp.int32)
+    _, _, picks, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), dists, picks0, jnp.zeros((w,), jnp.int32))
+    )
     # picks: [rounds, W, G] in selection order (round-major, in-block
     # ascending). Compact the first `degree_bound` valid entries per row.
     flat = jnp.transpose(picks, (1, 0, 2)).reshape(w, n_rounds * g)

@@ -31,7 +31,8 @@ from diskrag_tpu.ops.distance import Metric
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "chunk", "rerank_mult")
+    jax.jit,
+    static_argnames=("k", "metric", "chunk", "rerank_mult", "rerank_width"),
 )
 def flat_search(
     queries: jax.Array,
@@ -43,6 +44,7 @@ def flat_search(
     metric: str = Metric.L2.value,
     chunk: int = 32_768,
     rerank_mult: int = 4,
+    rerank_width: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exhaustive top-k: bf16 matmul scan + approx-topk + f32 rerank.
 
@@ -54,13 +56,16 @@ def flat_search(
       vectors_f32: [N, D] float32 for rerank; None skips rerank.
       chunk: N-axis tile per scan step.
       rerank_mult: candidates kept per query = k * rerank_mult.
+      rerank_width: pins the candidate count outright (overrides
+        rerank_mult; same knob as `flat_search_fused`).
 
     Returns (dists [B, k] ascending, ids [B, k]).
     """
     m = Metric(metric)
     b, d = queries.shape
     n = vectors_bf16.shape[0]
-    kk = min(k * rerank_mult, n)
+    kk = k * rerank_mult if rerank_width is None else max(rerank_width, k)
+    kk = min(kk, n)
     chunk = min(chunk, n)
     pad = (-n) % chunk
     vpad = jnp.pad(vectors_bf16, ((0, pad), (0, 0)))
@@ -252,17 +257,19 @@ class FlatIndex:
             return flat_search(
                 q, self.vectors_bf16, self.norms_sq, self.vectors, k=k,
                 metric=self.metric, chunk=min(chunk, n),
+                rerank_width=self.rerank_width,
             )
         q_block = int(max(16, min(b, (2**29) // max(n, 1))))
         if q_block >= b:
             return flat_search(
                 q, self.vectors_bf16, self.norms_sq, self.vectors, k=k,
-                metric=self.metric, chunk=n,
+                metric=self.metric, chunk=n, rerank_width=self.rerank_width,
             )
         outs = [
             flat_search(
                 q[i : i + q_block], self.vectors_bf16, self.norms_sq,
                 self.vectors, k=k, metric=self.metric, chunk=n,
+                rerank_width=self.rerank_width,
             )
             for i in range(0, b, q_block)
         ]

@@ -459,8 +459,18 @@ def flat_search_fused(
 
     while n_buckets < min(50 * (k - 1), 1 << 15):
         n_buckets *= 2
-    if k > n_buckets:
-        raise ValueError(f"k={k} too large for the fused scan (max 32768)")
+    # Both scan kernels shrink NB down to >=128 on tiny databases
+    # (`while nb > 128 and nb > n`), so guard k against the *effective*
+    # bucket count, not the widened request — and since the shrink only
+    # bites when n < NB, an exact brute-force scan is the cheap correct
+    # answer whenever k outruns it.
+    eff_nb = n_buckets
+    while eff_nb > 128 and eff_nb > n:
+        eff_nb //= 2
+    if k > eff_nb:
+        from diskrag_tpu.ops.distance import brute_force_topk
+
+        return brute_force_topk(queries, vectors_f32, k, metric)
     kk = max(rerank_mult * k, 32) if rerank_width is None else max(
         rerank_width, k
     )

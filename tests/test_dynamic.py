@@ -67,6 +67,26 @@ def test_delete_and_filter(clustered_data):
     assert (ids[:, 0] >= 0).all()
 
 
+def test_consolidate_keeps_metric_for_medoid(clustered_data):
+    """Regression: consolidate() recomputed the medoid without the
+    index's metric, so cosine indexes with heterogeneous norms got an
+    L2-chosen (norm-biased) entry point after compaction."""
+    from diskrag_tpu.ops.medoid import approximate_medoid
+
+    rng = np.random.default_rng(2)
+    pts = clustered_data[:600].copy()
+    # wildly varying norms so L2 and cosine medoids disagree
+    pts *= rng.uniform(0.01, 100.0, size=(600, 1)).astype(np.float32)
+    idx = build_vamana(
+        pts, degree_bound=24, build_width=48, wave_size=256, metric="cosine"
+    )
+    mask = delete_points(make_deleted_mask(600), [5, 10])
+    new_idx, _ = consolidate(idx, mask, refine_fraction=0.0)
+    assert new_idx.metric == "cosine"
+    want = int(approximate_medoid(new_idx.vectors, metric="cosine"))
+    assert int(new_idx.medoid) == want
+
+
 def test_consolidate_remaps_and_recalls(clustered_data):
     pts = clustered_data[:1000]
     idx = build_vamana(pts, degree_bound=24, build_width=48, wave_size=256)

@@ -114,6 +114,23 @@ def test_fused_scan_large_k_autoscales_buckets():
     assert _recall(np.asarray(ids), np.asarray(gt_i)) >= 0.97
 
 
+def test_fused_scan_tiny_db_large_k_falls_back_exact():
+    """Regression: n=300 with k=280 crashed — the k guard checked the
+    widened NB but the kernels shrink NB down to 128-ish when n < NB,
+    and the final top_k then outran the state width. Tiny databases with
+    k past the shrunk bucket count must take the exact brute-force path."""
+    pts, q = make_dataset(300, 64, 4)
+    v = jnp.asarray(pts)
+    norms = jnp.sum(jnp.square(v), -1)
+    d, ids = flat_search_fused(
+        jnp.asarray(q), v.astype(jnp.bfloat16), norms, v, k=280,
+        interpret=True,
+    )
+    assert ids.shape == (4, 280)
+    gt_d, gt_i = brute_force_topk(jnp.asarray(q), v, k=280)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(gt_i))
+
+
 def test_quantize_int8_roundtrip():
     from diskrag_tpu.ops.flat_scan_pallas import quantize_int8
 

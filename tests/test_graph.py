@@ -90,6 +90,38 @@ def test_blocked_prune_is_close_to_sequential(rng):
     assert overlap >= 0.8, f"blocked/sequential overlap {overlap}"
 
 
+def test_blocked_prune_fills_degrees_on_clustered_candidates(rng):
+    """Regression: tight clusters eliminate most of each round's block
+    in-block, so a fixed ceil(R/G)+2 round budget under-filled degrees
+    (6 kept where sequential keeps 21). The round loop must keep going
+    until R kept or candidates exhausted."""
+    n_clusters, per, d, r = 40, 8, 16, 32
+    centers = rng.normal(size=(n_clusters, d)) * 100.0
+    radii = 0.01 * (1 + np.arange(n_clusters))[:, None, None]
+    pts = (
+        centers[:, None, :] + rng.normal(size=(n_clusters, per, d)) * radii
+    ).reshape(-1, d).astype(np.float32)
+    dists = (pts**2).sum(1).astype(np.float32)  # point at origin
+    ids = np.arange(len(pts), dtype=np.int32)
+
+    want = prune_oracle(-7, ids, pts, dists, 1.0, r)
+    got = np.asarray(
+        robust_prune_batch(
+            jnp.asarray([-7], jnp.int32),
+            jnp.asarray(ids)[None],
+            jnp.asarray(pts)[None],
+            jnp.asarray(dists)[None],
+            1.0,
+            degree_bound=r,
+            block_size=8,
+        )
+    )[0]
+    want_set = {x for x in want if x >= 0}
+    got_set = {int(x) for x in got if x >= 0}
+    assert len(got_set) == len(want_set), (len(got_set), len(want_set))
+    assert got_set == want_set
+
+
 def test_beam_search_exact_on_complete_graph(rng):
     n, d = 60, 16
     pts = rng.normal(size=(n, d)).astype(np.float32)
