@@ -163,10 +163,13 @@ class SearchEngine:
                         int(self.meta.get("compat_R", 0)),
                         cache_capacity=65_536,
                     )
-                    # pq traversal when PQ artifacts exist (same mode
-                    # selection as HostTierIndex.from_store), else bf16
+                    # pq traversal when PQ artifacts exist AND the metric
+                    # is L2 (ADC tables are L2-only — same mode selection
+                    # as HostTierIndex.from_store), else bf16
                     mode_kwargs: dict = {}
-                    if store.pq_model_path.exists():
+                    if store.pq_model_path.exists() and (
+                        self.meta.get("distance_metric", "l2") == "l2"
+                    ):
                         from diskrag_tpu.pq.product_quantizer import (
                             ProductQuantizer,
                         )

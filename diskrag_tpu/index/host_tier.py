@@ -134,8 +134,22 @@ class HostTierIndex:
                 f"host-tier mode needs the packed record file {store.compat_path} "
                 "(save with write_compat=True)"
             )
+        metric = meta.get("distance_metric", "l2")
         if mode is None:
-            mode = "pq" if store.pq_model_path.exists() else "bf16"
+            # ADC tables are L2-only by design (PERFORMANCE.md "Angular");
+            # never auto-pick a traversal that ranks by the wrong metric
+            mode = (
+                "pq"
+                if store.pq_model_path.exists() and metric == "l2"
+                else "bf16"
+            )
+        if mode == "pq" and metric != "l2":
+            raise ValueError(
+                f"host-tier pq traversal is L2-only (ADC tables); this "
+                f"index uses metric={metric!r} — serve it in bf16 mode, or "
+                "normalize the vectors and build with metric='l2' for "
+                "angular data"
+            )
         adjacency = jnp.asarray(np.load(store.adjacency_path))
         reader = RecordReader(
             store.compat_path, meta["num_points"], meta["dimension"],
@@ -149,15 +163,20 @@ class HostTierIndex:
                 pq = ProductQuantizer.from_arrays(dict(z))
             codes = jnp.asarray(np.load(store.pq_codes_path))
         elif mode == "bf16":
-            # mmap the f32 master and convert chunk-wise so peak device
-            # memory for this copy is N*D*2 + one chunk
+            # mmap the f32 master and down-convert ON THE HOST, then ship
+            # one bf16 buffer: peak device memory is exactly N*D*2. (A
+            # device-side concatenate of converted chunks would hold all
+            # chunks plus the output simultaneously — N*D*4 peak, i.e. the
+            # full f32 footprint this tier exists to avoid.)
+            import ml_dtypes
+
             vecs = np.load(store.vectors_path, mmap_mode="r")
+            host_bf16 = np.empty(vecs.shape, dtype=ml_dtypes.bfloat16)
             step = 262_144
-            parts = [
-                jnp.asarray(vecs[i : i + step]).astype(jnp.bfloat16)
-                for i in range(0, vecs.shape[0], step)
-            ]
-            vec_bf16 = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+            for i in range(0, vecs.shape[0], step):
+                host_bf16[i : i + step] = vecs[i : i + step]
+            vec_bf16 = jnp.asarray(host_bf16)
+            del host_bf16
         else:
             raise ValueError(f"unknown host-tier mode: {mode}")
         eps = meta.get("entry_points")
@@ -166,7 +185,7 @@ class HostTierIndex:
             medoid=jnp.asarray(meta["medoid_idx"], jnp.int32),
             reader=reader, mode=mode, codes=codes, pq=pq,
             vectors_bf16=vec_bf16,
-            metric=meta.get("distance_metric", "l2"),
+            metric=metric,
             entry_points=(
                 None if eps is None else jnp.asarray(eps, jnp.int32)
             ),

@@ -62,7 +62,9 @@ def _ivf_search_impl(
     else:
         qb = queries.astype(jnp.bfloat16)
     qn2 = jnp.sum(jnp.square(queries), -1, keepdims=True)
-    kk = min(4 * k, cap * n_probe)
+    # never below k: with large k + narrow probes (k > cap*n_probe) the
+    # final top_k over the [B, kk] candidate buffer would outrun its width
+    kk = max(min(4 * k, cap * n_probe), k)
 
     def probe_step(carry, p_idx):
         best_d, best_i = carry
@@ -145,6 +147,35 @@ class IVFIndex:
             self.vectors, self.tile_scales, k=k, n_probe=n_probe,
             metric=self.metric,
         )
+
+
+def tiles_from_ids(
+    vectors: np.ndarray, tile_ids: np.ndarray, tile_precision: str
+):
+    """Reconstruct the [C, cap, D] scan tiles from the f32 master.
+
+    Owns the search kernel's masking invariants — pad rows zeroed, pad
+    norms +inf — and the tile precision choice, in ONE place shared by
+    `build_ivf` and `persist.load_ivf_index` (so a fix to either path
+    cannot silently diverge from the other).
+
+    Returns (tiles_device, tile_norms_np [C, cap] f32, tile_scales | None).
+    """
+    n = len(vectors)
+    tiles = vectors[np.clip(tile_ids, 0, n - 1)].astype(np.float32)
+    tiles[tile_ids == INVALID_ID] = 0.0
+    tile_norms = np.sum(tiles * tiles, axis=-1, dtype=np.float32)
+    tile_norms[tile_ids == INVALID_ID] = np.inf
+    tile_scales = None
+    if tile_precision == "int8":
+        from diskrag_tpu.ops.flat_scan_pallas import quantize_int8
+
+        tiles_q, scales = quantize_int8(tiles)
+        tiles_j = jnp.asarray(tiles_q)
+        tile_scales = jnp.asarray(scales, jnp.float32)
+    else:
+        tiles_j = jnp.asarray(tiles, jnp.bfloat16)
+    return tiles_j, tile_norms, tile_scales
 
 
 def build_ivf(
@@ -293,20 +324,9 @@ def build_ivf(
     first = np.searchsorted(a_sorted, np.arange(n_cells), side="left")
     pos = np.arange(n) - first[a_sorted]
     tile_ids[a_sorted, np.minimum(pos, cap - 1)] = order
-    tiles = vectors[np.clip(tile_ids, 0, n - 1)].astype(np.float32)
-    tiles[tile_ids == INVALID_ID] = 0.0
-    tile_norms = np.sum(tiles * tiles, axis=-1, dtype=np.float32)
-    tile_norms[tile_ids == INVALID_ID] = np.inf
-
-    tile_scales = None
-    if tile_precision == "int8":
-        from diskrag_tpu.ops.flat_scan_pallas import quantize_int8
-
-        tiles_q, scales = quantize_int8(tiles)
-        tiles_j = jnp.asarray(tiles_q)
-        tile_scales = jnp.asarray(scales, jnp.float32)
-    else:
-        tiles_j = jnp.asarray(tiles, jnp.bfloat16)
+    tiles_j, tile_norms, tile_scales = tiles_from_ids(
+        vectors, tile_ids, tile_precision
+    )
 
     return IVFIndex(
         centroids=jnp.asarray(centroids),

@@ -181,12 +181,15 @@ def load_index(
         raise ValueError("meta/num_points mismatch with vectors.npy")
     eps = meta.get("entry_points")
     eps_np = None if eps is None else np.asarray(eps, np.int32)
-    index = VamanaIndex.from_numpy(
-        vectors, adjacency, meta["medoid_idx"],
-        metric=meta.get("distance_metric", "l2"),
-        entry_points=eps_np,
-    )
-    if not to_device:
+    if to_device:
+        index = VamanaIndex.from_numpy(
+            vectors, adjacency, meta["medoid_idx"],
+            metric=meta.get("distance_metric", "l2"),
+            entry_points=eps_np,
+        )
+    else:
+        # host-resident: never commit the big arrays to the device —
+        # this flag exists exactly for datasets larger than HBM
         index = VamanaIndex(
             vectors=vectors, adjacency=adjacency,  # type: ignore[arg-type]
             medoid=jnp.asarray(meta["medoid_idx"], jnp.int32),
@@ -271,7 +274,7 @@ def load_ivf_index(index_dir: str | os.PathLike):
     """Load an IVF index persisted by save_ivf_index."""
     import jax.numpy as jnp
 
-    from diskrag_tpu.index.ivf import IVFIndex, INVALID_ID
+    from diskrag_tpu.index.ivf import IVFIndex, tiles_from_ids
 
     store = IndexStore(index_dir)
     meta = json.loads(store.meta_path.read_text())
@@ -280,21 +283,13 @@ def load_ivf_index(index_dir: str | os.PathLike):
     vectors = np.load(store.vectors_path)
     centroids = np.load(store.dir / "ivf_centroids.npy")
     tile_ids = np.load(store.dir / "ivf_tile_ids.npy")
-    tiles = vectors[np.clip(tile_ids, 0, len(vectors) - 1)].astype(np.float32)
-    tiles[tile_ids == INVALID_ID] = 0.0
-    tile_norms = np.sum(tiles * tiles, axis=-1, dtype=np.float32)
-    tile_norms[tile_ids == INVALID_ID] = np.inf
     # scan tiles are derived, not persisted: the f32 master holds all
-    # information; the build's precision choice is honored via meta
-    tile_scales = None
-    if meta.get("tile_precision", "int8") == "int8":
-        from diskrag_tpu.ops.flat_scan_pallas import quantize_int8
-
-        tiles_q, scales = quantize_int8(tiles)
-        tiles_j = jnp.asarray(tiles_q)
-        tile_scales = jnp.asarray(scales, jnp.float32)
-    else:
-        tiles_j = jnp.asarray(tiles, jnp.bfloat16)
+    # information; the build's precision choice is honored via meta.
+    # Reconstruction (incl. the padding invariants) is shared with
+    # build_ivf through tiles_from_ids.
+    tiles_j, tile_norms, tile_scales = tiles_from_ids(
+        vectors, tile_ids, meta.get("tile_precision", "int8")
+    )
     return (
         IVFIndex(
             centroids=jnp.asarray(centroids),

@@ -244,6 +244,14 @@ class ShardedHostTier:
             raise ValueError(f"unknown sharded host-tier mode: {mode}")
         if pq is None or codes is None:
             raise ValueError("mode='pq' needs pq model + global codes")
+        if Metric(index.metric) != Metric.L2:
+            # ADC tables are L2-only by design: traversal would rank by
+            # the wrong metric (see index/host_tier.py from_store)
+            raise ValueError(
+                f"sharded host-tier pq traversal is L2-only (ADC tables); "
+                f"this index uses metric={index.metric!r} — use bf16 mode, "
+                "or normalize the vectors and build with metric='l2'"
+            )
         gids = np.asarray(index.global_ids)
         shard_codes = np.asarray(codes, np.uint8)[np.clip(gids, 0, None)]
         pad_mask = gids < 0

@@ -161,6 +161,8 @@ def _sharded_search_impl(
     vectors, adjacency, medoids, global_ids, entry_points, queries,
     *, search_width: int, k: int, max_steps: int, metric: str, mesh: Mesh,
 ):
+    n_pad_bound = mesh.shape["shard"] - 1
+
     def local_search(vecs, adj, med, gid, ep, q):
         # block shapes: vecs [1, Ns, D], adj [1, Ns, R], med [1], gid [1, Ns],
         # ep [1, E] (medoid-padded local entry seeds), q [Bd, D]
@@ -178,18 +180,29 @@ def _sharded_search_impl(
 
             return pairwise_distance(q, vecs[seeds], metric)
 
+        # wrap-around pad rows (gid = -1, at most S-1, all in the last
+        # shard) can occupy local result slots. Under the current padding
+        # scheme a pad's source row always lives in another shard and
+        # outranks whatever the pad displaces, so the merge stays correct
+        # — but that's a counting argument on an implementation detail;
+        # over-select k + S - 1 locally, mask, and re-cut to k so the
+        # merged top-k never depends on where pad sources live.
+        kk = min(k + n_pad_bound, ns)
         res = _frontier_search(
             adj, med, expand, q.shape[0],
-            search_width=search_width, k=k, max_steps=max_steps,
+            search_width=max(search_width, kk), k=kk, max_steps=max_steps,
             entry_points=None if ep is None else ep[0],
             seed_expand_fn=seed_expand,
         )
-        local_ids, local_dists = res.ids, res.dists  # [Bd, k]
+        local_ids, local_dists = res.ids, res.dists  # [Bd, kk]
         gids = jnp.where(
             local_ids == INVALID_ID, INVALID_ID,
             gid[jnp.clip(local_ids, 0, ns - 1)],
         )
         dists = jnp.where(gids == INVALID_ID, jnp.inf, local_dists)
+        neg, cut = jax.lax.top_k(-dists, k)
+        dists = -neg
+        gids = jnp.take_along_axis(gids, cut, axis=1)
         # ICI all-gather of per-shard top-k, then merge on every device
         all_gids = jax.lax.all_gather(gids, "shard", axis=1, tiled=True)   # [Bd, S*k]
         all_dists = jax.lax.all_gather(dists, "shard", axis=1, tiled=True)
@@ -263,17 +276,25 @@ def _sharded_flat_impl(
 ):
     from diskrag_tpu.ops.flat import flat_search
 
+    n_pad_bound = mesh.shape["shard"] - 1
+
     def local_scan(vecs, norms, gid, q):
         vecs, norms, gid = vecs[0], norms[0], gid[0]
         ns = vecs.shape[0]
+        # pad rows (gid = -1) can hold local slots: over-select k + S - 1,
+        # mask, re-cut to k (rationale in _sharded_search_impl)
+        kk = min(k + n_pad_bound, ns)
         # single tile when the [Bd, Ns] f32 block fits ~2 GB (3.5x faster
         # than per-tile top-k merging — see ops/flat.py)
         d, li = flat_search(
-            q, vecs, norms, None, k=k, metric=metric,
+            q, vecs, norms, None, k=kk, metric=metric,
             chunk=min(ns, max(32_768, (2**29) // max(q.shape[0], 1))),
         )
         gi = jnp.where(li == -1, -1, gid[jnp.clip(li, 0, vecs.shape[0] - 1)])
         d = jnp.where(gi == -1, jnp.inf, d)
+        neg, cut = jax.lax.top_k(-d, k)
+        d = -neg
+        gi = jnp.take_along_axis(gi, cut, axis=1)
         all_g = jax.lax.all_gather(gi, "shard", axis=1, tiled=True)
         all_d = jax.lax.all_gather(d, "shard", axis=1, tiled=True)
         neg, take = jax.lax.top_k(-all_d, k)

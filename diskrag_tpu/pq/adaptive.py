@@ -79,7 +79,24 @@ def calculate_adaptive_pq_params(
             reasoning="dataset too small; use brute-force search",
         )
 
-    cands = _valid_subvectors(dimension) or [8, 16, 32]
+    cands = _valid_subvectors(dimension)
+    if not cands:
+        # no grid candidate divides the dimension (e.g. D=50): widen to
+        # any divisor with a legal sub_dim rather than returning an m
+        # that would crash ProductQuantizer.fit downstream
+        cands = [
+            m for m in range(2, dimension + 1)
+            if dimension % m == 0 and 2 <= dimension // m <= 64
+        ]
+    if not cands:
+        # prime/awkward dimension: nothing divides it legally
+        return PQRecommendation(
+            n_subvectors=0, n_centroids=0, sub_dimension=0,
+            recommendation="brute_force", compression_ratio=1.0,
+            expected_recall=1.0, expected_spearman=1.0,
+            reasoning=f"no subvector count divides dimension {dimension}; "
+            "use brute-force search",
+        )
 
     if n_points <= 50_000:
         if target_accuracy == "high_accuracy":

@@ -170,24 +170,31 @@ class ProductQuantizer:
             return centers
 
         if opq_iters <= 0:
-            self.codebooks = fit_codebooks(train, key)
+            # same key schedule as iteration 0 of the OPQ loop so
+            # opq_iters=0 and the never-rotated opq_iters=1 coincide
+            self.codebooks = fit_codebooks(train, jax.random.fold_in(key, 0))
             self.rotation = None
             self.is_fitted = True
             return self
 
         rot = jnp.eye(dim, dtype=jnp.float32)
+        rot_updated = False
         for it in range(opq_iters):
-            x = train @ rot
+            x = train if not rot_updated else train @ rot
             self.codebooks = fit_codebooks(x, jax.random.fold_in(key, it))
             self.is_fitted = True
+            if it == opq_iters - 1:
+                break
             x_hat = _decode_impl(
                 self.codebooks, _encode_impl(self.codebooks, x)
             )
-            if it == opq_iters - 1:
-                break
             u, _, vt = jnp.linalg.svd(train.T @ x_hat, full_matrices=False)
             rot = u @ vt
-        self.rotation = rot
+            rot_updated = True
+        # opq_iters=1 never rotates: storing the identity would add a
+        # useless [D, D] matmul to every encode/query and D^2 floats to
+        # the artifact for a model identical to opq_iters=0
+        self.rotation = rot if rot_updated else None
         return self
 
     def _rotate(self, vectors: jax.Array) -> jax.Array:

@@ -57,6 +57,24 @@ def test_ivf_build_and_search(clustered_data, rng):
     assert rec >= 0.9, f"ivf n_probe=8 recall {rec}"
 
 
+def test_ivf_large_k_narrow_probe(clustered_data):
+    """Regression: k above cap*n_probe crashed the final top_k (the
+    candidate buffer was sized min(4k, cap*n_probe) < k)."""
+    pts = clustered_data
+    idx = build_ivf(pts, n_cells=64, seed=0)
+    cap = int(idx.tile_ids.shape[1])
+    k = cap + 10  # forces kk > cap * n_probe at n_probe=1
+    d, ids = idx.search(pts[:4], k=k, n_probe=1)
+    assert ids.shape == (4, k)
+    ids = np.asarray(ids)
+    # one probed cell holds at most cap candidates; the rest must be
+    # -1-padded with +inf distances, never duplicated or garbage
+    for row, drow in zip(ids, np.asarray(d)):
+        real = row[row >= 0]
+        assert len(np.unique(real)) == len(real)
+        assert np.isinf(drow[row < 0]).all()
+
+
 def test_ivf_tile_precision_persisted(clustered_data, tmp_path):
     """A bf16-tile build must stay bf16 across a save/load round trip
     (tile_precision is recorded in meta, not silently re-quantized)."""

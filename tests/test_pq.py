@@ -83,6 +83,16 @@ def test_adaptive_params_behavior():
     # huge dataset -> space saving (min m)
     rec = calculate_adaptive_pq_params(5_000_000, 128, "balanced")
     assert rec.recommendation == "space_saving"
+    # regression: D=50 has no grid candidate (8/16/32 don't divide it);
+    # the recommendation must still divide the dimension, never crash
+    # ProductQuantizer.fit downstream
+    rec = calculate_adaptive_pq_params(10_000, 50, "balanced")
+    assert rec.n_subvectors > 0
+    assert 50 % rec.n_subvectors == 0
+    assert 2 <= rec.sub_dimension <= 64
+    # prime dimension: nothing divides it -> brute force, not a bad m
+    rec = calculate_adaptive_pq_params(10_000, 127, "balanced")
+    assert rec.recommendation == "brute_force"
 
 
 def test_gathered_adc(rng):
@@ -137,6 +147,14 @@ def test_opq_rotation_improves_anisotropic_data():
     plain = ProductQuantizer(n_subvectors=8).fit(pts, seed=0)
     opq = ProductQuantizer(n_subvectors=8).fit(pts, seed=0, opq_iters=6)
     assert opq.rotation is not None
+    # opq_iters=1 trains on unrotated data and never updates the
+    # rotation: the model must be identical to opq_iters=0 (no identity
+    # [D, D] matmul added to every encode/query)
+    one = ProductQuantizer(n_subvectors=8).fit(pts, seed=0, opq_iters=1)
+    assert one.rotation is None
+    np.testing.assert_array_equal(
+        np.asarray(one.encode(pts[:64])), np.asarray(plain.encode(pts[:64]))
+    )
     # rotation is orthogonal
     r = np.asarray(opq.rotation)
     np.testing.assert_allclose(r @ r.T, np.eye(64), atol=1e-4)

@@ -82,6 +82,46 @@ def test_sharded_flat_search(clustered_data):
     assert recall >= 0.95, f"sharded flat recall {recall}"
 
 
+def test_sharded_search_with_padding_exact(clustered_data):
+    """Regression guard: N % n_shards != 0 wrap-pads the last shard with
+    gid=-1 duplicate rows; queries sitting exactly on the duplicated
+    points must still get the exact brute-force top-k (pad rows may
+    occupy local result slots but must never cost a merged candidate)."""
+    from diskrag_tpu.parallel import sharded_flat_search
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    pts = clustered_data[:1995]  # 4 shards -> per=499, pad=1
+    sharded = build_sharded(pts, n_shards=4, degree_bound=16)
+    gids = np.asarray(sharded.global_ids)
+    assert (gids < 0).sum() == 1  # one wrap-pad row in the last shard
+
+    mesh = make_mesh(n_shards=4, n_data=2)
+    placed = shard_to_mesh(sharded, mesh)
+    # query exactly at the duplicated point (and one other real point)
+    dup_gid = gids[-1, -2]  # neighbor of the pad row, some last-shard point
+    wrapped_gid = int(np.asarray(sharded.global_ids)[0, 0])  # pad source
+    queries = pts[[wrapped_gid, int(dup_gid)]]
+
+    spec3 = NamedSharding(mesh, P("shard", None, None))
+    spec2 = NamedSharding(mesh, P("shard", None))
+    vecs = np.asarray(sharded.vectors)
+    norms = (vecs.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+    ids, dists = sharded_flat_search(
+        jax.device_put(jnp.asarray(vecs, jnp.bfloat16), spec3),
+        jax.device_put(jnp.asarray(norms), spec2),
+        jax.device_put(jnp.asarray(gids), spec2),
+        queries, mesh, k=8,
+    )
+    ids = np.asarray(ids)
+    assert (ids >= 0).all(), "pad rows leaked into merged results"
+    _, gt = brute_force_topk(jnp.asarray(queries), jnp.asarray(pts), k=8)
+    gt = np.asarray(gt)
+    # the self-match must be rank 0 and the candidate sets must agree
+    assert ids[0, 0] == wrapped_gid and ids[1, 0] == dup_gid
+    for i in range(len(queries)):
+        assert len(set(ids[i]) & set(gt[i])) >= 7  # bf16 boundary ties
+
+
 def test_sharded_host_tier(clustered_data, tmp_path):
     """Configs 4+5 combined: per-shard bf16 traversal in HBM, one host
     rerank over the all-gathered pools against the f32 record file."""
