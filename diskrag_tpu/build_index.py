@@ -154,6 +154,7 @@ def build_index_from_vectors(
     params_override: dict | None = None,
     build_method: str = "knn",
     opq_iters: int = 0,
+    force_pq: bool | None = None,
     checkpoint_dir=None,
     n_shards: int | None = None,
     flat_precision: str = "int8",
@@ -179,6 +180,11 @@ def build_index_from_vectors(
 
     `checkpoint_dir`: mid-build checkpoint/resume for the long ivf-kNN
     phase of multi-million-point knn builds (graph/checkpoint.py).
+
+    `force_pq`: None = the adaptive tuner decides (reference behavior);
+    True = train PQ even below the tuner's 1000-point gate (if any legal
+    m divides the dimension); False = never train PQ. Backs the
+    config.yaml `index.force_pq` knob.
     """
     import json
 
@@ -280,11 +286,11 @@ def build_index_from_vectors(
         save_sharded_index(sharded, store.dir / "sharded")  # mkdirs store.dir
         # adaptive PQ like the vamana path — enables the sharded host
         # tier's "pq" traversal mode (m bytes/node per shard in HBM)
-        pq_rec = calculate_adaptive_pq_params(
-            n, dim, _pq_target(target_quality)
+        use_shard_pq, pq_rec = _resolve_use_pq(
+            n, dim, _pq_target(target_quality), force_pq
         )
         pq_meta = {}
-        if pq_rec.recommendation != "brute_force":
+        if use_shard_pq:
             from diskrag_tpu.index.persist import save_pq_artifacts
 
             pq = ProductQuantizer(n_subvectors=pq_rec.n_subvectors).fit(
@@ -338,11 +344,12 @@ def build_index_from_vectors(
     r, l, alpha = params["R"], params["L"], params["alpha"]
     logger.info("build params: N=%d R=%d L=%d alpha=%.2f", n, r, l, alpha)
 
-    pq_rec = calculate_adaptive_pq_params(n, dim, _pq_target(target_quality))
+    use_pq, pq_rec = _resolve_use_pq(
+        n, dim, _pq_target(target_quality), force_pq
+    )
     pq = None
     codes = None
     pq_validation = None
-    use_pq = pq_rec.recommendation != "brute_force"
     if use_pq:
         t0 = time.perf_counter()
         pq = ProductQuantizer(n_subvectors=pq_rec.n_subvectors).fit(
@@ -395,6 +402,32 @@ def build_index_from_vectors(
     )
     logger.info("index built in %.1fs -> %s", build_seconds, store.dir)
     return meta
+
+
+def _resolve_use_pq(n: int, dim: int, pq_target: str, force_pq: bool | None):
+    """Resolve the train-PQ decision: the adaptive tuner by default, with
+    the config `index.force_pq` override on top. Returns (use_pq, rec)."""
+    rec = calculate_adaptive_pq_params(n, dim, pq_target)
+    use = rec.recommendation != "brute_force"
+    if force_pq is False:
+        return False, rec
+    if force_pq is True and not use:
+        # the usual blocker is the tuner's <1000-point gate; re-ask at the
+        # smallest size it accepts so a legal m is still chosen. If no m
+        # divides the dimension, PQ stays off (nothing trainable).
+        rec2 = calculate_adaptive_pq_params(max(n, 1000), dim, pq_target)
+        if rec2.recommendation != "brute_force":
+            logger.info(
+                "force_pq: training PQ m=%d despite the adaptive "
+                "brute-force recommendation", rec2.n_subvectors,
+            )
+            return True, rec2
+        logger.warning(
+            "force_pq requested but no subvector count divides "
+            "dimension %d — building without PQ", dim,
+        )
+        return False, rec
+    return use, rec
 
 
 def _pq_target(target_quality: str) -> str:

@@ -149,7 +149,7 @@ class DiskRAG:
 
     # --- index -----------------------------------------------------------
     def build_index(
-        self, collection: str, target_quality: str = "balanced",
+        self, collection: str, target_quality: str | None = None,
         force_rebuild: bool = False, index_type: str | None = None,
         checkpoint_dir: str | None = None, n_shards: int | None = None,
     ) -> dict:
@@ -168,8 +168,11 @@ class DiskRAG:
         meta = build_index_from_vectors(
             vectors,
             self.manager.get_index_dir(collection),
-            target_quality=target_quality,
+            # CLI flag wins; otherwise the config.yaml index: block (the
+            # reference documents that block but ignores it, SURVEY §5.6)
+            target_quality=target_quality or icfg.target_quality,
             metric=icfg.metric,
+            force_pq=icfg.force_pq,
             index_type=index_type or icfg.type,
             force_rebuild=force_rebuild,
             build_method=icfg.build_method,
@@ -360,7 +363,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("index", help="build the index for a collection")
     p.add_argument("collection")
     p.add_argument("--target-quality", choices=["fast", "balanced", "high"],
-                   default="balanced")
+                   default=None,
+                   help="default: config index.target_quality (balanced)")
     p.add_argument("--index-type",
                    choices=["vamana", "flat", "ivf", "sharded", "auto"],
                    default=None, help="default: config index.type (vamana)")

@@ -82,7 +82,10 @@ def split_text(
         out.append(chunk.strip())
         if end >= len(text):
             break
-        start = end - overlap
+        # forward-progress guard: a sentence snap can land end as close
+        # as size//2 past start, so overlap >= size//2 (allowed by user
+        # config) would move start backward and loop forever
+        start = max(end - overlap, start + 1)
     return out
 
 

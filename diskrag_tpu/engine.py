@@ -104,12 +104,14 @@ class SearchEngine:
 
         index_dir = self.manager.get_index_dir(self.collection_name)
         self.index_type = "vamana"
+        self.recommended_l = 0
+        metric_hint = "l2"
         meta_path = index_dir / "meta.json"
         if meta_path.exists():
             try:
-                self.index_type = json.loads(meta_path.read_text()).get(
-                    "index_type", "vamana"
-                )
+                peek = json.loads(meta_path.read_text())
+                self.index_type = peek.get("index_type", "vamana")
+                metric_hint = peek.get("distance_metric", "l2")
             except ValueError:
                 pass
         try:
@@ -143,7 +145,11 @@ class SearchEngine:
                             f"device_count % n_shards == 0"
                         )
                     if not store.compat_path.exists():
-                        raise ValueError(
+                        # configuration error (wrong build flags), not a
+                        # missing-index condition: degrading to brute
+                        # force would np.load the full f32 vector set the
+                        # host tier exists to keep off the device
+                        raise ServingConfigError(
                             f"host_tier serving needs the packed record "
                             f"file {store.compat_path} (build with "
                             f"write_compat)"
@@ -192,9 +198,20 @@ class SearchEngine:
                 from diskrag_tpu.index.host_tier import HostTierIndex
 
                 if self.index_type != "vamana":
-                    raise ValueError(
+                    raise ServingConfigError(
                         f"host_tier serving needs a vamana or sharded "
                         f"index, got {self.index_type}"
+                    )
+                from diskrag_tpu.index.persist import IndexStore
+
+                compat = IndexStore(index_dir).compat_path
+                if not compat.exists():
+                    # config error, not a missing index (see the sharded
+                    # branch above) — never degrade host_tier to a
+                    # full-HBM brute-force load
+                    raise ServingConfigError(
+                        f"host_tier serving needs the packed record file "
+                        f"{compat} (build with write_compat)"
                     )
                 self.host_tier = HostTierIndex.from_store(index_dir)
                 self.meta = json.loads(meta_path.read_text())
@@ -297,7 +314,11 @@ class SearchEngine:
 
             self.brute_force_mode = True
             vecs = np.load(self.manager.get_vectors_path(self.collection_name))
-            self._bf_flat = FlatIndex(vecs)
+            # keep the collection's metric: an L2-default fallback on a
+            # cosine collection would rank by the wrong distance (and the
+            # sqrt-at-API-edge logic below keys on self.meta's metric)
+            self._bf_flat = FlatIndex(vecs, metric=metric_hint)
+            self.meta = {"distance_metric": metric_hint}
             return
         self.use_pq = self.pq is not None
         if self.use_pq:
@@ -395,7 +416,12 @@ class SearchEngine:
             q = q[None, :]
         b = q.shape[0]
         if l_search is None:
-            l_search = max(2 * k, 20)  # reference default (search_engine.py:539)
+            # reference default is max(2k, 20) (search_engine.py:539) even
+            # though its build computes recommended_search_L and logs
+            # "L_search >= <it>" (build_index.py:357) without ever applying
+            # it; we honor the tuned value as the default floor (documented
+            # deviation — an explicit l_search overrides it either way)
+            l_search = max(2 * k, 20, getattr(self, "recommended_l", 0))
         l_search = max(l_search, k)
 
         if self.brute_force_mode:
@@ -459,7 +485,11 @@ class SearchEngine:
             nodes_visited = n_probe * cap * b
             n_exact = nodes_visited
             n_pq = 0
-        elif use_pq_search and self.use_pq:
+        elif use_pq_search and self.use_pq and self.index.metric == "l2":
+            # ADC tables rank by squared L2 only — on a cosine/dot index
+            # PQ-guided traversal would converge to the wrong region, so
+            # those metrics fall through to exact traversal below (same
+            # guard as HostTierIndex.from_store / ShardedHostTier)
             tables = self.pq.compute_distance_tables(q)
             res = beam_search_pq(
                 self.codes_j, tables, self.index.adjacency, self.index.medoid,

@@ -200,9 +200,18 @@ def _sharded_search_impl(
             gid[jnp.clip(local_ids, 0, ns - 1)],
         )
         dists = jnp.where(gids == INVALID_ID, jnp.inf, local_dists)
-        neg, cut = jax.lax.top_k(-dists, k)
+        # kk < k is possible on tiny shards (ns < k): cut what exists and
+        # pad the list back to k with invalid slots so every shard
+        # contributes a fixed [Bd, k] block to the all-gather
+        neg, cut = jax.lax.top_k(-dists, min(k, kk))
         dists = -neg
         gids = jnp.take_along_axis(gids, cut, axis=1)
+        if kk < k:
+            pad = k - kk
+            gids = jnp.pad(gids, ((0, 0), (0, pad)),
+                           constant_values=INVALID_ID)
+            dists = jnp.pad(dists, ((0, 0), (0, pad)),
+                            constant_values=jnp.inf)
         # ICI all-gather of per-shard top-k, then merge on every device
         all_gids = jax.lax.all_gather(gids, "shard", axis=1, tiled=True)   # [Bd, S*k]
         all_dists = jax.lax.all_gather(dists, "shard", axis=1, tiled=True)
@@ -292,9 +301,15 @@ def _sharded_flat_impl(
         )
         gi = jnp.where(li == -1, -1, gid[jnp.clip(li, 0, vecs.shape[0] - 1)])
         d = jnp.where(gi == -1, jnp.inf, d)
-        neg, cut = jax.lax.top_k(-d, k)
+        # tiny shards (ns < k): cut min(k, kk) then pad back to k so the
+        # all-gather block shape stays [Bd, k] (same as the graph path)
+        neg, cut = jax.lax.top_k(-d, min(k, kk))
         d = -neg
         gi = jnp.take_along_axis(gi, cut, axis=1)
+        if kk < k:
+            pad = k - kk
+            gi = jnp.pad(gi, ((0, 0), (0, pad)), constant_values=-1)
+            d = jnp.pad(d, ((0, 0), (0, pad)), constant_values=jnp.inf)
         all_g = jax.lax.all_gather(gi, "shard", axis=1, tiled=True)
         all_d = jax.lax.all_gather(d, "shard", axis=1, tiled=True)
         neg, take = jax.lax.top_k(-all_d, k)

@@ -66,13 +66,26 @@ def device_trace(log_dir: str = "/tmp/diskrag_tpu_trace"):
 
 
 def block_and_time(fn, *args, repeats: int = 3, **kwargs) -> tuple[float, object]:
-    """Compile-warm then time a jitted callable; returns (seconds, result)."""
+    """Compile-warm then time a jitted callable; returns (seconds, result).
+
+    Drains by materializing one leaf of the *newest* result (one
+    np.asarray fetch after all dispatches): programs complete in dispatch
+    order, so that is a full barrier. `jax.block_until_ready` is NOT used
+    for the timed region — on the axon-tunneled TPU it can return before
+    execution finishes (see diskrag_tpu.benchmark._measure, which this
+    mirrors; use that for dispatch-count auto-scaling)."""
     import jax
+    import numpy as np
+
+    def _drain(res) -> None:
+        leaves = [x for x in jax.tree.leaves(res) if hasattr(x, "dtype")]
+        if leaves:
+            np.asarray(leaves[0])
 
     out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    _drain(out)
     t0 = time.perf_counter()
     for _ in range(repeats):
         out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
+    _drain(out)
     return (time.perf_counter() - t0) / repeats, out

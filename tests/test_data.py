@@ -166,3 +166,18 @@ def test_embedding_cache(tmp_path):
     embs2, _ = gen.generate_embeddings(["a", "b"])
     assert gen.cache_hits == 2
     np.testing.assert_array_equal(embs, embs2)
+
+
+def test_split_text_terminates_with_large_overlap():
+    """Regression: overlap >= the sentence-snapped window length used to
+    move `start` backward and loop forever (chunker.split_text guard)."""
+    from diskrag_tpu.data.chunker import split_text
+
+    # sentence boundaries land just past the midpoint of each window
+    text = ("x" * 160 + ". ") * 40
+    chunks = split_text(text, size=300, overlap=160)
+    assert chunks  # terminated
+    joined = "".join(c.replace(" ", "") for c in chunks)
+    assert set(joined) <= {"x", "."}
+    # every character of the source is covered by some chunk
+    assert sum(len(c) for c in chunks) >= len(text.strip()) - len(chunks) * 160

@@ -243,13 +243,16 @@ def test_engine_sharded_host_tier(tmp_path, clustered_data):
     shutil.rmtree(mgr.get_index_dir("c"))
     shutil.move(str(mgr.get_index_dir("c").parent / "index2"),
                 str(mgr.get_index_dir("c")))
-    # missing record file -> graceful degradation to brute force (the
-    # engine's established missing-artifact semantics, reference
-    # search_engine.py:49-72)
-    eng2 = SearchEngine(
-        "c", base_dir=tmp_path / "coll_sht", serving_mode="host_tier"
-    )
-    assert eng2.brute_force_mode
+    # missing record file under host_tier is a *configuration* error
+    # (wrong build flags), not a missing-index condition: degrading to
+    # brute force would np.load the full f32 set the tier exists to
+    # keep off the device
+    from diskrag_tpu.engine import ServingConfigError
+
+    with pytest.raises(ServingConfigError):
+        SearchEngine(
+            "c", base_dir=tmp_path / "coll_sht", serving_mode="host_tier"
+        )
 
 
 def test_engine_sharded_device_mismatch_raises(tmp_path, clustered_data):
@@ -316,3 +319,107 @@ def test_engine_sharded_flat_serving(tmp_path, clustered_data):
             "c", base_dir=tmp_path / "coll_sf2",
             serving_mode="sharded_flat",
         )
+
+
+def test_engine_pq_guard_non_l2(tmp_path):
+    """ADC tables rank by squared L2 only: a cosine index with PQ
+    artifacts must be served by exact traversal, not PQ-guided
+    (regression for the missing in-HBM metric guard)."""
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(1500, 128)).astype(np.float32)
+    mgr = CollectionManager(tmp_path / "collections")
+    mgr.create_collection("cos", dimension=128)
+    mgr.update_collection(
+        "cos", vecs, [f"t{i}" for i in range(1500)],
+        [{"i": i} for i in range(1500)],
+    )
+    meta = build_index_from_vectors(
+        vecs, mgr.get_index_dir("cos"), metric="cosine",
+        params_override={"R": 8, "L": 16, "alpha": 1.2},
+    )
+    assert meta["use_pq"]  # PQ artifacts exist…
+    eng = SearchEngine("cos", base_dir=tmp_path / "collections")
+    out = eng.search("q", k=3, embedding_fn=lambda t: vecs[99])
+    assert out["stats"]["search_type"] == "exact"  # …but are not used
+    assert out["results"][0]["metadata"]["i"] == 99
+
+
+def test_engine_host_tier_missing_compat_is_config_error(tmp_path):
+    """host_tier without the packed record file must surface a
+    ServingConfigError, not silently degrade to a full-HBM brute-force
+    FlatIndex (the exact footprint the tier exists to avoid)."""
+    from diskrag_tpu.engine import ServingConfigError
+
+    rng = np.random.default_rng(6)
+    vecs = rng.normal(size=(1200, 128)).astype(np.float32)
+    mgr = CollectionManager(tmp_path / "collections")
+    mgr.create_collection("noc", dimension=128)
+    mgr.update_collection(
+        "noc", vecs, [f"t{i}" for i in range(1200)],
+        [{"i": i} for i in range(1200)],
+    )
+    build_index_from_vectors(
+        vecs, mgr.get_index_dir("noc"),
+        params_override={"R": 8, "L": 16, "alpha": 1.2},
+        write_compat=False,
+    )
+    with pytest.raises(ServingConfigError):
+        SearchEngine(
+            "noc", base_dir=tmp_path / "collections",
+            serving_mode="host_tier",
+        )
+    # non-vamana index under host_tier is a config error too
+    mgr2 = CollectionManager(tmp_path / "flatc")
+    mgr2.create_collection("f", dimension=128)
+    mgr2.update_collection(
+        "f", vecs, [f"t{i}" for i in range(1200)],
+        [{"i": i} for i in range(1200)],
+    )
+    build_index_from_vectors(vecs, mgr2.get_index_dir("f"), index_type="flat")
+    with pytest.raises(ServingConfigError):
+        SearchEngine("f", base_dir=tmp_path / "flatc", serving_mode="host_tier")
+
+
+def test_engine_brute_force_keeps_metric(tmp_path):
+    """Brute-force degradation on a cosine collection must rank by cosine
+    and not sqrt the distances (regression: fallback hardcoded L2)."""
+    import json
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 128)).astype(np.float32)
+    # two vectors: same direction/different norm vs tiny L2 distance
+    vecs[1] = vecs[0] * 5.0            # cosine distance 0 to vecs[0]
+    vecs[2] = vecs[0] + 0.01           # smaller L2, larger angle
+    mgr = CollectionManager(tmp_path / "collections")
+    mgr.create_collection("cosf", dimension=128)
+    mgr.update_collection(
+        "cosf", vecs, [f"t{i}" for i in range(50)],
+        [{"i": i} for i in range(50)],
+    )
+    # meta.json carries the metric but the index artifacts are missing
+    idx_dir = mgr.get_index_dir("cosf")
+    idx_dir.mkdir(parents=True, exist_ok=True)
+    (idx_dir / "meta.json").write_text(
+        json.dumps({"index_type": "vamana", "distance_metric": "cosine"})
+    )
+    eng = SearchEngine("cosf", base_dir=tmp_path / "collections")
+    assert eng.brute_force_mode
+    out = eng.search("q", k=2, embedding_fn=lambda t: vecs[0] * 2.0)
+    got = [r["metadata"]["i"] for r in out["results"]]
+    assert got[0] in (0, 1) and got[1] in (0, 1)  # colinear pair first
+    assert out["results"][0]["distance"] < 1e-5
+
+
+def test_engine_default_l_uses_recommended(faq_collection):
+    """Default l_search honors meta's recommended_search_L as a floor
+    (deviation from the reference, which computes but never applies it,
+    build_index.py:357 vs search_engine.py:539)."""
+    eng = SearchEngine("faq", base_dir=faq_collection / "collections")
+    assert eng.recommended_l > 0
+    out = eng.search("如何使用功能1?", k=2, embedding_fn=_embed(faq_collection))
+    assert out["stats"]["L_search"] == max(4, 20, eng.recommended_l)
+    # explicit l_search still wins
+    out = eng.search(
+        "如何使用功能1?", k=2, embedding_fn=_embed(faq_collection), l_search=24
+    )
+    assert out["stats"]["L_search"] == 24

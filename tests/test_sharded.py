@@ -294,3 +294,39 @@ def test_sharded_save_load_without_entry_points(clustered_data, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(loaded.adjacency), np.asarray(sharded.adjacency)
     )
+
+
+def test_sharded_large_k_tiny_shards(clustered_data):
+    """Regression: k larger than a shard's point count (kk clamps to ns)
+    must pad local lists back to k, not crash top_k — both the graph
+    and the flat sharded paths."""
+    from diskrag_tpu.parallel import sharded_flat_search
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    pts = clustered_data[:100]  # 8 shards -> 13 points/shard < k=16
+    k = 16
+    sharded = build_sharded(pts, n_shards=8, degree_bound=8)
+    mesh = make_mesh(n_shards=8, n_data=1)
+    placed = shard_to_mesh(sharded, mesh)
+    queries = pts[:5]
+    ids, dists = sharded_search(placed, queries, mesh, search_width=32, k=k)
+    ids, dists = np.asarray(ids), np.asarray(dists)
+    assert ids.shape == (5, k) and (ids[:, 0] == np.arange(5)).all()
+    assert (np.diff(dists, axis=1) >= -1e-6).all()
+
+    gids = np.asarray(sharded.global_ids)
+    vecs = np.asarray(sharded.vectors)
+    norms = (vecs.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+    spec3 = NamedSharding(mesh, P("shard", None, None))
+    spec2 = NamedSharding(mesh, P("shard", None))
+    fids, fdists = sharded_flat_search(
+        jax.device_put(jnp.asarray(vecs, jnp.bfloat16), spec3),
+        jax.device_put(jnp.asarray(norms), spec2),
+        jax.device_put(jnp.asarray(gids), spec2),
+        queries, mesh, k=k,
+    )
+    fids = np.asarray(fids)
+    assert fids.shape == (5, k) and (fids[:, 0] == np.arange(5)).all()
+    # exhaustive scan with k=16 over 100 real points: all ids valid+unique
+    for row in fids:
+        assert len(set(row[row >= 0])) == (row >= 0).sum()

@@ -106,3 +106,39 @@ def test_performance_test_search_engine(tmp_path, clustered_data):
     assert report["sequential_qps"] > 0
     assert report["concurrent_qps"] > 0
     assert report["batched_qps"] > 0
+
+
+def test_config_index_block_honored(tmp_path):
+    """config.yaml index: {target_quality, force_pq} drive the build when
+    the CLI flag is absent (the reference documents the block but ignores
+    it, SURVEY §5.6 — regression for the dead-config finding)."""
+    import numpy as np
+    import yaml
+
+    from diskrag_tpu.cli import DiskRAG
+    from diskrag_tpu.data import CollectionManager
+
+    cfg = {
+        "collection": "c",
+        "embedding": {"provider": "mock", "model": "mock", "dimension": 128},
+        "index": {"target_quality": "high", "force_pq": False,
+                  "R": 8, "L": 16},
+    }
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    mgr = CollectionManager(tmp_path / "collections")
+    mgr.create_collection("c", dimension=128)
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(1500, 128)).astype(np.float32)
+    mgr.update_collection(
+        "c", vecs, [f"t{i}" for i in range(1500)],
+        [{"i": i} for i in range(1500)],
+    )
+    rag = DiskRAG(str(cfg_path), base_dir=str(tmp_path / "collections"))
+    meta = rag.build_index("c")  # no CLI flag -> config wins
+    assert meta["target_quality"] == "high"
+    assert meta["use_pq"] is False  # force_pq: false suppressed PQ
+    # explicit argument still overrides the config block
+    meta2 = rag.build_index("c", target_quality="fast", force_rebuild=True)
+    assert meta2["target_quality"] == "fast"
