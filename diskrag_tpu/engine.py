@@ -595,6 +595,59 @@ class SearchEngine:
             "stats": stats,
         }
 
+    def search_with_debug(
+        self,
+        query: str,
+        k: int = 5,
+        embedding_fn: Optional[Callable[[str], np.ndarray]] = None,
+        l_search: Optional[int] = None,
+        use_pq_search: bool = True,
+        debug_mode: bool = False,
+    ) -> dict[str, Any]:
+        """Debug-instrumented search (reference search_engine.py:616-659):
+        with debug_mode, re-runs the startup diagnostic, searches the same
+        query both exactly and PQ-guided, and reports both result lists
+        plus their overlap; without it, delegates to `search`. Deviation:
+        the reference's step-by-step single-node trace is replaced by the
+        batched stats dict (there is no per-node Python loop to trace)."""
+        if embedding_fn is None:
+            raise ValueError("embedding_fn is required to embed the query")
+        if not debug_mode:
+            return self.search(
+                query, k=k, embedding_fn=embedding_fn, l_search=l_search,
+                use_pq_search=use_pq_search,
+            )
+        diagnostic = None
+        if not self.brute_force_mode and self.index is not None:
+            try:
+                diagnostic = self._run_diagnostic_check()
+            except Exception as e:  # noqa: BLE001 — diagnostic is non-fatal
+                logger.error("diagnostic check failed: %s", e)
+        qv = np.asarray(embedding_fn(query), np.float32)
+        _, exact_ids, exact_stats = self.search_batch(
+            qv, k=k, l_search=l_search, use_pq_search=False
+        )
+        out: dict[str, Any] = {
+            "exact_results": exact_ids[0].tolist(),
+            "exact_stats": exact_stats,
+            "pq_results": [],
+            "diagnostic": diagnostic,
+            "diagnostic_passed": bool(diagnostic and diagnostic.get("passed")),
+        }
+        if use_pq_search and self.use_pq:
+            try:
+                _, pq_ids, pq_stats = self.search_batch(
+                    qv, k=k, l_search=l_search, use_pq_search=True
+                )
+                out["pq_results"] = pq_ids[0].tolist()
+                out["pq_stats"] = pq_stats
+                out["exact_pq_overlap"] = len(
+                    set(out["exact_results"]) & set(out["pq_results"])
+                ) / max(k, 1)
+            except Exception as e:  # noqa: BLE001 — mirror the reference's
+                logger.error("PQ search failed: %s", e)  # soft-fail (:647)
+        return out
+
     def faq_search(
         self,
         query: str,

@@ -423,3 +423,23 @@ def test_engine_default_l_uses_recommended(faq_collection):
         "如何使用功能1?", k=2, embedding_fn=_embed(faq_collection), l_search=24
     )
     assert out["stats"]["L_search"] == 24
+
+
+def test_engine_search_with_debug(faq_collection):
+    """Parity: search_with_debug (reference search_engine.py:616-659) —
+    debug mode reports exact vs PQ result lists + diagnostics; non-debug
+    delegates to search()."""
+    eng = SearchEngine("faq", base_dir=faq_collection / "collections")
+    out = eng.search_with_debug(
+        "如何使用功能2?", k=3, embedding_fn=_embed(faq_collection),
+        debug_mode=True,
+    )
+    assert len(out["exact_results"]) == 3
+    if eng.use_pq:
+        assert len(out["pq_results"]) == 3
+        assert 0.0 <= out["exact_pq_overlap"] <= 1.0
+    assert out["diagnostic"] is not None
+    out2 = eng.search_with_debug(
+        "如何使用功能2?", k=3, embedding_fn=_embed(faq_collection)
+    )
+    assert "results" in out2  # plain search payload
