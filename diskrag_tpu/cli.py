@@ -466,4 +466,11 @@ def main(argv: Optional[list[str]] = None) -> int:
 
 
 if __name__ == "__main__":
+    # die quietly when the reader closes the pipe (e.g. `... | head`)
+    try:
+        import signal
+
+        signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+    except (ImportError, AttributeError, ValueError):
+        pass  # no SIGPIPE on this platform
     sys.exit(main())

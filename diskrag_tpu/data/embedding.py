@@ -15,6 +15,7 @@ Providers:
 
 from __future__ import annotations
 
+import dataclasses
 import hashlib
 import logging
 import os
@@ -39,6 +40,15 @@ def mock_embedding(text: str, dimension: int = DEFAULT_MOCK_DIMENSION) -> np.nda
     rng = np.random.default_rng(seed)
     v = rng.standard_normal(dimension).astype(np.float32)
     return v / (np.linalg.norm(v) + 1e-12)
+
+
+@dataclasses.dataclass
+class EmbeddingResult:
+    """Single-embedding result record (reference embedding.py:33-37)."""
+
+    vector: np.ndarray
+    text: str
+    metadata: Optional[dict] = None
 
 
 class EmbeddingGenerator:

@@ -151,3 +151,27 @@ def validate_recommendation(
     if rec.expected_recall < 0.1:
         return False, f"expected recall too low: {rec.expected_recall:.1%}"
     return True, "ok"
+
+
+def get_recommendation_summary(rec: PQRecommendation) -> str:
+    """Human-readable recommendation summary (reference
+    adaptive_pq.py:186-200 format, without the emoji markers)."""
+    if rec.recommendation == "brute_force":
+        return f"recommendation: {rec.reasoning}"
+    return (
+        f"PQ parameters: {rec.n_subvectors}x{rec.n_centroids}\n"
+        f"sub-dimension: {rec.sub_dimension}\n"
+        f"expected top-10 recall: {rec.expected_recall:.1%}\n"
+        f"expected rank correlation: {rec.expected_spearman:.1%}\n"
+        f"compression: {rec.compression_ratio:.1f}x\n"
+        f"strategy: {rec.reasoning}"
+    )
+
+
+def get_pq_recommendation_summary(
+    n_points: int, dimension: int, target_accuracy: str = "balanced"
+) -> str:
+    """One-call summary (reference adaptive_pq.py:254-259)."""
+    return get_recommendation_summary(
+        calculate_adaptive_pq_params(n_points, dimension, target_accuracy)
+    )
