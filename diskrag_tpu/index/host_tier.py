@@ -121,9 +121,9 @@ class HostTierIndex:
     ) -> "HostTierIndex":
         """Open from a persisted index directory containing the packed
         record file (index.dat). mode None = "pq" when PQ artifacts
-        exist, else "bf16". bf16 mode streams the record file's vectors
-        to HBM chunk-wise as bfloat16 (half the f32 footprint; the f32
-        master stays host-side for rerank)."""
+        exist, else "bf16". bf16 mode streams vectors.npy to HBM
+        chunk-wise as bfloat16 (half the f32 footprint; the f32 master
+        stays host-side, read through the record file for rerank)."""
         from diskrag_tpu.index.persist import IndexStore
         import json
 
@@ -170,6 +170,17 @@ class HostTierIndex:
             # full f32 footprint this tier exists to avoid.)
             import ml_dtypes
 
+            if not store.vectors_path.exists():
+                # bf16 mode reads the f32 master from vectors.npy (the
+                # record file holds the same vectors but interleaved with
+                # neighbor ids — a strided copy of the whole set); fail
+                # with the actual requirement instead of a bare np.load
+                # error deep below
+                raise FileNotFoundError(
+                    f"host-tier bf16 mode needs {store.vectors_path} "
+                    "alongside the record file (standard save_index "
+                    "output); pq mode serves record-file-only layouts"
+                )
             vecs = np.load(store.vectors_path, mmap_mode="r")
             host_bf16 = np.empty(vecs.shape, dtype=ml_dtypes.bfloat16)
             step = 262_144
@@ -236,27 +247,45 @@ class HostTierIndex:
         import time
 
         t0 = time.perf_counter()
-        q = jnp.asarray(queries, jnp.float32)
-        if q.ndim == 1:
-            q = q[None, :]
+        # normalize on the host FIRST: the host copy feeds the rerank, so
+        # np.asarray of an uploaded device array would be a pure ~30-40 ms
+        # RPC round-trip on this tunnel (CLAUDE.md)
+        q_np = np.asarray(queries, np.float32)
+        if q_np.ndim == 1:
+            q_np = q_np[None, :]
+        q = jnp.asarray(q_np)
         pool_dev, n_exp = self._dispatch_traversal(
             q, search_width=search_width, expand_width=expand_width
         )
+        if rerank_pool is not None and pool_dev.shape[1] > rerank_pool:
+            # truncate device-side: the pool fetch below is link-bound
+            pool_dev = pool_dev[:, :rerank_pool]
         # ids only cross the link; the np.asarray fetch is also the
-        # traversal completion barrier (in-order execution)
-        pool = np.asarray(pool_dev)  # [B, P]
+        # traversal completion barrier (in-order execution). The
+        # n_expanded scalar rides along as one extra column so the call
+        # pays exactly ONE ~30-40 ms RPC, not two.
+        carrier = jnp.concatenate(
+            [
+                pool_dev,
+                jnp.broadcast_to(
+                    n_exp.astype(pool_dev.dtype)[None, None],
+                    (pool_dev.shape[0], 1),
+                ),
+            ],
+            axis=1,
+        )
+        buf = np.asarray(carrier)  # [B, P+1]
+        pool, n_exp_host = buf[:, :-1], int(buf[0, -1])
         t1 = time.perf_counter()
-        if rerank_pool is not None and pool.shape[1] > rerank_pool:
-            pool = pool[:, :rerank_pool]
         dists, ids, n_uniq = exact_rerank_pool(
-            np.asarray(q), pool, self.reader, metric=self.metric, k=k,
+            q_np, pool, self.reader, metric=self.metric, k=k,
             n_threads=n_threads,
         )
         t2 = time.perf_counter()
         stats = {
             "search_type": "host_tier",
             "mode": self.mode,
-            "nodes_visited": int(n_exp),
+            "nodes_visited": n_exp_host,
             "host_vectors_fetched": n_uniq,
             "cache": self.reader.cache_stats(),
             "stage_ms": {
@@ -329,6 +358,13 @@ class HostTierIndex:
                     q_dev, search_width=search_width,
                     expand_width=expand_width,
                 )
+                if (
+                    rerank_pool is not None
+                    and pool_dev.shape[1] > rerank_pool
+                ):
+                    # truncate device-side: the per-chunk fetch is
+                    # link-bound, so ship only the reranked prefix
+                    pool_dev = pool_dev[:, :rerank_pool]
                 n_exp_parts.append(n_exp)
                 nxt = (s, pool_dev)
             else:
@@ -338,8 +374,6 @@ class HostTierIndex:
                 tw = time.perf_counter()
                 pool = np.asarray(pool_dev_prev)  # blocks on chunk c-1 only
                 t_wait += time.perf_counter() - tw
-                if rerank_pool is not None and pool.shape[1] > rerank_pool:
-                    pool = pool[:, :rerank_pool]
                 tr = time.perf_counter()
                 dists, ids, n_uniq = exact_rerank_pool(
                     q_np[s_prev : s_prev + chunk], pool, self.reader,

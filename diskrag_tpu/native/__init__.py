@@ -174,7 +174,9 @@ class RecordReader:
         return vecs, nbrs
 
     def cache_stats(self) -> dict:
-        if self._lib is None:
+        # the C functions do not null-check the handle: calling after
+        # close() would dereference nullptr and kill the process
+        if self._lib is None or not self._handle:
             return {"hits": 0, "misses": 0, "native": False}
         return {
             "hits": int(self._lib.drag_cache_hits(self._handle)),

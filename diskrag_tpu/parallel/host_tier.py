@@ -258,8 +258,12 @@ class ShardedHostTier:
         if pad_mask.any():
             # padding rows are wrap-around duplicates of real points;
             # encode their actual vectors so traversal through them ranks
-            # correctly (their -1 gid still masks them out of the pool)
-            pad_vecs = np.asarray(index.vectors)[pad_mask]
+            # correctly (their -1 gid still masks them out of the pool).
+            # Gather ONLY the <=S-1 pad rows device-side before fetching —
+            # np.asarray(index.vectors) would pull the full [S, Ns, D]
+            # f32 set over the link to read a handful of rows.
+            ps, pr = np.nonzero(pad_mask)
+            pad_vecs = np.asarray(index.vectors[ps, pr])
             shard_codes[pad_mask] = np.asarray(pq.encode(pad_vecs))
         return cls(
             vectors_bf16=None,
@@ -300,9 +304,13 @@ class ShardedHostTier:
         n_threads: int = 8,
     ) -> tuple[np.ndarray, np.ndarray, dict]:
         """Returns (dists [B, k] squared, ids [B, k] global, stats)."""
-        q = jnp.asarray(queries, jnp.float32)
-        if q.ndim == 1:
-            q = q[None, :]
+        # host copy first: it feeds the host rerank, and np.asarray of
+        # the uploaded device array later would be a silent ~30-40 ms
+        # round-trip over the tunnel (CLAUDE.md)
+        q_np = np.asarray(queries, np.float32)
+        if q_np.ndim == 1:
+            q_np = q_np[None, :]
+        q = jnp.asarray(q_np)
         if max_steps is None:
             max_steps = max(search_width, 16)
         b = q.shape[0]
@@ -317,9 +325,8 @@ class ShardedHostTier:
                 expand_width=expand_width,
             )
         )[:b]
-        q = q[:b]
         dists, ids, n_uniq = exact_rerank_pool(
-            np.asarray(q), pool, self.reader, metric=self.metric, k=k,
+            q_np, pool, self.reader, metric=self.metric, k=k,
             n_threads=n_threads,
         )
         stats = {

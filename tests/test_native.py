@@ -58,3 +58,26 @@ def test_native_reader_matches_numpy(record_file):
     stats = nat.cache_stats()
     assert stats["native"] and stats["misses"] > 0 and stats["hits"] > 0
     nat.close()
+
+
+def test_cache_stats_after_close(tmp_path):
+    """Regression: cache_stats() after close() must not pass a NULL
+    handle into the C library (segfault) — it reports zeros instead."""
+    import numpy as np
+
+    from diskrag_tpu.index.persist import write_compat_records
+    from diskrag_tpu.native import RecordReader
+
+    n, d, r = 32, 8, 4
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    nbrs = rng.integers(0, n, size=(n, r)).astype(np.int32)
+    path = tmp_path / "rec.dat"
+    write_compat_records(path, vecs, nbrs)
+    rd = RecordReader(path, n, d, r)
+    rd.get_vectors(np.arange(4))
+    assert rd.cache_stats()["misses"] >= 0
+    rd.close()
+    stats = rd.cache_stats()  # must not segfault
+    assert stats == {"hits": 0, "misses": 0, "native": False}
+    rd.close()  # idempotent
