@@ -130,30 +130,36 @@ def consolidate(
     # out-edges (one hop through the tombstone), then remapped + deduped
     kept_adj = adj_full[keep]  # [n_new, R] old ids
     r = kept_adj.shape[1]
-    safe = np.clip(kept_adj, 0, n - 1)
-    edge_deleted = (kept_adj >= 0) & deleted[safe]
-    # candidates: original neighbors + one-hop-through for deleted ones
-    hop = adj_full[safe]  # [n_new, R, R] old ids via possibly-deleted nbr
-    cand = np.concatenate(
-        [
-            np.where(edge_deleted, -1, kept_adj)[:, :, None],
-            np.where(edge_deleted[:, :, None], hop, -1),
-        ],
-        axis=2,
-    ).reshape(n_new, -1)
-    # remap to new ids, dropping deleted/invalid
-    cand_safe = np.clip(cand, 0, n - 1)
-    cand_new = np.where(
-        (cand >= 0) & ~deleted[cand_safe], old_to_new[cand_safe], -1
-    ).astype(np.int32)
-    # dedup per row keeping column order, cap at R — vectorized over row
-    # chunks: id-sorted stable argsort marks repeat occurrences, then a
-    # second stable argsort on validity compacts survivors to the front
+    # Everything below is built PER ROW-CHUNK: the hop tensor is
+    # [rows, R, R] and the candidate matrix [rows, R*(R+1)] — at 1M x
+    # R=48 materializing them for all rows at once costs tens of GB of
+    # host RAM for a 192 MB adjacency. The chunk loop bounds the whole
+    # working set, not just the argsort temporaries.
     new_adj = np.full((n_new, r), -1, np.int32)
-    c = cand_new.shape[1]
+    c = r * (r + 1)
     chunk_rows = max(1, (1 << 24) // max(c, 1))
     for lo in range(0, n_new, chunk_rows):
-        rows = cand_new[lo : lo + chunk_rows]
+        ka = kept_adj[lo : lo + chunk_rows]  # [m, R] old ids
+        safe = np.clip(ka, 0, n - 1)
+        edge_deleted = (ka >= 0) & deleted[safe]
+        # candidates: original neighbors + one-hop-through for deleted
+        # ones (the deleted neighbor's own out-edges)
+        hop = adj_full[safe]  # [m, R, R]
+        cand = np.concatenate(
+            [
+                np.where(edge_deleted, -1, ka)[:, :, None],
+                np.where(edge_deleted[:, :, None], hop, -1),
+            ],
+            axis=2,
+        ).reshape(ka.shape[0], -1)
+        # remap to new ids, dropping deleted/invalid
+        cand_safe = np.clip(cand, 0, n - 1)
+        rows = np.where(
+            (cand >= 0) & ~deleted[cand_safe], old_to_new[cand_safe], -1
+        ).astype(np.int32)
+        # dedup per row keeping column order, cap at R: id-sorted stable
+        # argsort marks repeat occurrences, then a second stable argsort
+        # on validity compacts survivors to the front
         m = rows.shape[0]
         self_col = np.arange(lo, lo + m, dtype=rows.dtype)[:, None]
         valid = (rows >= 0) & (rows != self_col)

@@ -249,23 +249,29 @@ def _frontier_search(
         nbr_dists = expand_fn(jnp.clip(nbrs, 0, n - 1))
         nbr_dists = jnp.where(valid, nbr_dists, INF)
 
-        # two-stage merge: first cut the E*R fresh candidates down to the
-        # L' best BEFORE any dedup compares — at most L' can enter the
-        # list anyway, and this shrinks every subsequent compare/sort from
-        # E*R wide to L' wide.
+        # mask beam-resident duplicates BEFORE the width cut: expanded
+        # nodes share neighborhoods, so many of the E*R neighbors are
+        # already on the candidate list — each one kept past the cut
+        # would waste an insertion slot and silently drop a genuinely
+        # new candidate ranked just below it. (The [B, E*R, L] compare
+        # is cheap; the visited-log compare is deferred past the cut
+        # because the log is much wider.)
+        on_beam = jnp.any(nbrs[:, :, None] == cand_ids[:, None, :], axis=2)
+        nbr_dists = jnp.where(on_beam, INF, nbr_dists)
+
+        # two-stage merge: cut the E*R fresh candidates down to the L'
+        # best — at most L' can enter the list — which shrinks the
+        # remaining dedup compares/sort from E*R wide to L' wide.
         l_new = min(search_width, e * r)
         neg_new, new_take = jax.lax.top_k(-nbr_dists, l_new)
         sel_new_dists = -neg_new
         sel_new_ids = jnp.take_along_axis(nbrs, new_take, axis=1)
 
-        # dedup the selected few against: the visited log, the live
-        # candidate list, and themselves (duplicate neighbor from two
-        # parents in the same round)
+        # dedup the selected few against: the visited log (ids that were
+        # on the beam once and got displaced) and themselves (duplicate
+        # neighbor from two parents in the same round)
         in_vis = jnp.any(
             sel_new_ids[:, :, None] == visited_ids[:, None, :], axis=2
-        )
-        in_cand = jnp.any(
-            sel_new_ids[:, :, None] == cand_ids[:, None, :], axis=2
         )
         eq = sel_new_ids[:, :, None] == sel_new_ids[:, None, :]
         lower = (
@@ -273,7 +279,7 @@ def _frontier_search(
             > jax.lax.broadcasted_iota(jnp.int32, (l_new, l_new), 1)
         )
         dup = jnp.any(eq & lower, axis=2)
-        drop = in_vis | in_cand | dup | jnp.isinf(sel_new_dists)
+        drop = in_vis | dup | jnp.isinf(sel_new_dists)
         sel_new_dists = jnp.where(drop, INF, sel_new_dists)
         sel_new_ids = jnp.where(drop, INVALID_ID, sel_new_ids)
 

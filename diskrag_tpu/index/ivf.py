@@ -102,21 +102,10 @@ def _ivf_search_impl(
         probe_step, init, jnp.arange(n_probe)
     )
 
-    # f32 rerank
-    cand = vectors_f32[jnp.clip(best_i, 0, n - 1)]
-    if m == Metric.L2:
-        diff = cand - queries[:, None, :]
-        exact = jnp.sum(diff * diff, -1)
-    elif m == Metric.COSINE:
-        qh = queries / (jnp.linalg.norm(queries, axis=-1, keepdims=True) + 1e-12)
-        ch = cand / (jnp.linalg.norm(cand, axis=-1, keepdims=True) + 1e-12)
-        exact = 1.0 - jnp.einsum("bd,bkd->bk", qh, ch)
-    else:
-        exact = -jnp.einsum("bd,bkd->bk", queries, cand)
-    exact = jnp.where(best_i == INVALID_ID, jnp.inf, exact)
-    neg, take = jax.lax.top_k(-exact, k)
-    ids = jnp.take_along_axis(best_i, take, axis=1)
-    return -neg, ids
+    # f32 rerank (shared helper)
+    from diskrag_tpu.ops.distance import rerank_exact_topk
+
+    return rerank_exact_topk(queries, vectors_f32, best_i, k, m)
 
 
 @dataclasses.dataclass

@@ -113,3 +113,38 @@ def brute_force_topk(
     d = pairwise_distance(queries, points, metric)
     neg, idx = jax.lax.top_k(-d, k)
     return -neg, idx
+
+
+def rerank_exact_topk(
+    queries: jax.Array,
+    vectors_f32: jax.Array,
+    cand_ids: jax.Array,
+    k: int,
+    metric: str | Metric = Metric.L2,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact f32 rerank of gathered candidates — THE shared tail of every
+    approximate scan (fused flat scan, XLA tiled scan, IVF probes).
+
+    Gathers `vectors_f32[cand_ids]` ([B, kk, D]), computes the exact
+    metric distance (L2 squared via the difference form — no
+    cancellation; cosine as 1 - cos on normalized copies; dot negated),
+    masks invalid ids (-1) to +inf, and returns the ascending top-k
+    (dists [B, k], ids [B, k]).
+    """
+    m = Metric(metric)
+    n = vectors_f32.shape[0]
+    cand = vectors_f32[jnp.clip(cand_ids, 0, n - 1)]  # [B, kk, D]
+    if m == Metric.L2:
+        diff = cand - queries[:, None, :]
+        exact = jnp.sum(diff * diff, axis=-1)
+    elif m == Metric.COSINE:
+        qh = queries / (
+            jnp.linalg.norm(queries, axis=-1, keepdims=True) + 1e-12
+        )
+        ch = cand / (jnp.linalg.norm(cand, axis=-1, keepdims=True) + 1e-12)
+        exact = 1.0 - jnp.einsum("bd,bkd->bk", qh, ch)
+    else:
+        exact = -jnp.einsum("bd,bkd->bk", queries, cand)
+    exact = jnp.where(cand_ids == -1, jnp.inf, exact)
+    neg, take = jax.lax.top_k(-exact, k)
+    return -neg, jnp.take_along_axis(cand_ids, take, axis=1)

@@ -119,22 +119,10 @@ def flat_search(
     if vectors_f32 is None:
         return best_d[:, :k], best_i[:, :k]
 
-    # f32 rerank of the kk candidates
-    cand = vectors_f32[jnp.clip(best_i, 0, n - 1)]  # [B, kk, D]
-    if m == Metric.L2:
-        diff = cand - queries[:, None, :]
-        exact = jnp.sum(diff * diff, axis=-1)
-    elif m == Metric.COSINE:
-        qh = queries / (
-            jnp.linalg.norm(queries, axis=-1, keepdims=True) + 1e-12
-        )
-        ch = cand / (jnp.linalg.norm(cand, axis=-1, keepdims=True) + 1e-12)
-        exact = 1.0 - jnp.einsum("bd,bkd->bk", qh, ch)
-    else:
-        exact = -jnp.einsum("bd,bkd->bk", queries, cand)
-    exact = jnp.where(best_i == -1, jnp.inf, exact)
-    neg, take = jax.lax.top_k(-exact, k)
-    return -neg, jnp.take_along_axis(best_i, take, axis=1)
+    # f32 rerank of the kk candidates (shared helper)
+    from diskrag_tpu.ops.distance import rerank_exact_topk
+
+    return rerank_exact_topk(queries, vectors_f32, best_i, k, m)
 
 
 class FlatIndex:
@@ -175,10 +163,22 @@ class FlatIndex:
         ):
             fused_precision = "int8"  # packed fold is l2/cosine-only
         if use_fused and fused_precision == "int8_packed":
-            from diskrag_tpu.ops.flat_scan_pallas import _PACKED_MAX_DIM
+            from diskrag_tpu.ops.flat_scan_pallas import (
+                _PACKED_MAX_DIM,
+                _packed_layout,
+            )
 
             if self.vectors.shape[-1] > _PACKED_MAX_DIM:
                 # packed int32 range proof caps D (see _scan_kernel_packed)
+                fused_precision = "int8"
+            elif _packed_layout(
+                self.vectors.shape[0], self.vectors.shape[1],
+                1024, 1024, 2048,
+            )[2] == 0:
+                # the 256-segment budget forces NB (and the db tile) up
+                # with N; past ~16M rows the widened tiles exceed the
+                # scoped-VMEM limit at any query block — serve per-row
+                # int8 instead of failing at compile time
                 fused_precision = "int8"
         if use_fused:
             if self.metric == Metric.COSINE.value:

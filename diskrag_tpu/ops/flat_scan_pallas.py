@@ -262,16 +262,53 @@ _PACK = 256  # segment-id bits per packed int32 (max 256 segments)
 _PACKED_MAX_DIM = 192
 
 
+def _fit_query_block(
+    query_block: int, db_tile: int, n_buckets: int, d: int,
+    *, state_bytes: int, itemsize: int, norm_rows: int = 1,
+    batch: int | None = None,
+) -> int:
+    """Largest query block (multiple of 8, >= 0) whose VMEM working set
+    fits the 16 MB scoped limit. Model (validated against the real
+    compiler's scoped-vmem accounting at the k=200 geometry, 2026-08):
+
+      inputs : 2 * ([T, D] codes + norm_rows x [T] f32) — double-buffered,
+               QB-independent: when NB (and T with it) is auto-widened,
+               narrowing QB cannot compensate past a point
+      score  : [QB, T] f32 tile
+      state  : [QB, NB] * state_bytes output block — double-buffered
+               ONLY when the padded batch spans >1 query block (the
+               revolving output buffer); the tuned single-block serving
+               configs (B=1000 <= QB=1024) pay it once
+
+    Returns 0 when no QB >= 8 fits — the caller must fall back rather
+    than ship a kernel that dies in the remote compiler with an opaque
+    HTTP 500."""
+    in_tile_bytes = 2 * (db_tile * d * itemsize + norm_rows * db_tile * 4)
+    budget = (15 << 20) - in_tile_bytes
+    if budget <= 0:
+        return 0
+    qb1 = budget // (db_tile * 4 + n_buckets * state_bytes) // 8 * 8
+    qb1 = min(query_block, qb1)
+    if qb1 >= 8 and batch is not None and batch <= qb1:
+        return qb1  # single query block: output state single-buffered
+    qb2 = budget // (db_tile * 4 + 2 * n_buckets * state_bytes) // 8 * 8
+    qb2 = min(query_block, qb2)
+    return 0 if qb2 < 8 else qb2
+
+
 def _packed_layout(
-    n: int, n_buckets: int, query_block: int, db_tile: int
+    n: int, d: int, n_buckets: int, query_block: int, db_tile: int,
+    batch: int | None = None,
 ) -> tuple[int, int, int, int]:
     """Static geometry for the packed scan: (nb, db_tile, query_block,
     pad_n). Widens NB until global segment ids fit the PACK budget, then
     re-clamps the query block so the [QB, T] i32 score tile + [QB, NB]
-    i32 state stay inside the 12 MB working-set budget — the widen loop
-    can grow both well past what the caller sized for (at N=1M a
-    512-bucket request widens to NB=4096/T=4096, where the caller's
-    QB=1024 would need 32 MB and fail the 16 MB scoped-VMEM limit)."""
+    i32 state + double-buffered input tiles stay inside the scoped-VMEM
+    budget — the widen loop can grow both well past what the caller
+    sized for (at N=1M a 512-bucket request widens to NB=4096/T=4096,
+    where the caller's QB=1024 would need 32 MB and fail the 16 MB
+    limit). query_block 0 signals "does not fit at any QB" — callers
+    must route to a non-packed path."""
     nb = n_buckets
     while nb > 128 and nb > n:
         nb //= 2  # degenerate tiny databases
@@ -281,8 +318,10 @@ def _packed_layout(
         nb *= 2
         db_tile = max(nb, (db_tile // nb) * nb)
         pad_n = (-n) % db_tile
-    fit = (12 << 20) // (db_tile * 4 + nb * 4) // 8 * 8
-    query_block = max(8, min(query_block, fit))
+    query_block = _fit_query_block(
+        query_block, db_tile, nb, d, state_bytes=4, itemsize=1,
+        batch=batch,
+    )
     return nb, db_tile, query_block, pad_n
 
 
@@ -323,8 +362,14 @@ def scan_bucketed_topk_packed(
             f"got D={d} — use the per-row int8 scan instead"
         )
     nb, db_tile, query_block, pad_n = _packed_layout(
-        n, n_buckets, query_block, db_tile
+        n, d, n_buckets, query_block, db_tile, batch=b
     )
+    if query_block == 0:
+        raise ValueError(
+            f"packed scan geometry (N={n}, NB={nb}, T={db_tile}) exceeds "
+            "the scoped-VMEM budget at any query block — use the "
+            "per-row int8/bf16 scan for databases this large"
+        )
     query_block = min(query_block, max(128, -(-b // 128) * 128))
 
     pad_q = (-b) % query_block
@@ -333,8 +378,12 @@ def scan_bucketed_topk_packed(
     # integer norm table, rebuilt per batch (q_scale is per-batch):
     # n_int = round(n / (S*QS)) clipped into the packing range proof,
     # with each column's segment id folded in (see _scan_kernel_packed)
-    nc = jnp.round(db_norms / (db_scale * q_scale)).astype(jnp.int32)
-    nc = jnp.clip(nc, 0, 1 << 21)
+    # clip in FLOAT first: f32->s32 of values past 2^31 is
+    # implementation-defined (can wrap to INT_MIN, which a post-cast
+    # clip would map to 0 — inflating a far point's score by ~2^29)
+    nc = jnp.clip(
+        jnp.round(db_norms / (db_scale * q_scale)), 0, 1 << 21
+    ).astype(jnp.int32)
     nc = jnp.pad(nc, (0, pad_n), constant_values=1 << 21)
     seg_of_col = jnp.arange(n + pad_n, dtype=jnp.int32) // nb
     nc = (seg_of_col - nc * _PACK)[None, :]
@@ -475,12 +524,26 @@ def flat_search_fused(
         rerank_width, k
     )
     db_tile = max(db_tile, n_buckets)  # scan_bucketed_topk needs T % NB == 0
-    # 12 MB working-set budget (of the 16 MB scoped-VMEM limit, leaving
-    # room for double-buffered input tiles): QB*(T*4 + NB*8) bytes —
-    # the packed fold's single int32 state halves the NB term
+    # VMEM working-set fit: QB*(T*4 score + NB*state) PLUS the
+    # QB-independent double-buffered input tiles — large-k widens NB
+    # (and T with it), and past the point where the input tiles alone
+    # blow the budget no query block compiles, so fall back to the
+    # exact XLA scan instead of dying in the remote compiler.
+    # (The packed fold's single int32 state halves the NB term; its
+    # per-batch norm row is int32, the per-row int8 path carries
+    # norms + scales.)
     state_b = 4 if packed else 8
-    fit = (12 << 20) // (db_tile * 4 + n_buckets * state_b) // 8 * 8
-    query_block = max(8, min(query_block, fit))
+    norm_rows = 1 if packed else (2 if int8 else 1)
+    fit = _fit_query_block(
+        query_block, db_tile, n_buckets, d,
+        state_bytes=state_b, itemsize=(1 if int8 else 2),
+        norm_rows=norm_rows, batch=b,
+    )
+    if fit == 0:
+        from diskrag_tpu.ops.distance import brute_force_topk
+
+        return brute_force_topk(queries, vectors_f32, k, metric)
+    query_block = max(8, fit)
     if packed:
         # cosine rides the packed L2 kernel: on a normalized database
         # copy (norms_sq must be the scan copy's norms, ~1) with
@@ -611,21 +674,9 @@ def _rerank(queries, vectors_f32, scores, ids, k, kk, m, interpret=False):
         _, take = jax.lax.approx_max_k(scores, kk)  # hardware-bucketed
         ids = jnp.take_along_axis(ids, take, axis=1)
 
-    # exact f32 rerank of the surviving candidates
-    cand = vectors_f32[jnp.clip(ids, 0, n - 1)]  # [B, kk, D]
-    if m == Metric.L2:
-        qn2 = jnp.sum(jnp.square(queries), -1, keepdims=True)
-        cn2 = jnp.sum(jnp.square(cand), -1)
-        cross = jnp.einsum(
-            "bd,bkd->bk", queries, cand, precision=jax.lax.Precision.HIGHEST
-        )
-        exact = qn2 + cn2 - 2.0 * cross
-    elif m == Metric.COSINE:
-        qh = queries / (jnp.linalg.norm(queries, axis=-1, keepdims=True) + 1e-12)
-        ch = cand / (jnp.linalg.norm(cand, axis=-1, keepdims=True) + 1e-12)
-        exact = 1.0 - jnp.einsum("bd,bkd->bk", qh, ch)
-    else:
-        exact = -jnp.einsum("bd,bkd->bk", queries, cand)
-    exact = jnp.where(ids == -1, jnp.inf, exact)
-    neg, take = jax.lax.top_k(-exact, k)
-    return -neg, jnp.take_along_axis(ids, take, axis=1)
+    # exact f32 rerank of the surviving candidates (shared helper; uses
+    # the difference-form L2 — no cancellation, so at least as accurate
+    # as the norms-minus-2cross form this previously used)
+    from diskrag_tpu.ops.distance import rerank_exact_topk
+
+    return rerank_exact_topk(queries, vectors_f32, ids, k, m)

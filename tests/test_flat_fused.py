@@ -236,11 +236,24 @@ def test_packed_scan_widen_loop():
         scan_bucketed_topk_packed,
     )
 
-    for n, req_nb in ((1_000_000, 512), (10_000_000, 1024), (262_145, 512)):
-        nb, t, qb, pad = _packed_layout(n, req_nb, 1024, 2048)
+    d = 128
+    for n, req_nb in ((1_000_000, 512), (4_000_000, 1024), (262_145, 512)):
+        nb, t, qb, pad = _packed_layout(n, d, req_nb, 1024, 2048)
         assert (n + pad) <= _PACK * nb
-        assert qb * (t * 4 + nb * 4) <= (12 << 20), (n, nb, t, qb)
+        # working set = QB*(score tile + state) + double-buffered input
+        # tiles (int8 codes + i32 norm row) — all inside the 16 MB limit
+        assert qb * (t * 4 + nb * 4) + 2 * (t * d + t * 4) <= (15 << 20), (
+            n, nb, t, qb,
+        )
         assert qb >= 8 and qb % 8 == 0 and t % nb == 0
+    # past ~8M rows the 256-segment budget forces tiles whose
+    # double-buffered inputs alone blow the VMEM limit: the layout must
+    # say so (qb == 0) instead of shipping an uncompilable kernel, and
+    # FlatIndex must downgrade the precision request to per-row int8
+    nb, t, qb, pad = _packed_layout(10_000_000, d, 1024, 1024, 2048)
+    assert qb == 0
+    nb, t, qb, pad = _packed_layout(40_000_000, d, 1024, 1024, 2048)
+    assert qb == 0
 
     # end-to-end at a CPU-tractable widened size: 40k rows with a
     # 128-bucket request exceed the 32768-id pack budget -> NB = 256
@@ -396,3 +409,66 @@ def test_topk_lanes_pallas_exact():
         got, want = lanes[r], order[r]
         assert (np.sort(s[r][got]) == np.sort(s[r][want])).all(), r
     assert 7 in lanes[5][:24]
+
+
+def test_fit_query_block_large_k_geometry():
+    """Regression (large-k VMEM sizing): the fit formula must count the
+    QB-independent double-buffered input tiles. At the k=200 geometry
+    (NB widened to 16384, db_tile forced to match) the old formula
+    returned QB=64 whose total working set blew the 16 MB scoped-VMEM
+    limit; the corrected one must keep everything inside it."""
+    from diskrag_tpu.ops.flat_scan_pallas import _fit_query_block
+
+    d = 128
+    for nb in (8192, 16384):
+        t = nb
+        for itemsize, state_b, norm_rows in ((1, 8, 2), (2, 8, 1)):
+            qb = _fit_query_block(
+                1024, t, nb, d,
+                state_bytes=state_b, itemsize=itemsize, norm_rows=norm_rows,
+                batch=1000,
+            )
+            assert qb >= 8 and qb % 8 == 0
+            # multi-block model: inputs + score tile + DOUBLE-buffered
+            # output state (what the real compiler charges when the
+            # batch spans several query blocks)
+            total = (
+                qb * t * 4
+                + 2 * qb * nb * state_b
+                + 2 * (t * d * itemsize + norm_rows * t * 4)
+            )
+            assert total <= (16 << 20), (nb, itemsize, qb, total)
+    # an impossible geometry must return 0, not a tiny-but-doomed block
+    assert _fit_query_block(
+        1024, 262144, 262144, d, state_bytes=4, itemsize=1
+    ) == 0
+
+
+def test_fused_search_large_k_matches_bruteforce():
+    """flat_search_fused with a large k (widened NB) stays correct in
+    interpret mode and agrees with the exact scan."""
+    import jax.numpy as jnp
+
+    from diskrag_tpu.ops.distance import brute_force_topk
+    from diskrag_tpu.ops.flat_scan_pallas import (
+        flat_search_fused,
+        quantize_int8,
+    )
+
+    rng = np.random.default_rng(7)
+    pts = rng.normal(size=(4096, 32)).astype(np.float32)
+    q = rng.normal(size=(5, 32)).astype(np.float32)
+    v = jnp.asarray(pts)
+    codes, scales = quantize_int8(v)
+    k = 48  # NB widens past the caller's request (50*47 > 1024)
+    d_f, i_f = flat_search_fused(
+        jnp.asarray(q), codes, jnp.sum(jnp.square(v), -1), v,
+        k=k, metric="l2", n_buckets=1024, interpret=True,
+        db_scales=scales,
+    )
+    d_bf, i_bf = brute_force_topk(jnp.asarray(q), v, k, "l2")
+    overlap = np.mean([
+        len(set(np.asarray(i_f)[r]) & set(np.asarray(i_bf)[r])) / k
+        for r in range(5)
+    ])
+    assert overlap >= 0.9, overlap
