@@ -72,9 +72,11 @@ def main() -> None:
     t0 = time.perf_counter()
     index = build_vamana_knn(pts, degree_bound=48, alpha=1.2, seed=0)
     build_seconds = time.perf_counter() - t0
+    # post-frontier-dedup-fix operating points: each L explores strictly
+    # more, so the efficient configs are narrower beams + wider expansion
     points += sweep_exact(
-        index, queries, gt, k=k, widths=(24, 32, 48),
-        expand_widths=(8,),
+        index, queries, gt, k=k, widths=(16, 24, 32),
+        expand_widths=(8, 12),
     )
     pq = ProductQuantizer(n_subvectors=32).fit(pts, seed=0)
     codes = np.asarray(pq.encode(pts))
