@@ -16,6 +16,8 @@ The /ask LLM call normalizes refusals exactly like the reference
 
 from __future__ import annotations
 
+import asyncio
+
 import json
 import logging
 import os
@@ -179,9 +181,16 @@ def create_app(state: Optional[AppState] = None):
         except (ValidationError, ValueError) as e:
             return _json_error(422, str(e))
         try:
-            engine = state.get_engine(req.collection)
-            fn = engine.faq_search if req.use_faq_search else engine.search
-            out = fn(req.query, k=req.top_k, embedding_fn=state.embed)
+            # blocking work (engine bring-up, OpenAI embed, device RPCs)
+            # runs in a worker thread: the reference ran sync endpoints
+            # in FastAPI's threadpool (app.py:84), and one slow upstream
+            # call must not stall the event loop for every other request
+            def work():
+                engine = state.get_engine(req.collection)
+                fn = engine.faq_search if req.use_faq_search else engine.search
+                return fn(req.query, k=req.top_k, embedding_fn=state.embed)
+
+            out = await asyncio.to_thread(work)
             return web.json_response(out)
         except Exception as e:  # noqa: BLE001
             logger.exception("search failed")
@@ -195,10 +204,13 @@ def create_app(state: Optional[AppState] = None):
         except (ValidationError, ValueError) as e:
             return _json_error(422, str(e))
         try:
-            engine = state.get_engine(req.collection)
-            out = engine.search_many(
-                req.queries, k=req.top_k, embedding_fn=state.embed
-            )
+            def work():
+                engine = state.get_engine(req.collection)
+                return engine.search_many(
+                    req.queries, k=req.top_k, embedding_fn=state.embed
+                )
+
+            out = await asyncio.to_thread(work)
             return web.json_response(out)
         except Exception as e:  # noqa: BLE001
             logger.exception("search_batch failed")
@@ -210,8 +222,13 @@ def create_app(state: Optional[AppState] = None):
         except (ValidationError, ValueError) as e:
             return _json_error(422, str(e))
         try:
-            engine = state.get_engine(req.collection)
-            out = engine.faq_search(req.query, k=req.top_k, embedding_fn=state.embed)
+            def work():
+                engine = state.get_engine(req.collection)
+                return engine.faq_search(
+                    req.query, k=req.top_k, embedding_fn=state.embed
+                )
+
+            out = await asyncio.to_thread(work)
             return web.json_response(out)
         except Exception as e:  # noqa: BLE001
             logger.exception("faq_search failed")
@@ -313,14 +330,18 @@ def create_app(state: Optional[AppState] = None):
             return _json_error(422, str(e))
         t_total = time.perf_counter()
         try:
-            engine = state.get_engine(req.collection)
+            engine = await asyncio.to_thread(
+                state.get_engine, req.collection
+            )
             t_emb = time.perf_counter()
-            embedding = state.embed(req.question)
+            embedding = await asyncio.to_thread(state.embed, req.question)
             embedding_time = time.perf_counter() - t_emb
             t_search = time.perf_counter()
-            results = engine.search(
-                req.question, k=req.top_k,
-                embedding_fn=lambda _t: embedding,
+            results = await asyncio.to_thread(
+                lambda: engine.search(
+                    req.question, k=req.top_k,
+                    embedding_fn=lambda _t: embedding,
+                )
             )
             diskann_time = time.perf_counter() - t_search
             search_time = time.perf_counter() - t_total
@@ -342,7 +363,8 @@ def create_app(state: Optional[AppState] = None):
             context = _build_context(results["results"])
             t_llm = time.perf_counter()
             try:
-                answer = state.chat(
+                answer = await asyncio.to_thread(
+                    state.chat,
                     _ASK_SYSTEM,
                     _ASK_PROMPT.format(context=context, question=req.question),
                 )
@@ -399,9 +421,17 @@ def main(
 
         with open(config, encoding="utf-8") as f:
             data = yaml.safe_load(f) or {}
-        state = AppState(
-            embedding_config=EmbeddingConfig(**data.get("embedding", {}))
-        )
+        emb = data.get("embedding")
+        if emb is None and not os.environ.get("OPENAI_API_KEY"):
+            # a serving-only config with no embedding: block must fall
+            # back to the mock provider exactly like the no-config path
+            # (EmbeddingConfig defaults to openai, whose constructor
+            # requires the key) — AppState applies that fallback itself
+            state = AppState()
+        else:
+            state = AppState(
+                embedding_config=EmbeddingConfig(**(emb or {}))
+            )
     web.run_app(create_app(state), host=host, port=port)
 
 

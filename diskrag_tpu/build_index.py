@@ -191,10 +191,24 @@ def build_index_from_vectors(
     store = IndexStore(index_dir)
     if not force_rebuild:
         if store.exists():
-            logger.info(
-                "index already exists at %s (use force_rebuild)", store.dir
-            )
-            return json.loads(store.meta_path.read_text())
+            prev = json.loads(store.meta_path.read_text())
+            prev_type = prev.get("index_type", "vamana")
+            if index_type not in ("auto", prev_type):
+                # an explicit request for a different type must be
+                # surfaced at WARNING (the CLI's default level), not
+                # silently satisfied by whatever is on disk
+                logger.warning(
+                    "existing index at %s is type=%s but type=%s was "
+                    "requested — keeping the existing one (use "
+                    "force_rebuild to convert)",
+                    store.dir, prev_type, index_type,
+                )
+            else:
+                logger.info(
+                    "index already exists at %s (use force_rebuild)",
+                    store.dir,
+                )
+            return prev
         if store.meta_path.exists():
             prev = json.loads(store.meta_path.read_text())
             if (

@@ -57,8 +57,9 @@ class DiskRAG:
         file_path: str,
         collection: Optional[str] = None,
         generate_questions: bool = False,
-    ) -> None:
-        """Dispatch by file type (reference diskrag.py:75-101)."""
+    ) -> str:
+        """Dispatch by file type (reference diskrag.py:75-101). Returns
+        the resolved collection name (CLI arg > config > file stem)."""
         path = pathlib.Path(file_path)
         name = collection or self.config.collection or path.stem
         suffix = path.suffix.lower()
@@ -68,6 +69,7 @@ class DiskRAG:
             self._process_markdown(path, name)
         else:
             raise ValueError(f"unsupported file type: {suffix}")
+        return name
 
     def _process_csv(self, path: pathlib.Path, name: str, questions: bool) -> None:
         import dataclasses
@@ -297,12 +299,27 @@ class DiskRAG:
             report["status"] = "ok"
             return report
 
-        index, pq, codes, meta = load_index(index_dir)
-        if pq is None or codes is None or len(codes) != len(vectors):
-            pq, codes, _validation = attach_pq(vectors)
+        # keep vectors host-side: doctor never searches, and committing
+        # them to the device would force a minutes-long device->host
+        # fetch in save_index below (persist.py docstring)
+        index, pq, codes, meta = load_index(index_dir, to_device=False)
+        n_index = int(np.asarray(index.vectors).shape[0])
+        if len(vectors) != n_index:
+            # the collection grew since the build: PQ must be trained on
+            # the INDEX's own N rows, or the repaired pq_codes length
+            # would mismatch the graph and make the index unloadable
+            report["actions"].append(
+                f"collection has {len(vectors)} vectors but the index "
+                f"was built on {n_index} — repair covers the indexed "
+                f"rows; run `index --force-rebuild` to pick up the rest"
+            )
+        pq_src = np.asarray(index.vectors)
+        if pq is None or codes is None or len(codes) != n_index:
+            pq, codes, _validation = attach_pq(pq_src)
             if pq is not None:
                 save_index(
-                    index_dir, index, pq=pq, pq_codes=codes, meta_extra={
+                    index_dir, index, pq=pq, pq_codes=codes,
+                    host_vectors=pq_src, meta_extra={
                         k: v for k, v in meta.items()
                         if k not in ("use_pq", "n_subvectors", "pq_centroids")
                     },
@@ -418,8 +435,9 @@ def main(argv: Optional[list[str]] = None) -> int:
     rag = DiskRAG(args.config, base_dir=args.base_dir)
 
     if args.command == "process":
-        rag.process(args.file, args.collection, args.questions)
-        name = args.collection or pathlib.Path(args.file).stem
+        # print the RESOLVED name: process() may have stored the data
+        # under config.yaml's collection, not the file stem
+        name = rag.process(args.file, args.collection, args.questions)
         print(f"done — now run: diskrag-tpu index {name}")
     elif args.command == "index":
         meta = rag.build_index(

@@ -41,6 +41,47 @@ class ServingConfigError(RuntimeError):
     error must surface to the operator instead."""
 
 
+_PACK_FN = None
+
+
+def _fetch_packed(dists, ids, n_expanded):
+    """Fetch (dists, ids, total_expanded) from the device in ONE host
+    transfer: ids (int32), the f32 dists bitcast to int32, and the
+    summed expansion counter ride a single [B, 2k+1] int32 array. Every
+    host fetch on the tunneled TPU costs a fixed ~30-40 ms RPC
+    (CLAUDE.md), so three separate np.asarray calls would triple the
+    per-request latency floor."""
+    global _PACK_FN
+    if _PACK_FN is None:
+        import jax
+
+        @jax.jit
+        def pack(dists, ids, n_expanded):
+            b = ids.shape[0]
+            total = jnp.sum(n_expanded).astype(jnp.int32)
+            return jnp.concatenate(
+                [
+                    ids.astype(jnp.int32),
+                    jax.lax.bitcast_convert_type(
+                        dists.astype(jnp.float32), jnp.int32
+                    ),
+                    jnp.broadcast_to(total[None, None], (b, 1)),
+                ],
+                axis=1,
+            )
+
+        _PACK_FN = pack
+
+    k = ids.shape[1]
+    buf = np.asarray(_PACK_FN(dists, ids, n_expanded))
+    ids_np = buf[:, :k]
+    dists_np = (
+        np.ascontiguousarray(buf[:, k : 2 * k]).view(np.float32)
+        .astype(np.float64)
+    )
+    return dists_np, ids_np, int(buf[0, -1])
+
+
 class SearchEngine:
     """Per-collection search engine."""
 
@@ -304,6 +345,15 @@ class SearchEngine:
                 return
             self.index, self.pq, self.codes, self.meta = load_index(index_dir)
         except (FileNotFoundError, ValueError) as e:
+            if self.serving_mode != "auto":
+                # explicit host_tier/sharded_flat requests must never
+                # degrade to a full-HBM brute-force load (that is the
+                # exact footprint those modes exist to avoid) — surface
+                # every missing/corrupt-artifact error as a config error
+                raise ServingConfigError(
+                    f"{self.serving_mode} serving could not load its "
+                    f"artifacts: {e}"
+                ) from e
             # graceful degradation to brute force over raw vectors
             # (reference search_engine.py:49-72) — served by the MXU flat
             # scan rather than an unchunked distance matrix
@@ -498,9 +548,10 @@ class SearchEngine:
                 metric=self.index.metric,
                 entry_points=self.index.entry_points,
             )
-            dists, ids = res.dists, res.ids
+            dists, ids, nodes_visited = _fetch_packed(
+                res.dists, res.ids, res.n_expanded
+            )
             search_type = "pq_accelerated"
-            nodes_visited = int(np.sum(np.asarray(res.n_expanded)))
             n_pq = nodes_visited * self.index.degree_bound
             n_exact = b * (l_search + res.visited_ids.shape[1])
         else:
@@ -509,14 +560,22 @@ class SearchEngine:
                 q, search_width=l_search, k=k, metric=self.index.metric,
                 entry_points=self.index.entry_points,
             )
-            dists, ids = res.dists, res.ids
+            dists, ids, nodes_visited = _fetch_packed(
+                res.dists, res.ids, res.n_expanded
+            )
             search_type = "exact"
-            nodes_visited = int(np.sum(np.asarray(res.n_expanded)))
             n_exact = nodes_visited * self.index.degree_bound
             n_pq = 0
 
-        ids = np.asarray(ids)
-        dists = np.asarray(dists, np.float64)
+        if not isinstance(ids, np.ndarray):
+            # device results from the flat/ivf/sharded branches: one
+            # packed fetch instead of two (fixed ~30-40 ms RPC each)
+            dists, ids, _ = _fetch_packed(
+                dists, ids, jnp.zeros((), jnp.int32)
+            )
+        else:
+            ids = np.asarray(ids)
+            dists = np.asarray(dists, np.float64)
         metric = self.meta.get("distance_metric", "l2") if self.meta else "l2"
         if metric == "l2":
             dists = np.sqrt(np.maximum(dists, 0.0))  # reference returns sqrt

@@ -30,6 +30,36 @@ def verify_index(index_dir: str | pathlib.Path) -> dict:
     if not store.meta_path.exists():
         return report
     meta = json.loads(store.meta_path.read_text())
+    index_type = meta.get("index_type", "vamana")
+    report["index_type"] = index_type
+    if index_type != "vamana":
+        # flat/ivf/sharded metas carry no R and keep their arrays in
+        # their own artifact sets — run the structural checks that apply
+        # instead of crashing on the vamana schema
+        check("num_points", meta.get("num_points", 0) > 0)
+        check("dimension", meta.get("dimension", 0) > 0)
+        if index_type == "flat":
+            ok = store.vectors_path.exists()
+            check("vectors_exists", ok)
+            if ok:
+                v = np.load(store.vectors_path, mmap_mode="r")
+                check(
+                    "vectors_shape",
+                    v.shape == (meta["num_points"], meta["dimension"]),
+                    f"{v.shape}",
+                )
+        elif index_type == "ivf":
+            # tiles are re-derived from vectors.npy at load time; the
+            # persisted set is centroids + tile ids + the f32 master
+            for name in ("ivf_centroids", "ivf_tile_ids", "vectors"):
+                check(f"{name}_exists", (store.dir / f"{name}.npy").exists())
+        elif index_type == "sharded":
+            sdir = store.dir / "sharded"
+            check("sharded_dir_exists", sdir.is_dir())
+            if sdir.is_dir():
+                for name in ("vectors", "adjacency", "medoids", "global_ids"):
+                    check(f"{name}_exists", (sdir / f"{name}.npy").exists())
+        return report
     n, dim, r = meta["num_points"], meta["dimension"], meta["R"]
 
     check("vectors_exists", store.vectors_path.exists())
@@ -103,9 +133,13 @@ def verify_index(index_dir: str | pathlib.Path) -> dict:
 
         index, _, _, _ = load_index(store.dir)
         probe = np.random.default_rng(1).choice(n, size=min(8, n), replace=False)
+        # match the serving configuration: the index's own metric and
+        # entry points (kNN-built graphs rely on seeds for navigation —
+        # medoid-only probing can falsely fail a healthy index)
         res = beam_search(
             index.vectors, index.adjacency, index.medoid,
             index.vectors[jnp.asarray(probe)], search_width=32, k=1,
+            metric=index.metric, entry_points=index.entry_points,
         )
         found = np.asarray(res.ids)[:, 0]
         check(

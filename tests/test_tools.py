@@ -142,3 +142,78 @@ def test_config_index_block_honored(tmp_path):
     # explicit argument still overrides the config block
     meta2 = rag.build_index("c", target_quality="fast", force_rebuild=True)
     assert meta2["target_quality"] == "fast"
+
+
+def test_verify_index_non_vamana_types(tmp_path):
+    """verify_index must produce a structured report for flat/ivf index
+    dirs (their metas have no R key) instead of crashing."""
+    import numpy as np
+
+    from diskrag_tpu.build_index import build_index_from_vectors
+    from diskrag_tpu.tools.verify_index import verify_index
+
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(1200, 64)).astype(np.float32)
+    for itype in ("flat", "ivf"):
+        d = tmp_path / itype
+        build_index_from_vectors(vecs, d, index_type=itype)
+        report = verify_index(d)
+        assert report["index_type"] == itype
+        assert report["ok"], report
+
+
+def test_build_skip_warns_on_type_mismatch(tmp_path, caplog):
+    """Requesting a different index type over an existing index must warn
+    at WARNING level (not silently return the wrong type)."""
+    import logging
+
+    import numpy as np
+
+    from diskrag_tpu.build_index import build_index_from_vectors
+
+    rng = np.random.default_rng(1)
+    vecs = rng.normal(size=(300, 32)).astype(np.float32)
+    d = tmp_path / "idx"
+    build_index_from_vectors(vecs, d, index_type="flat")
+    with caplog.at_level(logging.WARNING):
+        meta = build_index_from_vectors(vecs, d, index_type="vamana")
+    assert meta["index_type"] == "flat"  # existing one kept...
+    assert any("type=vamana was requested" in r.message for r in caplog.records)
+
+
+def test_doctor_on_grown_collection(tmp_path):
+    """doctor must train PQ on the INDEX's own rows when the collection
+    has grown since the build — a pq_codes/adjacency length mismatch
+    would make the index unloadable (regression)."""
+    import numpy as np
+
+    from diskrag_tpu.cli import DiskRAG
+    from diskrag_tpu.data import CollectionManager
+    from diskrag_tpu.engine import SearchEngine
+
+    mgr = CollectionManager(tmp_path / "collections")
+    mgr.create_collection("c", dimension=64)
+    rng = np.random.default_rng(2)
+    vecs = rng.normal(size=(1500, 64)).astype(np.float32)
+    mgr.update_collection(
+        "c", vecs, [f"t{i}" for i in range(1500)],
+        [{"i": i} for i in range(1500)],
+    )
+    rag = DiskRAG(str(tmp_path / "nonexistent.yaml"),
+                  base_dir=str(tmp_path / "collections"))
+    rag.build_index("c")
+    # grow the collection past the indexed rows
+    more = rng.normal(size=(200, 64)).astype(np.float32)
+    mgr.update_collection(
+        "c", more, [f"extra{i}" for i in range(200)],
+        [{"i": 1500 + i} for i in range(200)],
+    )
+    # delete the PQ model so doctor has something to repair
+    (mgr.get_index_dir("c") / "pq_model.npz").unlink()
+    report = rag.doctor("c")
+    assert report["status"] == "ok"
+    assert any("repair covers the indexed rows" in a for a in report["actions"])
+    # the repaired index must still load with PQ intact (not brute force)
+    eng = SearchEngine("c", base_dir=tmp_path / "collections")
+    assert not eng.brute_force_mode
+    assert eng.use_pq
