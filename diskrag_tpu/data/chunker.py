@@ -91,11 +91,51 @@ def split_text(
 
 def split_markdown(content: str, source_name: str, config: ChunkConfig) -> list[DocumentChunk]:
     """Section/image-aware markdown chunking
-    (reference chunker.py:162-221 behavior)."""
+    (reference chunker.py:162-221 behavior).
+
+    Two documented deviations from the reference (both are content-loss
+    bugs there, not behavior to keep):
+      - an accumulation that outgrows `config.size` is windowed through
+        `split_text` instead of blocking emission forever (the reference
+        silently drops everything from one long line to EOF);
+      - a `# section` heading flushes the pending accumulation into its
+        OWN section before switching (the reference merges a section's
+        tail into the next section's first chunk, mislabeling it)."""
     chunks: list[DocumentChunk] = []
     current_section = "uncategorized"
     current_text: list[str] = []
     current_image: Optional[str] = None
+
+    def emit(text: str) -> None:
+        nonlocal current_image
+        chunks.append(
+            DocumentChunk(
+                id=len(chunks), text=text, image=current_image,
+                section=current_section, manual=source_name,
+            )
+        )
+        current_image = None
+
+    def flush(force: bool) -> None:
+        nonlocal current_text
+        if not current_text:
+            return
+        text = " ".join(current_text)
+        if DocumentChunk.is_valid_text(
+            text, min_length=config.min_size, max_length=config.size
+        ):
+            emit(text)
+        elif len(text) > config.size:
+            # overlong accumulation (e.g. one paragraph-length line):
+            # window it so emission can never block for the rest of the
+            # document
+            for piece in split_text(text, config.size, config.overlap):
+                if len(piece) >= config.min_size:
+                    emit(piece)
+        elif not force:
+            return  # below min_size: keep accumulating
+        # force-flush of a sub-min tail drops it (reference behavior)
+        current_text = []
 
     sections = re.split(r"(?=^# )", content, flags=re.MULTILINE)
     for section in sections:
@@ -103,7 +143,9 @@ def split_markdown(content: str, source_name: str, config: ChunkConfig) -> list[
         if not lines:
             continue
         if lines[0].startswith("# "):
+            flush(force=True)  # close the previous section's tail
             current_section = lines[0][2:].strip()
+            current_image = None
             lines = lines[1:]
         for line in lines:
             img = extract_image_from_text(line)
@@ -113,29 +155,8 @@ def split_markdown(content: str, source_name: str, config: ChunkConfig) -> list[
             if not line.strip():
                 continue
             current_text.append(line)
-            text = " ".join(current_text)
-            if DocumentChunk.is_valid_text(
-                text, min_length=config.min_size, max_length=config.size
-            ):
-                chunks.append(
-                    DocumentChunk(
-                        id=len(chunks), text=text, image=current_image,
-                        section=current_section, manual=source_name,
-                    )
-                )
-                current_text = []
-                current_image = None
-    if current_text:
-        text = " ".join(current_text)
-        if DocumentChunk.is_valid_text(
-            text, min_length=config.min_size, max_length=config.size
-        ):
-            chunks.append(
-                DocumentChunk(
-                    id=len(chunks), text=text, image=current_image,
-                    section=current_section, manual=source_name,
-                )
-            )
+            flush(force=False)
+    flush(force=True)
     return chunks
 
 

@@ -48,6 +48,9 @@ class CollectionManager:
         self.base_dir = pathlib.Path(base_dir)
         self.base_dir.mkdir(parents=True, exist_ok=True)
         self._metadata_cache: dict[str, pd.DataFrame] = {}
+        # (source df, vector_index-keyed df) per collection — identity-
+        # checked against the metadata cache so invalidation rides it
+        self._byidx_cache: dict[str, tuple] = {}
 
     # --- paths -----------------------------------------------------------
     def _collection_dir(self, name: str) -> pathlib.Path:
@@ -168,9 +171,32 @@ class CollectionManager:
         df = self._read_metadata(name)
         existing = set(df["text_hash"].tolist())
 
+        # reconcile vectors.npy with the committed metadata BEFORE
+        # assigning vector_index: vectors are replaced first in the
+        # commit sequence below, so a crash between the two writes
+        # leaves orphan vector rows with no metadata — appending on top
+        # of them would silently shift every later row's vector_index
+        # off its actual vector
+        old_vecs = np.load(self.get_vectors_path(name))
+        if old_vecs.ndim == 1:
+            old_vecs = old_vecs.reshape(-1, info.dimension)
+        n_committed = int(info.num_vectors)
+        if len(old_vecs) < n_committed:
+            raise ValueError(
+                f"collection {name} is corrupt: vectors.npy has "
+                f"{len(old_vecs)} rows but metadata records {n_committed}"
+            )
+        if len(old_vecs) > n_committed:
+            logger.warning(
+                "collection %s: dropping %d orphan vector row(s) from an "
+                "interrupted update (no metadata committed for them)",
+                name, len(old_vecs) - n_committed,
+            )
+            old_vecs = old_vecs[:n_committed]
+
         keep_rows = []
         keep_vecs = []
-        next_index = int(info.num_vectors)
+        next_index = n_committed
         for i, text in enumerate(texts):
             h = get_text_hash(text)
             if h in existing:
@@ -196,9 +222,6 @@ class CollectionManager:
             logger.warning("no new texts to add to %s (all duplicates)", name)
             return info
 
-        old_vecs = np.load(self.get_vectors_path(name))
-        if old_vecs.ndim == 1:
-            old_vecs = old_vecs.reshape(-1, info.dimension)
         all_vecs = np.vstack([old_vecs, np.stack(keep_vecs)])
         tmp = self.get_vectors_path(name).with_suffix(".npy.tmp")
         with open(tmp, "wb") as f:
@@ -251,6 +274,7 @@ class CollectionManager:
             return False
         shutil.rmtree(cdir)
         self._metadata_cache.pop(name, None)
+        self._byidx_cache.pop(name, None)
         return True
 
     def merge_collections(
@@ -309,9 +333,16 @@ class CollectionManager:
     def get_texts_by_indices(
         self, name: str, indices: list[int]
     ) -> list[Optional[tuple[str, dict]]]:
-        """Batched lookup for a result list — one pass over the cached df."""
+        """Batched lookup for a result list — one pass over the cached df.
+        The vector_index-keyed frame is cached beside the metadata cache:
+        rebuilding it per call costs O(N) on every serving request."""
         df = self._read_metadata(name)
-        by_idx = df.set_index("vector_index")
+        cached = self._byidx_cache.get(name)
+        if cached is not None and cached[0] is df:
+            by_idx = cached[1]
+        else:
+            by_idx = df.set_index("vector_index")
+            self._byidx_cache[name] = (df, by_idx)
         out: list[Optional[tuple[str, dict]]] = []
         for idx in indices:
             if int(idx) in by_idx.index:

@@ -4,10 +4,11 @@ supported-dimension whitelist, sha256 text hashing, and CollectionInfo
 with text-hash dedup state.
 
 One deliberate change: the reference's `SUPPORTED_DIMENSIONS` whitelist
-{128, 256, 768, 960, 1536} (config.py:87-92) is kept as the *default*
-but a dimension is also accepted when it merely has a valid PQ split —
-the hard whitelist rejected perfectly fine dims for no TPU reason; we
-log instead of raising for those (documented deviation).
+{128, 256, 768, 960, 1536} (config.py:87-92) is advisory here, not a
+hard gate: ANY dimension is accepted with a warning when outside the
+whitelist — the index math is dimension-agnostic on TPU, and the
+adaptive-PQ tuner independently falls back to brute force for dims with
+no legal subvector split (pq/adaptive.py). Documented deviation.
 """
 
 from __future__ import annotations

@@ -68,8 +68,15 @@ class EmbeddingGenerator:
             )
         self.model = config.model
         self._dimension: Optional[int] = config.dimension
+        # the dimension is part of the cache identity: the same
+        # provider/model at a different requested dimension (mock, or
+        # OpenAI's dimensions parameter) must not serve stale vectors of
+        # the old width (deviation from the reference's provider_model
+        # key, embedding.py:40-47 — there the dimension is fixed)
+        dim_tag = f"_{self._dimension}" if self._dimension else ""
         self.cache_dir = (
-            pathlib.Path(cache_dir) / f"{self.provider}_{self.model}".replace("/", "_")
+            pathlib.Path(cache_dir)
+            / f"{self.provider}_{self.model}{dim_tag}".replace("/", "_")
         )
         self.cache_dir.mkdir(parents=True, exist_ok=True)
         self.cache_hits = 0
@@ -111,6 +118,13 @@ class EmbeddingGenerator:
             return cached
         self.cache_misses += 1
         emb = self._generate_uncached([text])[0]
+        if emb is None:
+            # all retries failed: raise (reference embedding.py:125-127)
+            # rather than return-and-cache a None that would surface as
+            # an opaque AttributeError far from the cause
+            raise RuntimeError(
+                f"failed to generate embedding for text: {text[:50]!r}..."
+            )
         self._cache_put(text, emb)
         return emb
 

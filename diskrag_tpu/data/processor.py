@@ -67,7 +67,13 @@ class Preprocessor:
         self, input_file: str, dry_run: bool = False
     ) -> Optional[dict[str, Any]]:
         """Process a FAQ CSV into the configured collection
-        (reference processor.py:308-508 flow)."""
+        (reference processor.py:308-508 flow).
+
+        `dry_run` follows the reference's semantics (processor.py:313:
+        "generate questions only, no vectors/index"): question
+        generation STILL runs (paid LLM calls) and the `*_post.csv`
+        companion file is still written; only the embedding + collection
+        update are skipped."""
         path = pathlib.Path(input_file)
         if path.suffix.lower() != ".csv":
             raise ValueError(f"FAQ processor only supports CSV, got {path.suffix}")
@@ -170,8 +176,12 @@ class Preprocessor:
 
 def _opt(row, key):
     v = row.get(key)
-    if v is None or (isinstance(v, float) and np.isnan(v)):
+    if v is None or (isinstance(v, (float, np.floating)) and np.isnan(v)):
         return None
+    if isinstance(v, np.generic):
+        # pandas hands back np.int64/np.float64/np.bool_ for numeric
+        # CSV columns — json.dumps on the metadata dict rejects those
+        v = v.item()
     return v
 
 

@@ -27,6 +27,7 @@ zero-padding aliases node 0 — SURVEY.md §7 quirks).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import pathlib
 
@@ -35,6 +36,8 @@ import numpy as np
 
 from diskrag_tpu.graph.types import VamanaIndex
 from diskrag_tpu.pq.product_quantizer import ProductQuantizer
+
+logger = logging.getLogger(__name__)
 
 FORMAT_VERSION = "tpu-1"
 COMPAT_PAD = np.uint32(0xFFFFFFFF)
@@ -200,6 +203,14 @@ def load_index(
         )
     pq = None
     codes = None
+    if meta.get("use_pq") and not store.pq_model_path.exists():
+        # torn artifact set: serve without PQ (the engine's documented
+        # soft-degrade, reference search_engine.py:49-72) but say so —
+        # silence here would hide a half-written index dir
+        logger.warning(
+            "meta says use_pq but %s is missing — loading without PQ "
+            "(run `doctor` to retrain)", store.pq_model_path,
+        )
     if meta.get("use_pq") and store.pq_model_path.exists():
         with np.load(store.pq_model_path) as loaded:
             pq = ProductQuantizer.from_arrays(dict(loaded))

@@ -181,3 +181,110 @@ def test_split_text_terminates_with_large_overlap():
     assert set(joined) <= {"x", "."}
     # every character of the source is covered by some chunk
     assert sum(len(c) for c in chunks) >= len(text.strip()) - len(chunks) * 160
+
+
+def test_split_markdown_long_line_and_section_flush():
+    """Regressions: (a) one line longer than config.size must be
+    windowed, not block emission and drop the rest of the document;
+    (b) a section heading must flush the pending text into its OWN
+    section, not merge it into the next section's first chunk."""
+    from diskrag_tpu.data.chunker import split_markdown
+    from diskrag_tpu.data.config import ChunkConfig
+
+    cfg = ChunkConfig(size=300, overlap=50, min_size=50)
+    long_line = "x" * 400
+    content = (
+        "# Alpha\n"
+        + long_line + "\n"
+        + ("alpha tail content " * 5) + "\n"   # ~95 chars, sub-size
+        + "# Beta\n"
+        + ("beta body content " * 20) + "\n"
+    )
+    chunks = split_markdown(content, "doc.md", cfg)
+    joined = " ".join(c.text for c in chunks)
+    assert "x" * 100 in joined          # long line survived (windowed)
+    assert "beta body" in joined        # content after it not dropped
+    alpha = [c for c in chunks if c.section == "Alpha"]
+    beta = [c for c in chunks if c.section == "Beta"]
+    assert alpha and beta
+    assert all("beta" not in c.text for c in alpha)
+    assert all("alpha" not in c.text for c in beta)  # no cross-section carry
+
+
+def test_faq_metadata_numpy_scalars_json_safe(tmp_path):
+    """Regression: numeric CSV columns (np.int64 source_page) must not
+    crash json.dumps during collection update."""
+    import numpy as np
+    import pandas as pd
+
+    from diskrag_tpu.data import (
+        CollectionManager, EmbeddingConfig, EmbeddingGenerator,
+        PreprocessingConfig, Preprocessor,
+    )
+
+    csv = tmp_path / "faq.csv"
+    pd.DataFrame(
+        [
+            {"id": f"q{i}", "question": f"問題{i}？", "answer": f"答案{i}。" * 3,
+             "source_page": i + 1}
+            for i in range(4)
+        ]
+    ).to_csv(csv, index=False)
+    cfg = PreprocessingConfig(
+        collection="np_meta",
+        embedding=EmbeddingConfig(provider="mock", model="m", dimension=64),
+    )
+    mgr = CollectionManager(tmp_path / "collections")
+    pre = Preprocessor(
+        cfg, manager=mgr,
+        embedding_generator=EmbeddingGenerator(cfg.embedding, cache_dir=tmp_path / "c"),
+    )
+    out = pre.process_file(str(csv))
+    assert out and mgr.get_collection_info("np_meta").num_vectors == 4
+    text, meta = mgr.get_texts_by_indices("np_meta", [0])[0]
+    assert meta["source_page"] == 1  # plain int survived the JSON round-trip
+
+
+def test_update_collection_recovers_orphan_vectors(tmp_path):
+    """Regression: orphan vectors.npy rows from an interrupted update
+    (vectors committed, metadata not) must not shift later rows'
+    vector_index alignment."""
+    import numpy as np
+
+    from diskrag_tpu.data import CollectionManager
+
+    mgr = CollectionManager(tmp_path / "collections")
+    mgr.create_collection("c", dimension=8)
+    rng = np.random.default_rng(0)
+    v1 = rng.normal(size=(3, 8)).astype(np.float32)
+    mgr.update_collection("c", v1, ["a", "b", "c"], [{}, {}, {}])
+    # simulate the torn state: extra vector rows with no metadata
+    vecs = np.load(mgr.get_vectors_path("c"))
+    np.save(mgr.get_vectors_path("c"), np.vstack([vecs, rng.normal(size=(2, 8)).astype(np.float32)]))
+    v2 = rng.normal(size=(2, 8)).astype(np.float32)
+    mgr.update_collection("c", v2, ["d", "e"], [{"i": 3}, {"i": 4}])
+    # row 'd' must sit at vector_index 3 AND vectors.npy row 3
+    got = mgr.get_texts_by_indices("c", [3, 4])
+    assert got[0][0] == "d" and got[1][0] == "e"
+    allv = np.load(mgr.get_vectors_path("c"))
+    assert allv.shape[0] == 5
+    np.testing.assert_allclose(allv[3], v2[0])
+
+
+def test_embedding_cache_key_includes_dimension(tmp_path):
+    """Regression: changing the requested dimension must not serve stale
+    cached vectors of the old width."""
+    from diskrag_tpu.data import EmbeddingConfig, EmbeddingGenerator
+
+    g1 = EmbeddingGenerator(
+        EmbeddingConfig(provider="mock", model="m", dimension=64),
+        cache_dir=tmp_path,
+    )
+    v1 = g1.generate("hello")
+    assert v1.shape == (64,)
+    g2 = EmbeddingGenerator(
+        EmbeddingConfig(provider="mock", model="m", dimension=32),
+        cache_dir=tmp_path,
+    )
+    v2 = g2.generate("hello")
+    assert v2.shape == (32,)
