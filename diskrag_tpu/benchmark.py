@@ -263,12 +263,16 @@ def sweep_flat(
         # narrow-rerank point: the post-scan candidate gather is
         # row-latency-bound, so rerank_width is the biggest knob left
         # (see flat_search_fused docstring for the measured tradeoff)
-        variants = [("flat-rr24", "int8", 24), ("flat-rr16", "int8", 16)]
+        variants = [("flat-rr24", "int8", 24)]
         if metric != "dot":
+            # packed rerank widths swept 2026-08 at 200k: rw=18 is the
+            # fastest point above the 0.95 recall gate (1.19M @ 0.962);
+            # rw=16 falls below it (0.944)
             variants += [
                 ("flat-packed", "int8_packed", None),
                 ("flat-packed-rr24", "int8_packed", 24),
                 ("flat-packed-rr20", "int8_packed", 20),
+                ("flat-packed-rr18", "int8_packed", 18),
             ]
         for mode, prec, rw in variants:
             idx = FlatIndex(
