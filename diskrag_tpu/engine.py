@@ -484,9 +484,16 @@ class SearchEngine:
             # pipelined path overlaps device traversal with host rerank
             # on large batches; falls through to plain search() for
             # batches <= one chunk (the common single-query case)
+            # chunk >= half the batch: narrower chunks amplify the
+            # fixed per-round traversal latency faster than the
+            # traversal/rerank overlap pays back (measured at 10M —
+            # docs/PERFORMANCE.md "when pipelining pays")
+            chunk = max(self.host_tier_pipeline_chunk, -(-b // 2))
+            if hasattr(self, "mesh"):
+                n_data = self.mesh.shape.get("data", 1)
+                chunk = -(-chunk // n_data) * n_data
             dists, ids, ht_stats = self.host_tier.search_pipelined(
-                np.asarray(q), search_width=l_search, k=k,
-                chunk=self.host_tier_pipeline_chunk,
+                np.asarray(q), search_width=l_search, k=k, chunk=chunk,
             )
             search_type = ht_stats.get("search_type", "host_tier")
             # the sharded tier's merged shard_map path has no per-shard
