@@ -77,14 +77,28 @@ def _vector_stats(vectors: np.ndarray) -> dict:
 
 
 def _validate_pq(
-    pq: ProductQuantizer, vectors: np.ndarray, codes: np.ndarray
+    pq,
+    vectors: np.ndarray,
+    codes: np.ndarray,
+    coarse_ids: np.ndarray | None = None,
 ) -> dict:
     """PQ acceptance checks (reference build_index.py:203-282): encode
-    determinism, reconstruction error, exact-vs-ADC correlation."""
+    determinism, reconstruction error, exact-vs-ADC correlation. Handles
+    both plain ProductQuantizer and ResidualPQ (pq/residual.py)."""
+    import jax.numpy as jnp
+
     n = len(vectors)
     sample = np.random.default_rng(0).choice(n, size=min(256, n), replace=False)
-    codes2 = np.asarray(pq.encode(vectors[sample]))
-    consistent = bool((codes2 == codes[sample]).all())
+    residual = coarse_ids is not None
+    if residual:
+        codes2, cids2 = pq.encode(vectors[sample])
+        consistent = bool(
+            (np.asarray(codes2) == codes[sample]).all()
+            and (np.asarray(cids2) == coarse_ids[sample]).all()
+        )
+    else:
+        codes2 = np.asarray(pq.encode(vectors[sample]))
+        consistent = bool((codes2 == codes[sample]).all())
 
     recon_err = pq.reconstruction_error(vectors[sample])
     base = float(np.mean(np.sum(np.square(vectors[sample]), axis=1)))
@@ -93,10 +107,18 @@ def _validate_pq(
     # exact vs ADC correlation on sampled query/point pairs (the engine
     # re-checks this at startup too, reference search_engine.py:214-227)
     qs = vectors[sample[: min(16, len(sample))]]
-    import jax.numpy as jnp
-
-    tables = pq.compute_distance_tables(qs)
-    adc = np.asarray(pq.asymmetric_distance_sq(tables, jnp.asarray(codes[sample])))
+    if residual:
+        tables = pq.compute_query_tables(qs)
+        adc = np.asarray(
+            pq.asymmetric_distance_sq(
+                tables, jnp.asarray(codes[sample]), coarse_ids[sample]
+            )
+        )
+    else:
+        tables = pq.compute_distance_tables(qs)
+        adc = np.asarray(
+            pq.asymmetric_distance_sq(tables, jnp.asarray(codes[sample]))
+        )
     exact = ((qs[:, None, :] - vectors[sample][None, :, :]) ** 2).sum(-1)
     corrs = [
         float(np.corrcoef(adc[i], exact[i])[0, 1]) for i in range(len(qs))
@@ -112,6 +134,48 @@ def _validate_pq(
     }
 
 
+def _resolve_pq_kind(pq_kind: str, metric: str) -> str:
+    """"auto" trains a ResidualPQ on L2 indexes (the measured fix for the
+    plain-PQ ADC-ordering collapse on clustered data, pq/residual.py) and
+    a plain PQ otherwise (ADC traversal is L2-only anyway; plain codes
+    stay useful for compression/tooling)."""
+    if pq_kind == "auto":
+        return "residual" if metric == "l2" else "plain"
+    if pq_kind not in ("plain", "residual"):
+        raise ValueError(f"unknown pq_kind: {pq_kind}")
+    return pq_kind
+
+
+def _train_pq(
+    vectors: np.ndarray,
+    n_subvectors: int,
+    kind: str,
+    *,
+    seed: int = 0,
+    opq_iters: int = 0,
+):
+    """Fit the requested quantizer kind; returns (pq, codes, coarse_ids)
+    with coarse_ids=None for plain PQ."""
+    if kind == "residual":
+        from diskrag_tpu.pq import ResidualPQ, default_n_coarse
+
+        if opq_iters:
+            logger.warning(
+                "opq_iters is ignored for residual PQ (rotation would "
+                "have to be applied before the coarse quantizer)"
+            )
+        rpq = ResidualPQ(
+            n_subvectors=n_subvectors,
+            n_coarse=default_n_coarse(len(vectors)),
+        ).fit(vectors, seed=seed)
+        codes, cids = rpq.encode(vectors)
+        return rpq, np.asarray(codes), np.asarray(cids)
+    pq = ProductQuantizer(n_subvectors=n_subvectors).fit(
+        vectors, seed=seed, opq_iters=opq_iters
+    )
+    return pq, np.asarray(pq.encode(vectors)), None
+
+
 def attach_pq(
     vectors: np.ndarray,
     *,
@@ -119,13 +183,16 @@ def attach_pq(
     target_accuracy: str = "balanced",
     opq_iters: int = 0,
     seed: int = 0,
+    pq_kind: str = "plain",
 ) -> tuple[ProductQuantizer | None, np.ndarray | None, dict | None]:
     """Train a PQ model on an index's vectors and encode every point —
     the counterpart of attaching a PQ model to an existing graph
     (reference `VamanaGraphWithPQ.set_pq_model` re-encode,
     vamana_graph.py:26-56). Returns (pq, codes, validation);
     (None, None, None) when the adaptive tuner recommends brute force
-    (explicit `n_subvectors` overrides the tuner)."""
+    (explicit `n_subvectors` overrides the tuner). pq_kind "residual"
+    returns a ResidualPQ whose coarse_ids ride in validation["coarse_ids"].
+    """
     vectors = np.asarray(vectors, np.float32)
     if n_subvectors is None:
         rec = calculate_adaptive_pq_params(
@@ -134,11 +201,13 @@ def attach_pq(
         if rec.recommendation == "brute_force":
             return None, None, None
         n_subvectors = rec.n_subvectors
-    pq = ProductQuantizer(n_subvectors=n_subvectors).fit(
-        vectors, seed=seed, opq_iters=opq_iters
+    pq, codes, cids = _train_pq(
+        vectors, n_subvectors, pq_kind, seed=seed, opq_iters=opq_iters
     )
-    codes = np.asarray(pq.encode(vectors))
-    return pq, codes, _validate_pq(pq, vectors, codes)
+    validation = _validate_pq(pq, vectors, codes, coarse_ids=cids)
+    if cids is not None:
+        validation["coarse_ids"] = cids
+    return pq, codes, validation
 
 
 def build_index_from_vectors(
@@ -155,6 +224,7 @@ def build_index_from_vectors(
     build_method: str = "knn",
     opq_iters: int = 0,
     force_pq: bool | None = None,
+    pq_kind: str = "auto",
     checkpoint_dir=None,
     n_shards: int | None = None,
     flat_precision: str = "int8",
@@ -307,11 +377,13 @@ def build_index_from_vectors(
         if use_shard_pq:
             from diskrag_tpu.index.persist import save_pq_artifacts
 
-            pq = ProductQuantizer(n_subvectors=pq_rec.n_subvectors).fit(
-                vectors, seed=seed, opq_iters=opq_iters
+            pq, pq_codes, pq_cids = _train_pq(
+                vectors, pq_rec.n_subvectors,
+                _resolve_pq_kind(pq_kind, metric),
+                seed=seed, opq_iters=opq_iters,
             )
             pq_meta = save_pq_artifacts(
-                store, pq, np.asarray(pq.encode(vectors))
+                store, pq, pq_codes, coarse_ids=pq_cids
             )
         if write_compat:
             # f32 master for the sharded host tier's exact rerank; R=0
@@ -363,17 +435,19 @@ def build_index_from_vectors(
     )
     pq = None
     codes = None
+    coarse_ids = None
     pq_validation = None
     if use_pq:
         t0 = time.perf_counter()
-        pq = ProductQuantizer(n_subvectors=pq_rec.n_subvectors).fit(
-            vectors, seed=seed, opq_iters=opq_iters
+        kind = _resolve_pq_kind(pq_kind, metric)
+        pq, codes, coarse_ids = _train_pq(
+            vectors, pq_rec.n_subvectors, kind,
+            seed=seed, opq_iters=opq_iters,
         )
-        codes = np.asarray(pq.encode(vectors))
-        pq_validation = _validate_pq(pq, vectors, codes)
+        pq_validation = _validate_pq(pq, vectors, codes, coarse_ids=coarse_ids)
         logger.info(
-            "PQ m=%d trained in %.1fs (corr=%.3f)",
-            pq_rec.n_subvectors, time.perf_counter() - t0,
+            "PQ kind=%s m=%d trained in %.1fs (corr=%.3f)",
+            kind, pq_rec.n_subvectors, time.perf_counter() - t0,
             pq_validation["exact_adc_correlation"],
         )
         if not pq_validation["passed"]:
@@ -397,7 +471,7 @@ def build_index_from_vectors(
     build_seconds = time.perf_counter() - t0
 
     meta = save_index(
-        index_dir, index, pq=pq, pq_codes=codes,
+        index_dir, index, pq=pq, pq_codes=codes, pq_coarse_ids=coarse_ids,
         write_compat=write_compat,
         host_vectors=np.asarray(vectors, np.float32),
         meta_extra={

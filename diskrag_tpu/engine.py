@@ -17,6 +17,7 @@ TPU-native differences (design, not behavior):
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import threading
 import time
@@ -128,12 +129,14 @@ class SearchEngine:
         self.pq = None
         self.codes = None
         self.codes_j = None
+        self.pq_cells_j = None  # residual-PQ aux (pq/residual.py)
+        self.pq_bias_j = None
         self.meta: dict = {}
         self.use_pq = False
         self.brute_force_mode = False
         self._load_artifacts()
         self.diagnostics: Optional[dict] = None
-        if run_diagnostics and not self.brute_force_mode and self.index is not None:
+        if run_diagnostics:
             try:
                 self.diagnostics = self._run_diagnostic_check()
             except Exception as e:  # noqa: BLE001 — diagnostic is non-fatal
@@ -217,16 +220,18 @@ class SearchEngine:
                     if store.pq_model_path.exists() and (
                         self.meta.get("distance_metric", "l2") == "l2"
                     ):
-                        from diskrag_tpu.pq.product_quantizer import (
-                            ProductQuantizer,
-                        )
+                        from diskrag_tpu.index.persist import load_pq_aux
+                        from diskrag_tpu.pq.residual import pq_from_arrays
 
                         with np.load(store.pq_model_path) as z:
-                            pq = ProductQuantizer.from_arrays(dict(z))
+                            pq = pq_from_arrays(dict(z))
+                        cells, bias = load_pq_aux(store)
                         mode_kwargs = {
                             "mode": "pq",
                             "pq": pq,
                             "codes": np.load(store.pq_codes_path),
+                            "pq_cells": cells,
+                            "pq_bias": bias,
                         }
                     self.host_tier = ShardedHostTier.from_sharded_index(
                         load_sharded_index(index_dir / "sharded"),
@@ -373,56 +378,201 @@ class SearchEngine:
         self.use_pq = self.pq is not None
         if self.use_pq:
             self.codes_j = jnp.asarray(self.codes)
+            from diskrag_tpu.pq.residual import ResidualPQ
+
+            if isinstance(self.pq, ResidualPQ):
+                from diskrag_tpu.index.persist import IndexStore, load_pq_aux
+
+                cells, bias = load_pq_aux(IndexStore(index_dir))
+                if cells is None:
+                    # torn artifact set (model present, aux missing):
+                    # recompute from the HBM-resident vectors — cheap,
+                    # and keeps the serving mode available
+                    logger.warning(
+                        "pq_aux.npz missing — recomputing residual-PQ "
+                        "serving arrays from the index vectors"
+                    )
+                    cells = self.pq.coarse_assign(self.index.vectors)
+                    bias = self.pq.point_bias(self.codes_j, cells)
+                self.pq_cells_j = jnp.asarray(cells, jnp.int32)
+                self.pq_bias_j = jnp.asarray(bias, jnp.float32)
         self.recommended_l = int(self.meta.get("recommended_search_L", 64))
 
+    def _pq_serving_tables(self, q) -> tuple:
+        """(tables, beam_search_pq aux kwargs) for the active quantizer —
+        inner tables + cell/bias operands for a ResidualPQ (its serving
+        decomposition, pq/residual.py), plain ADC tables otherwise."""
+        if self.pq_cells_j is not None:
+            return self.pq.inner_tables(q), {
+                "point_cell": self.pq_cells_j,
+                "point_bias": self.pq_bias_j,
+                "cell_tables": self.pq.cell_tables(q),
+            }
+        return self.pq.compute_distance_tables(q), {}
+
+    def _diagnostic_sample(self, n_sample: int = 8):
+        """Sample (vectors float32 [S, D], global ids int [S]) straight
+        from whatever storage the active serving mode keeps — HBM arrays
+        for the in-memory modes, the host record file for host_tier."""
+        rng = np.random.default_rng(0)
+
+        def pick(n):
+            return np.sort(rng.choice(n, size=min(n_sample, n), replace=False))
+
+        if self.brute_force_mode:
+            ids = pick(self._bf_flat.n_points)
+            return np.asarray(self._bf_flat.vectors[ids], np.float32), ids
+        if self.serving_mode == "host_tier":
+            ids = pick(int(self.meta["num_points"]))
+            return self.host_tier.reader.get_vectors(ids), ids
+        if self.serving_mode == "sharded_flat":
+            gids = np.asarray(self._sf_gids[0])
+            local = pick(int(np.sum(gids >= 0)))
+            vecs = np.asarray(self._sf_vectors[0, local], np.float32)
+            return vecs, gids[local]
+        if self.index_type == "sharded":
+            gids = np.asarray(self.sharded.global_ids[0])
+            local = pick(int(np.sum(gids >= 0)))
+            vecs = np.asarray(self.sharded.vectors[0, local], np.float32)
+            return vecs, gids[local]
+        if self.index_type == "flat":
+            ids = pick(self.flat.n_points)
+            return np.asarray(self.flat.vectors[ids], np.float32), ids
+        if self.index_type == "ivf":
+            ids = pick(self.ivf.n_points)
+            return np.asarray(self.ivf.vectors[ids], np.float32), ids
+        ids = pick(int(self.index.vectors.shape[0]))
+        return np.asarray(self.index.vectors[ids], np.float32), ids
+
     def _run_diagnostic_check(self) -> dict:
-        """Startup self-check (reference search_engine.py:142-253): vector
-        stats sanity + exact-vs-ADC distance correlation >= 0.5. Also
-        checks the dimension whitelist (reference search_engine.py:81) —
-        as a warning, not a hard failure: the index math is
-        dimension-agnostic here, the whitelist only reflects known
-        embedding-model sizes (documented deviation)."""
+        """Startup self-check for EVERY serving mode (the reference always
+        self-checks at engine bring-up, search_engine.py:142-253; round 1
+        only covered the full-HBM vamana mode):
+          - vector stats sanity on a small storage sample;
+          - self-retrieval smoke probe: the sampled vectors are searched
+            as queries and must return their own ids in the top-10
+            (>= 0.8 hit rate — a recall-style gate on the live path);
+          - the PQ-enabled vamana mode additionally checks exact-vs-ADC
+            distance correlation >= 0.5 AND the per-node ADC/exact ratio
+            sanity band [0.1, 10] (reference search_engine.py:214-227;
+            our pass gate is >= 90% of sampled pairs in band).
+        Also checks the dimension whitelist (reference
+        search_engine.py:81) — as a warning, not a hard failure: the
+        index math is dimension-agnostic here, the whitelist only
+        reflects known embedding-model sizes (documented deviation)."""
         from diskrag_tpu.data.config import validate_vector_dimension
 
-        vecs = self.index.vectors
-        if not validate_vector_dimension(int(vecs.shape[1])):
+        sample_vecs, sample_gids = self._diagnostic_sample()
+        dim = int(sample_vecs.shape[1])
+        if not validate_vector_dimension(dim):
             logger.warning(
                 "dimension %d is outside the supported whitelist "
-                "(reference search_engine.py:81)", int(vecs.shape[1]),
+                "(reference search_engine.py:81)", dim,
             )
+        mode = (
+            "brute_force" if self.brute_force_mode
+            else self.serving_mode if self.serving_mode != "auto"
+            else self.index_type
+        )
         stats = {
-            "n_points": int(vecs.shape[0]),
-            "dimension": int(vecs.shape[1]),
-            "mean_norm": float(jnp.mean(jnp.linalg.norm(vecs, axis=1))),
+            "n_points": self._n_points(),
+            "dimension": dim,
+            "mean_norm": float(np.mean(np.linalg.norm(sample_vecs, axis=1))),
         }
-        result = {"vector_stats": stats, "passed": True}
-        if self.use_pq:
+        result = {"vector_stats": stats, "serving_mode": mode, "passed": True}
+        if not np.all(np.isfinite(sample_vecs)):
+            result["passed"] = False
+            result["finite"] = False
+            logger.warning("sampled vectors contain non-finite values")
+            return result
+
+        # --- self-retrieval smoke probe (all modes) -----------------------
+        snapshot = dict(self._stats)
+        try:
+            _, ids, _ = self.search_batch(sample_vecs, k=10)
+        finally:
+            with self._lock if self._lock else contextlib.nullcontext():
+                self._stats.clear()
+                self._stats.update(snapshot)
+        hits = [g in set(ids[i].tolist()) for i, g in enumerate(sample_gids)]
+        rate = float(np.mean(hits))
+        result["self_retrieval_rate"] = rate
+        if rate < 0.8:
+            result["passed"] = False
+            logger.warning(
+                "self-retrieval smoke probe %.2f < 0.8 in %s mode", rate, mode
+            )
+
+        # --- PQ quality checks (PQ-enabled vamana mode) --------------------
+        if self.use_pq and self.index is not None:
+            vecs = self.index.vectors
             rng = np.random.default_rng(0)
             n = int(vecs.shape[0])
             sample = rng.choice(n, size=min(512, n), replace=False)
             qidx = sample[: min(8, len(sample))]
             q = vecs[jnp.asarray(qidx)]
-            tables = self.pq.compute_distance_tables(q)
-            adc = np.asarray(
-                self.pq.asymmetric_distance_sq(tables, self.codes_j[jnp.asarray(sample)])
-            )
+            sample_j = jnp.asarray(sample)
+            if self.pq_cells_j is not None:  # residual PQ
+                tables = self.pq.compute_query_tables(q)
+                adc = np.asarray(
+                    self.pq.asymmetric_distance_sq(
+                        tables, self.codes_j[sample_j],
+                        self.pq_cells_j[sample_j],
+                    )
+                )
+            else:
+                tables = self.pq.compute_distance_tables(q)
+                adc = np.asarray(
+                    self.pq.asymmetric_distance_sq(
+                        tables, self.codes_j[sample_j]
+                    )
+                )
             exact = np.asarray(
                 jnp.sum(
-                    jnp.square(q[:, None, :] - vecs[jnp.asarray(sample)][None, :, :]),
+                    jnp.square(
+                        q[:, None, :] - vecs[jnp.asarray(sample)][None, :, :]
+                    ),
                     axis=-1,
                 )
             )
             corrs = [
-                float(np.corrcoef(adc[i], exact[i])[0, 1]) for i in range(len(qidx))
+                float(np.corrcoef(adc[i], exact[i])[0, 1])
+                for i in range(len(qidx))
             ]
             corr = float(np.nanmean(corrs))
             result["pq_exact_correlation"] = corr
-            result["passed"] = bool(corr >= 0.5)
             if corr < 0.5:
+                result["passed"] = False
                 logger.warning(
                     "PQ/exact correlation %.3f < 0.5 — PQ quality suspect", corr
                 )
+            # per-node ratio band [0.1, 10] (reference
+            # search_engine.py:214-227); self-pairs (exact == 0) excluded
+            valid = exact > 1e-12
+            ratio = adc[valid] / exact[valid]
+            in_band = float(np.mean((ratio >= 0.1) & (ratio <= 10.0)))
+            result["pq_ratio_band_fraction"] = in_band
+            if in_band < 0.9:
+                result["passed"] = False
+                logger.warning(
+                    "only %.1f%% of sampled ADC/exact ratios fall in "
+                    "[0.1, 10] — PQ distances are mis-scaled", in_band * 100,
+                )
         return result
+
+    def _n_points(self) -> int:
+        """Total indexed points for the active mode (diagnostics/stats)."""
+        if self.brute_force_mode:
+            return int(self._bf_flat.n_points)
+        if self.meta.get("num_points"):
+            return int(self.meta["num_points"])
+        if self.index is not None:
+            return int(self.index.vectors.shape[0])
+        if self.index_type == "flat":
+            return int(self.flat.n_points)
+        if self.index_type == "ivf":
+            return int(self.ivf.n_points)
+        return 0
 
     # --- stats (reference search_engine.py:87-140) -----------------------
     def _update_stats(self, **updates: float) -> None:
@@ -547,13 +697,14 @@ class SearchEngine:
             # PQ-guided traversal would converge to the wrong region, so
             # those metrics fall through to exact traversal below (same
             # guard as HostTierIndex.from_store / ShardedHostTier)
-            tables = self.pq.compute_distance_tables(q)
+            tables, aux = self._pq_serving_tables(q)
             res = beam_search_pq(
                 self.codes_j, tables, self.index.adjacency, self.index.medoid,
                 search_width=l_search, k=k, rerank=True,
                 vectors=self.index.vectors, queries=q,
                 metric=self.index.metric,
                 entry_points=self.index.entry_points,
+                **aux,
             )
             dists, ids, nodes_visited = _fetch_packed(
                 res.dists, res.ids, res.n_expanded

@@ -434,6 +434,9 @@ def beam_search_pq(
     expand_width: int = 1,
     use_pallas_adc: bool | None = None,
     entry_points: jax.Array | None = None,
+    point_cell: jax.Array | None = None,
+    point_bias: jax.Array | None = None,
+    cell_tables: jax.Array | None = None,
 ) -> SearchResult:
     """PQ-accelerated graph search: traversal is guided purely by ADC
     distances looked up from per-query tables; optionally the final
@@ -449,13 +452,19 @@ def beam_search_pq(
     Args:
       codes: uint8/int [N, m] PQ codes (HBM resident — m bytes gathered
         per neighbor instead of 4*D, the whole point of the PQ tier).
-      tables: [B, m, 256] per-query ADC tables.
+      tables: [B, m, 256] per-query ADC tables. For a ResidualPQ pass the
+        INNER tables (`rpq.inner_tables(q)`) plus the three aux operands
+        below (pq/residual.py "serving decomposition").
       adjacency / medoid: graph.
       rerank: if True, `vectors` [N, D] and `queries` [B, D] must be given;
         the returned ids/dists are exact top-k over the final beam.
       use_pallas_adc: ADC lookup backend; None = auto (the Pallas VMEM
         kernel on TPU — ~12x faster than XLA's per-element gathers — and
         the gather path on CPU).
+      point_cell / point_bias / cell_tables: residual-PQ aux — coarse cell
+        id int32 [N], per-point bias f32 [N], per-query cell cross terms
+        [B, C]. Each candidate then costs two extra scalar gathers; all
+        three must be given together.
     """
     from diskrag_tpu.ops.pq_scan import adc_lookup_gathered_pallas
     from diskrag_tpu.pq.product_quantizer import adc_lookup_gathered
@@ -466,19 +475,34 @@ def beam_search_pq(
         max_steps = -(-2 * search_width // expand_width)
     if use_pallas_adc is None:
         use_pallas_adc = jax.default_backend() != "cpu"
+    residual = point_cell is not None
+    if residual and (point_bias is None or cell_tables is None):
+        raise ValueError(
+            "point_cell/point_bias/cell_tables must be given together"
+        )
     n = adjacency.shape[0]
     b = tables.shape[0]
 
     def expand(ids):
-        gathered = codes[jnp.clip(ids, 0, n - 1)]
+        safe = jnp.clip(ids, 0, n - 1)
+        gathered = codes[safe]
         if use_pallas_adc:
-            return adc_lookup_gathered_pallas(tables, gathered)
-        return adc_lookup_gathered(tables, gathered)
+            d = adc_lookup_gathered_pallas(tables, gathered)
+        else:
+            d = adc_lookup_gathered(tables, gathered)
+        if residual:
+            d = d + jnp.take_along_axis(
+                cell_tables, point_cell[safe], axis=1
+            ) + point_bias[safe]
+        return d
 
     def seed_expand(seeds):
         from diskrag_tpu.pq.product_quantizer import adc_lookup
 
-        return adc_lookup(tables, codes[seeds])  # one shared code gather
+        d = adc_lookup(tables, codes[seeds])  # one shared code gather
+        if residual:
+            d = d + cell_tables[:, point_cell[seeds]] + point_bias[seeds][None, :]
+        return d
 
     res = _frontier_search(
         adjacency, medoid, expand, b,

@@ -114,6 +114,9 @@ class HostTierIndex:
     vectors_bf16: jax.Array | None = None   # [N, D] bf16 HBM (bf16 mode)
     metric: str = "l2"
     entry_points: jax.Array | None = None   # [S] extra search seeds
+    # residual-PQ serving aux (pq/residual.py): +8 bytes/point in HBM
+    pq_cells: jax.Array | None = None       # int32 [N]
+    pq_bias: jax.Array | None = None        # f32 [N]
 
     @classmethod
     def from_store(
@@ -158,10 +161,25 @@ class HostTierIndex:
         pq = None
         codes = None
         vec_bf16 = None
+        pq_cells = None
+        pq_bias = None
         if mode == "pq":
+            from diskrag_tpu.pq.residual import ResidualPQ, pq_from_arrays
+
             with np.load(store.pq_model_path) as z:
-                pq = ProductQuantizer.from_arrays(dict(z))
+                pq = pq_from_arrays(dict(z))
             codes = jnp.asarray(np.load(store.pq_codes_path))
+            if isinstance(pq, ResidualPQ):
+                from diskrag_tpu.index.persist import load_pq_aux
+
+                cells, bias = load_pq_aux(store)
+                if cells is None:
+                    raise FileNotFoundError(
+                        f"residual-PQ host tier needs {store.pq_aux_path} "
+                        "(written by save_pq_artifacts; rebuild the index)"
+                    )
+                pq_cells = jnp.asarray(cells, jnp.int32)
+                pq_bias = jnp.asarray(bias, jnp.float32)
         elif mode == "bf16":
             # mmap the f32 master and down-convert ON THE HOST, then ship
             # one bf16 buffer: peak device memory is exactly N*D*2. (A
@@ -195,6 +213,7 @@ class HostTierIndex:
             adjacency=adjacency,
             medoid=jnp.asarray(meta["medoid_idx"], jnp.int32),
             reader=reader, mode=mode, codes=codes, pq=pq,
+            pq_cells=pq_cells, pq_bias=pq_bias,
             vectors_bf16=vec_bf16,
             metric=metric,
             entry_points=(
@@ -214,11 +233,21 @@ class HostTierIndex:
         device, which is what makes the pipelined path overlap.
         """
         if self.mode == "pq":
-            tables = self.pq.compute_distance_tables(q)
+            if self.pq_cells is not None:  # residual PQ (pq/residual.py)
+                tables = self.pq.inner_tables(q)
+                aux = {
+                    "point_cell": self.pq_cells,
+                    "point_bias": self.pq_bias,
+                    "cell_tables": self.pq.cell_tables(q),
+                }
+            else:
+                tables = self.pq.compute_distance_tables(q)
+                aux = {}
             res: SearchResult = beam_search_pq(
                 self.codes, tables, self.adjacency, self.medoid,
                 search_width=search_width, k=search_width, rerank=False,
                 expand_width=expand_width, entry_points=self.entry_points,
+                **aux,
             )
         else:
             res = beam_search(

@@ -83,6 +83,12 @@ class IndexStore:
         return self.dir / "pq_model.npz"
 
     @property
+    def pq_aux_path(self):
+        # residual-PQ per-point serving arrays (pq/residual.py
+        # "serving decomposition"): point_cell int32[N] + point_bias f32[N]
+        return self.dir / "pq_aux.npz"
+
+    @property
     def compat_path(self):
         return self.dir / "index.dat"
 
@@ -91,25 +97,59 @@ class IndexStore:
 
 
 def save_pq_artifacts(
-    store: IndexStore, pq: ProductQuantizer, pq_codes: np.ndarray
+    store: IndexStore,
+    pq,
+    pq_codes: np.ndarray,
+    coarse_ids: np.ndarray | None = None,
 ) -> dict:
     """Persist pq_codes.npy + pq_model.npz (atomic, reload-validated like
     the reference's pkl writer, io/diskann_persist.py:79-105); returns the
-    meta keys describing them."""
+    meta keys describing them. A ResidualPQ additionally persists
+    pq_aux.npz (coarse cell ids + per-point serving bias) and its coarse
+    codebook rides inside pq_model.npz (pq/residual.py)."""
+    from diskrag_tpu.pq.residual import ResidualPQ, pq_from_arrays
+
     if pq_codes is None:
         raise ValueError("pq given without pq_codes")
+    residual = isinstance(pq, ResidualPQ)
+    if residual and coarse_ids is None:
+        raise ValueError("ResidualPQ needs coarse_ids alongside the codes")
     pq_codes = np.asarray(pq_codes, np.uint8)
     _atomic_save_npy(store.pq_codes_path, pq_codes)
     tmp = store.pq_model_path.with_suffix(".npz.tmp")
     with open(tmp, "wb") as f:
         np.savez(f, **pq.to_arrays())
     with np.load(tmp) as loaded:
-        ProductQuantizer.from_arrays(dict(loaded))
+        pq_from_arrays(dict(loaded))
     os.replace(tmp, store.pq_model_path)
-    return {
+    meta = {
         "n_subvectors": int(pq.n_subvectors),
         "pq_centroids": int(pq.n_centroids),
+        "pq_kind": "residual" if residual else "plain",
     }
+    if residual:
+        cells = np.asarray(coarse_ids, np.int32)
+        bias = np.asarray(pq.point_bias(pq_codes, cells), np.float32)
+        tmp = store.pq_aux_path.with_suffix(".npz.tmp")
+        with open(tmp, "wb") as f:
+            np.savez(f, point_cell=cells, point_bias=bias)
+        os.replace(tmp, store.pq_aux_path)
+        meta["pq_n_coarse"] = int(pq.n_coarse)
+    return meta
+
+
+def load_pq_aux(
+    store: IndexStore,
+) -> tuple[np.ndarray | None, np.ndarray | None]:
+    """(point_cell int32[N], point_bias f32[N]) for a residual-PQ index,
+    (None, None) when absent (plain PQ or no PQ)."""
+    if not store.pq_aux_path.exists():
+        return None, None
+    with np.load(store.pq_aux_path) as z:
+        return (
+            np.asarray(z["point_cell"], np.int32),
+            np.asarray(z["point_bias"], np.float32),
+        )
 
 
 def save_index(
@@ -118,6 +158,7 @@ def save_index(
     *,
     pq: ProductQuantizer | None = None,
     pq_codes: np.ndarray | None = None,
+    pq_coarse_ids: np.ndarray | None = None,
     meta_extra: dict | None = None,
     write_compat: bool = False,
     host_vectors: np.ndarray | None = None,
@@ -157,7 +198,9 @@ def save_index(
     if index.entry_points is not None:
         meta["entry_points"] = np.asarray(index.entry_points).tolist()
     if pq is not None:
-        meta.update(save_pq_artifacts(store, pq, pq_codes))
+        meta.update(
+            save_pq_artifacts(store, pq, pq_codes, coarse_ids=pq_coarse_ids)
+        )
     if meta_extra:
         meta.update(meta_extra)
     _atomic_write_bytes(
@@ -212,8 +255,10 @@ def load_index(
             "(run `doctor` to retrain)", store.pq_model_path,
         )
     if meta.get("use_pq") and store.pq_model_path.exists():
+        from diskrag_tpu.pq.residual import pq_from_arrays
+
         with np.load(store.pq_model_path) as loaded:
-            pq = ProductQuantizer.from_arrays(dict(loaded))
+            pq = pq_from_arrays(dict(loaded))
         codes = np.load(store.pq_codes_path)
         if codes.shape != (meta["num_points"], pq.n_subvectors):
             raise ValueError(f"pq_codes shape {codes.shape} mismatch")

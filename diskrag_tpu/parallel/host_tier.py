@@ -122,6 +122,7 @@ def _sharded_pool_impl(
 )
 def _sharded_pool_pq_impl(
     codes, tables, adjacency, medoids, global_ids, entry_points, queries,
+    pq_cells=None, pq_bias=None, cell_tables=None,
     *, search_width: int, k: int, max_steps: int, expand_width: int,
     mesh: Mesh, use_pallas_adc: bool,
 ):
@@ -130,23 +131,37 @@ def _sharded_pool_pq_impl(
     2*D) — extends the per-chip shard capacity ~2*D/m beyond bf16 mode.
     The exact host rerank downstream is unchanged, so result quality
     follows the ADC-traversal recall (see docs/PERFORMANCE.md on when
-    PQ-guided traversal holds up)."""
+    PQ-guided traversal holds up). Optional residual-PQ aux (all three
+    together): pq_cells int32 [S, Ns], pq_bias f32 [S, Ns],
+    cell_tables [B, C] (pq/residual.py serving decomposition)."""
     from diskrag_tpu.ops.pq_scan import adc_lookup_gathered_pallas
     from diskrag_tpu.pq.product_quantizer import adc_lookup, adc_lookup_gathered
 
-    def local_search(cds, adj, med, gid, ep, q, tbl):
+    residual = pq_cells is not None
+
+    def local_search(cds, adj, med, gid, ep, q, tbl, cl, bs, ctbl):
         cds, adj, gid = cds[0], adj[0], gid[0]
         med = med[0]
         ns = cds.shape[0]
+        if residual:
+            cl, bs = cl[0], bs[0]
 
         def expand(ids):
-            gathered = cds[jnp.clip(ids, 0, ns - 1)]
+            safe = jnp.clip(ids, 0, ns - 1)
+            gathered = cds[safe]
             if use_pallas_adc:
-                return adc_lookup_gathered_pallas(tbl, gathered)
-            return adc_lookup_gathered(tbl, gathered)
+                d = adc_lookup_gathered_pallas(tbl, gathered)
+            else:
+                d = adc_lookup_gathered(tbl, gathered)
+            if residual:
+                d = d + jnp.take_along_axis(ctbl, cl[safe], axis=1) + bs[safe]
+            return d
 
         def seed_expand(seeds):
-            return adc_lookup(tbl, cds[seeds])  # one shared code gather
+            d = adc_lookup(tbl, cds[seeds])  # one shared code gather
+            if residual:
+                d = d + ctbl[:, cl[seeds]] + bs[seeds][None, :]
+            return d
 
         return _local_pool(
             adj, med, gid, ep, expand, seed_expand, q.shape[0],
@@ -155,6 +170,10 @@ def _sharded_pool_pq_impl(
         )
 
     ep_spec = P() if entry_points is None else P("shard", None)
+    aux_specs = (
+        (P("shard", None), P("shard", None), P("data", None))
+        if residual else (P(), P(), P())
+    )
     return jax.shard_map(
         local_search,
         mesh=mesh,
@@ -166,10 +185,12 @@ def _sharded_pool_pq_impl(
             ep_spec,
             P("data", None),
             P("data", None, None),
+            *aux_specs,
         ),
         out_specs=P("data", None),
         check_vma=False,  # all_gather replicates over "shard"
-    )(codes, adjacency, medoids, global_ids, entry_points, queries, tables)
+    )(codes, adjacency, medoids, global_ids, entry_points, queries, tables,
+      pq_cells, pq_bias, cell_tables)
 
 
 @dataclasses.dataclass
@@ -191,7 +212,10 @@ class ShardedHostTier:
     entry_points: jax.Array | None = None
     mode: str = "bf16"        # "bf16" | "pq"
     codes: jax.Array | None = None  # [S, Ns, m] uint8 (pq mode)
-    pq: "object | None" = None      # ProductQuantizer (pq mode)
+    pq: "object | None" = None      # ProductQuantizer | ResidualPQ (pq mode)
+    # residual-PQ serving aux, sharded like codes (pq/residual.py)
+    pq_cells: jax.Array | None = None  # int32 [S, Ns]
+    pq_bias: jax.Array | None = None   # f32 [S, Ns]
 
     @property
     def n_shards(self) -> int:
@@ -202,6 +226,8 @@ class ShardedHostTier:
     def from_sharded_index(
         cls, index: ShardedIndex, reader: RecordReader, mesh: Mesh,
         *, mode: str = "bf16", pq=None, codes: np.ndarray | None = None,
+        pq_cells: np.ndarray | None = None,
+        pq_bias: np.ndarray | None = None,
     ) -> "ShardedHostTier":
         """Wrap a built ShardedIndex: place each array straight into its
         sharded layout and keep only the compressed traversal copy on
@@ -252,8 +278,21 @@ class ShardedHostTier:
                 f"this index uses metric={index.metric!r} — use bf16 mode, "
                 "or normalize the vectors and build with metric='l2'"
             )
+        from diskrag_tpu.pq.residual import ResidualPQ
+
+        residual = isinstance(pq, ResidualPQ)
+        if residual and (pq_cells is None or pq_bias is None):
+            raise ValueError(
+                "residual pq mode needs global pq_cells + pq_bias "
+                "(index/persist.py load_pq_aux)"
+            )
         gids = np.asarray(index.global_ids)
-        shard_codes = np.asarray(codes, np.uint8)[np.clip(gids, 0, None)]
+        safe_gids = np.clip(gids, 0, None)
+        shard_codes = np.asarray(codes, np.uint8)[safe_gids]
+        shard_cells = shard_bias = None
+        if residual:
+            shard_cells = np.asarray(pq_cells, np.int32)[safe_gids]
+            shard_bias = np.asarray(pq_bias, np.float32)[safe_gids]
         pad_mask = gids < 0
         if pad_mask.any():
             # padding rows are wrap-around duplicates of real points;
@@ -264,22 +303,43 @@ class ShardedHostTier:
             # f32 set over the link to read a handful of rows.
             ps, pr = np.nonzero(pad_mask)
             pad_vecs = np.asarray(index.vectors[ps, pr])
-            shard_codes[pad_mask] = np.asarray(pq.encode(pad_vecs))
+            if residual:
+                pad_codes, pad_cids = pq.encode(pad_vecs)
+                shard_codes[pad_mask] = np.asarray(pad_codes)
+                shard_cells[pad_mask] = np.asarray(pad_cids)
+                shard_bias[pad_mask] = np.asarray(
+                    pq.point_bias(pad_codes, pad_cids)
+                )
+            else:
+                shard_codes[pad_mask] = np.asarray(pq.encode(pad_vecs))
         return cls(
             vectors_bf16=None,
             mode="pq",
             codes=jax.device_put(shard_codes, spec3),
             pq=pq,
+            pq_cells=(
+                None if shard_cells is None
+                else jax.device_put(shard_cells, spec2)
+            ),
+            pq_bias=(
+                None if shard_bias is None
+                else jax.device_put(shard_bias, spec2)
+            ),
             **common,
         )
 
     def _pool(self, q: jax.Array, *, search_width, max_steps, expand_width):
         """Dispatch one traversal round -> device pool array [B, S*P]."""
         if self.mode == "pq":
-            tables = self.pq.compute_distance_tables(q)
+            if self.pq_cells is not None:  # residual PQ (pq/residual.py)
+                tables = self.pq.inner_tables(q)
+                aux = (self.pq_cells, self.pq_bias, self.pq.cell_tables(q))
+            else:
+                tables = self.pq.compute_distance_tables(q)
+                aux = (None, None, None)
             return _sharded_pool_pq_impl(
                 self.codes, tables, self.adjacency, self.medoids,
-                self.global_ids, self.entry_points, q,
+                self.global_ids, self.entry_points, q, *aux,
                 search_width=search_width, k=search_width,
                 max_steps=max_steps, expand_width=expand_width,
                 mesh=self.mesh,

@@ -11,6 +11,12 @@ sklearn fits), encode/ADC are batched matmul + gather programs.
 
 from diskrag_tpu.pq.kmeans import kmeans_fit
 from diskrag_tpu.pq.product_quantizer import ProductQuantizer
+from diskrag_tpu.pq.residual import (
+    ResidualPQ,
+    RPQTables,
+    default_n_coarse,
+    pq_from_arrays,
+)
 from diskrag_tpu.pq.adaptive import (
     PQRecommendation,
     calculate_adaptive_pq_params,
@@ -19,6 +25,10 @@ from diskrag_tpu.pq.adaptive import (
 __all__ = [
     "kmeans_fit",
     "ProductQuantizer",
+    "ResidualPQ",
+    "RPQTables",
+    "default_n_coarse",
+    "pq_from_arrays",
     "PQRecommendation",
     "calculate_adaptive_pq_params",
 ]

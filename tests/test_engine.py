@@ -66,8 +66,19 @@ def _embed(base):
     return lambda text: mock_embedding(text, 128)
 
 
+def _assert_diag(eng, mode):
+    """Every serving mode must run the bring-up self-check (reference
+    search_engine.py:142-253 always self-checks) and pass it."""
+    d = eng.diagnostics
+    assert d is not None, f"no diagnostics in {mode} mode"
+    assert d["serving_mode"] == mode
+    assert d["self_retrieval_rate"] >= 0.8
+    assert d["passed"], d
+
+
 def test_engine_search_returns_query_itself(faq_collection):
     eng = SearchEngine("faq", base_dir=faq_collection / "collections")
+    _assert_diag(eng, "vamana")
     # query with an exact ingested text -> distance ~0 to itself
     out = eng.search(
         "如何使用功能3?",  # normalized form of ingested question
@@ -114,6 +125,7 @@ def test_engine_brute_force_fallback(tmp_path):
 
     eng = SearchEngine("tiny", base_dir=tmp_path / "collections")
     assert eng.brute_force_mode
+    _assert_diag(eng, "brute_force")
     out = eng.search(
         "whatever", k=3,
         embedding_fn=lambda t: vecs[7],
@@ -151,6 +163,7 @@ def test_engine_flat_and_ivf_index_types(tmp_path):
         )
         eng = SearchEngine("c", base_dir=tmp_path / f"coll_{itype}")
         assert eng.index_type == itype
+        _assert_diag(eng, itype)
         out = eng.search("q", k=3, embedding_fn=lambda t: vecs[42])
         assert out["results"][0]["text"] == "text 42"
         assert out["stats"]["search_type"] == itype
@@ -165,6 +178,7 @@ def test_engine_host_tier_serving_mode(faq_collection):
         serving_mode="host_tier",
     )
     assert not eng.brute_force_mode
+    _assert_diag(eng, "host_tier")
     out = eng.search(
         "如何使用功能3?", k=3, embedding_fn=_embed(faq_collection)
     )
@@ -198,6 +212,7 @@ def test_engine_sharded_index_type(tmp_path, clustered_data):
     eng = SearchEngine("c", base_dir=tmp_path / "coll_sharded")
     assert eng.index_type == "sharded"
     assert eng.mesh.shape == {"data": 2, "shard": 4}
+    _assert_diag(eng, "sharded")
     # small 300-point shards need a wider search than the B=1 default
     # (4 entry seeds/shard); L=48 is the adaptive recommendation scale
     out = eng.search("q", k=3, l_search=48, embedding_fn=lambda t: vecs[42])
@@ -293,6 +308,7 @@ def test_engine_sharded_flat_serving(tmp_path, clustered_data):
     eng = SearchEngine(
         "c", base_dir=tmp_path / "coll_sf", serving_mode="sharded_flat"
     )
+    _assert_diag(eng, "sharded_flat")
     out = eng.search("q", k=3, embedding_fn=lambda t: vecs[42])
     assert out["stats"]["search_type"] == "sharded_flat"
     assert out["results"][0]["text"] == "text 42"
@@ -443,3 +459,43 @@ def test_engine_search_with_debug(faq_collection):
         "如何使用功能2?", k=3, embedding_fn=_embed(faq_collection)
     )
     assert "results" in out2  # plain search payload
+
+
+def test_engine_residual_pq_serving(tmp_path, clustered_data):
+    """Default L2 vamana build trains a ResidualPQ (pq_kind auto,
+    build_index._resolve_pq_kind) and the engine serves the
+    pq_accelerated path through the residual decomposition at >= 0.9
+    recall@10 on clustered data — the regime where plain-PQ ADC ordering
+    collapses (docs/PERFORMANCE.md)."""
+    from diskrag_tpu.pq import ResidualPQ
+
+    vecs = clustered_data  # 2000 x 64
+    mgr = CollectionManager(tmp_path / "collections")
+    mgr.create_collection("c", dimension=vecs.shape[1])
+    mgr.update_collection(
+        "c", vecs, [f"text {i}" for i in range(len(vecs))],
+        [{"i": i} for i in range(len(vecs))],
+    )
+    meta = build_index_from_vectors(vecs, mgr.get_index_dir("c"))
+    assert meta["use_pq"] and meta["pq_kind"] == "residual"
+    assert (mgr.get_index_dir("c") / "pq_aux.npz").exists()
+    assert meta["pq_validation"]["passed"]
+
+    eng = SearchEngine("c", base_dir=tmp_path / "collections")
+    assert isinstance(eng.pq, ResidualPQ)
+    assert eng.pq_cells_j is not None and eng.pq_bias_j is not None
+    _assert_diag(eng, "vamana")
+
+    rng = np.random.default_rng(3)
+    qi = rng.integers(0, len(vecs), size=32)
+    queries = (
+        vecs[qi] + rng.normal(size=(32, vecs.shape[1])).astype(np.float32) * 0.1
+    ).astype(np.float32)
+    dists, ids, stats = eng.search_batch(queries, k=10)
+    assert stats["search_type"] == "pq_accelerated"
+    exact = ((queries[:, None, :] - vecs[None, :, :]) ** 2).sum(-1)
+    gt = np.argsort(exact, axis=1)[:, :10]
+    recall = np.mean(
+        [len(set(ids[i]) & set(gt[i])) / 10 for i in range(len(gt))]
+    )
+    assert recall >= 0.9, f"residual-PQ serving recall@10 = {recall}"

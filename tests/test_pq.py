@@ -184,3 +184,174 @@ def test_attach_pq(rng):
     # the adaptive tuner recommends brute force below 1000 points
     pq2, codes2, val2 = attach_pq(vecs)
     assert pq2 is None and codes2 is None and val2 is None
+
+
+def _clustered(rng, n=4000, dim=32, n_clusters=40, spread=0.05):
+    """Tightly-clustered set — the regime where plain PQ's ADC ordering
+    collapses (docs/PERFORMANCE.md 'Notes on the PQ-guided mode')."""
+    centers = rng.normal(size=(n_clusters, dim)).astype(np.float32)
+    lab = rng.integers(0, n_clusters, size=n)
+    return (
+        centers[lab]
+        + rng.normal(size=(n, dim)).astype(np.float32) * spread
+    ).astype(np.float32)
+
+
+def test_residual_pq_roundtrip_and_adc(rng):
+    from diskrag_tpu.pq import ResidualPQ
+
+    pts = _clustered(rng)
+    n, dim, m = pts.shape[0], pts.shape[1], 8
+    rpq = ResidualPQ(n_subvectors=m, n_coarse=64).fit(pts, seed=0)
+    codes, cids = rpq.encode(pts)
+    codes, cids = np.asarray(codes), np.asarray(cids)
+    assert codes.shape == (n, m) and codes.dtype == np.uint8
+    assert cids.shape == (n,) and cids.dtype == np.int32
+    assert cids.min() >= 0 and cids.max() < rpq.n_coarse
+
+    # ADC == exact distance to the reconstruction (numpy oracle)
+    rec = np.asarray(rpq.decode(codes, cids))
+    q = rng.normal(size=(4, dim)).astype(np.float32)
+    tables = rpq.compute_query_tables(q)
+    adc = np.asarray(
+        rpq.asymmetric_distance_sq(tables, jnp.asarray(codes), cids)
+    )
+    want = ((q[:, None, :] - rec[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(adc, want, rtol=1e-3, atol=1e-3)
+
+    # the whole point: residual PQ beats plain PQ at the same m on
+    # clustered data, in reconstruction error AND in ADC ordering
+    plain = ProductQuantizer(n_subvectors=m).fit(pts, seed=0)
+    assert rpq.reconstruction_error(pts) < 0.5 * plain.reconstruction_error(pts)
+    exact = ((q[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    p_tables = plain.compute_distance_tables(q)
+    p_adc = np.asarray(
+        plain.asymmetric_distance_sq(p_tables, plain.encode(pts))
+    )
+
+    def recall10(approx):
+        hits = 0
+        for i in range(len(q)):
+            true = set(np.argsort(exact[i])[:10].tolist())
+            got = set(np.argsort(approx[i])[:10].tolist())
+            hits += len(true & got)
+        return hits / (10 * len(q))
+
+    assert recall10(adc) >= recall10(p_adc)
+    assert recall10(adc) >= 0.5
+
+
+def test_residual_pq_gathered_matches_shared(rng):
+    from diskrag_tpu.pq import ResidualPQ
+    from diskrag_tpu.pq.residual import rpq_lookup_gathered
+
+    pts = _clustered(rng, n=1500, dim=16)
+    rpq = ResidualPQ(n_subvectors=4, n_coarse=32).fit(pts, seed=1)
+    codes, cids = rpq.encode(pts)
+    b, c = 3, 9
+    q = rng.normal(size=(b, 16)).astype(np.float32)
+    tables = rpq.compute_query_tables(q)
+    cand = rng.integers(0, pts.shape[0], size=(b, c))
+    got = np.asarray(
+        rpq_lookup_gathered(
+            tables, rpq.t2_flat,
+            jnp.asarray(np.asarray(codes)[cand]),
+            jnp.asarray(np.asarray(cids)[cand], np.int32),
+        )
+    )
+    full = np.asarray(rpq.asymmetric_distance_sq(tables, codes, cids))
+    want = np.take_along_axis(full, cand, axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_residual_pq_persistence_roundtrip(rng, tmp_path):
+    from diskrag_tpu.pq import ResidualPQ, pq_from_arrays
+
+    pts = _clustered(rng, n=1500, dim=16)
+    rpq = ResidualPQ(n_subvectors=4, n_coarse=32).fit(pts, seed=2)
+    path = tmp_path / "rpq.npz"
+    np.savez(path, **rpq.to_arrays())
+    clone = pq_from_arrays(dict(np.load(path)))
+    assert isinstance(clone, ResidualPQ)
+    assert clone.n_coarse == rpq.n_coarse
+    c0, i0 = rpq.encode(pts[:64])
+    c1, i1 = clone.encode(pts[:64])
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+    # plain-PQ artifacts still dispatch to ProductQuantizer
+    plain = ProductQuantizer(n_subvectors=4).fit(pts, seed=0)
+    np.savez(tmp_path / "pq.npz", **plain.to_arrays())
+    back = pq_from_arrays(dict(np.load(tmp_path / "pq.npz")))
+    assert isinstance(back, ProductQuantizer)
+
+
+def test_residual_pq_serving_decomposition(rng):
+    """The serving split (inner tables + cell table + point bias — the
+    plain-PQ-machinery path used by beam_search_pq) must agree with the
+    RPQTables oracle lookup."""
+    from diskrag_tpu.pq import ResidualPQ
+    from diskrag_tpu.pq.product_quantizer import adc_lookup
+
+    pts = _clustered(rng, n=1500, dim=16)
+    rpq = ResidualPQ(n_subvectors=4, n_coarse=32).fit(pts, seed=3)
+    codes, cids = rpq.encode(pts)
+    q = rng.normal(size=(3, 16)).astype(np.float32)
+    inner = np.asarray(adc_lookup(rpq.inner_tables(q), codes))
+    cell = np.asarray(rpq.cell_tables(q))
+    bias = np.asarray(rpq.point_bias(codes, cids))
+    got = inner + cell[:, np.asarray(cids)] + bias[None, :]
+    want = np.asarray(
+        rpq.asymmetric_distance_sq(rpq.compute_query_tables(q), codes, cids)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_beam_search_residual_pq_traversal(clustered_data):
+    """PQ-guided graph traversal with the residual aux operands: on
+    clustered data the residual-guided traversal (exact rerank on top)
+    must reach >= 0.9 recall@10 and beat plain PQ at the same m."""
+    from diskrag_tpu.graph.knn_build import build_vamana_knn
+    from diskrag_tpu.graph.search import beam_search_pq
+    from diskrag_tpu.ops.distance import brute_force_topk
+    from diskrag_tpu.pq import ResidualPQ
+
+    pts = clustered_data  # 2000 x 64, 50 tight clusters
+    index = build_vamana_knn(pts, degree_bound=24, alpha=1.2, seed=0)
+    rng_l = np.random.default_rng(0)
+    qi = rng_l.integers(0, len(pts), size=32)
+    queries = (
+        pts[qi] + rng_l.normal(size=(32, pts.shape[1])).astype(np.float32) * 0.1
+    ).astype(np.float32)
+    _, gt = brute_force_topk(jnp.asarray(queries), jnp.asarray(pts), k=10)
+    gt = np.asarray(gt)
+
+    def recall(ids):
+        return float(np.mean(
+            [len(set(np.asarray(ids)[i]) & set(gt[i])) / 10 for i in range(len(gt))]
+        ))
+
+    m = 8
+    rpq = ResidualPQ(n_subvectors=m, n_coarse=64).fit(pts, seed=0)
+    codes, cids = rpq.encode(pts)
+    res = beam_search_pq(
+        codes, rpq.inner_tables(queries), index.adjacency, index.medoid,
+        search_width=48, k=10, rerank=True,
+        vectors=index.vectors, queries=jnp.asarray(queries),
+        entry_points=index.entry_points,
+        point_cell=jnp.asarray(cids), point_bias=rpq.point_bias(codes, cids),
+        cell_tables=rpq.cell_tables(queries),
+    )
+    r_res = recall(res.ids)
+
+    plain = ProductQuantizer(n_subvectors=m).fit(pts, seed=0)
+    pres = beam_search_pq(
+        plain.encode(pts), plain.compute_distance_tables(queries),
+        index.adjacency, index.medoid,
+        search_width=48, k=10, rerank=True,
+        vectors=index.vectors, queries=jnp.asarray(queries),
+        entry_points=index.entry_points,
+    )
+    r_plain = recall(pres.ids)
+    assert r_res >= 0.9, f"residual-guided recall@10 = {r_res}"
+    assert r_res >= r_plain, (r_res, r_plain)

@@ -330,3 +330,44 @@ def test_sharded_large_k_tiny_shards(clustered_data):
     # exhaustive scan with k=16 over 100 real points: all ids valid+unique
     for row in fids:
         assert len(set(row[row >= 0])) == (row >= 0).sum()
+
+
+def test_sharded_host_tier_residual_pq_mode(clustered_data, tmp_path):
+    """Residual-PQ traversal mode of the sharded host tier: the aux
+    operands shard with the codes and the decomposed ADC guides each
+    shard's traversal (pq/residual.py serving decomposition)."""
+    from diskrag_tpu.index.persist import write_compat_records
+    from diskrag_tpu.native import RecordReader
+    from diskrag_tpu.parallel.host_tier import ShardedHostTier
+    from diskrag_tpu.pq import ResidualPQ
+
+    pts = clustered_data
+    rng = np.random.default_rng(12)
+    sharded = build_sharded(pts, n_shards=4, degree_bound=24)
+    mesh = make_mesh(n_shards=4, n_data=2)
+    path = tmp_path / "vectors.dat"
+    write_compat_records(path, pts, np.empty((len(pts), 0), np.int32))
+    reader = RecordReader(path, len(pts), pts.shape[1], 0)
+
+    rpq = ResidualPQ(n_subvectors=8, n_coarse=64).fit(pts, seed=0)
+    codes, cids = rpq.encode(pts)
+    bias = np.asarray(rpq.point_bias(codes, cids))
+    ht = ShardedHostTier.from_sharded_index(
+        sharded, reader, mesh, mode="pq", pq=rpq,
+        codes=np.asarray(codes), pq_cells=np.asarray(cids), pq_bias=bias,
+    )
+    assert ht.mode == "pq" and ht.pq_cells is not None
+
+    qi = rng.integers(0, len(pts), size=50)
+    queries = pts[qi] + rng.normal(size=(50, pts.shape[1])).astype(np.float32) * 0.1
+    dists, ids, stats = ht.search(queries, search_width=48, k=10)
+    assert stats["mode"] == "pq"
+    _, gt = brute_force_topk(jnp.asarray(queries), jnp.asarray(pts), k=10)
+    gt = np.asarray(gt)
+    recall = np.mean(
+        [len(set(ids[i]) & set(gt[i])) / 10 for i in range(len(ids))]
+    )
+    assert recall >= 0.9, f"residual-pq sharded host-tier recall@10 = {recall}"
+    # rerank is exact regardless of the ADC traversal
+    d0 = ((queries[0] - pts[ids[0, 0]]) ** 2).sum()
+    np.testing.assert_allclose(dists[0, 0], d0, rtol=1e-3)
