@@ -204,28 +204,48 @@ def sweep_pq(
     index, pq, codes: np.ndarray, queries: np.ndarray, gt: np.ndarray, *,
     k: int, widths=(32, 48, 64, 96, 128), expand_widths=(1,),
     repeats: int = 3, pipeline: int = 4,
+    coarse_ids: np.ndarray | None = None, mode_label: str | None = None,
 ) -> list[SweepPoint]:
     """PQ-traversal + exact-rerank sweep (the PQ-accelerated mode,
-    reference search_engine.py:398-506 protocol-equivalent)."""
+    reference search_engine.py:398-506 protocol-equivalent). Pass a
+    ResidualPQ plus its `coarse_ids` to sweep the residual serving
+    decomposition (pq/residual.py)."""
     from diskrag_tpu.graph import beam_search_pq
 
     q = jnp.asarray(queries)
     codes_j = jnp.asarray(codes)
     chunks = _chunked(q, pipeline)
+    residual = coarse_ids is not None
+    if residual:
+        cells_j = jnp.asarray(coarse_ids, jnp.int32)
+        bias_j = jnp.asarray(pq.point_bias(codes_j, cells_j))
+        m = int(pq.n_subvectors)
+        mode = mode_label or f"rpq{m}+rerank"
+    else:
+        mode = mode_label or "pq+rerank"
     points = []
     for w in widths:
         for e in expand_widths:
             def run():
                 out = []
                 for c in chunks:
-                    tables = pq.compute_distance_tables(c)
+                    if residual:
+                        tables = pq.inner_tables(c)
+                        aux = {
+                            "point_cell": cells_j,
+                            "point_bias": bias_j,
+                            "cell_tables": pq.cell_tables(c),
+                        }
+                    else:
+                        tables = pq.compute_distance_tables(c)
+                        aux = {}
                     out.append(
                         beam_search_pq(
                             codes_j, tables, index.adjacency, index.medoid,
                             search_width=w, k=k, rerank=True,
                             vectors=index.vectors, queries=c,
                             metric=index.metric, expand_width=e,
-                            entry_points=index.entry_points,
+                            entry_points=index.entry_points, **aux,
                         ).ids
                     )
                 return out
@@ -235,7 +255,7 @@ def sweep_pq(
             rec = recall_at_k(ids, gt, k)
             points.append(
                 SweepPoint(w, rec, len(queries) / dt,
-                           dt / len(queries) * 1e3, "pq+rerank", e)
+                           dt / len(queries) * 1e3, mode, e)
             )
     return points
 
