@@ -138,10 +138,16 @@ def _resolve_pq_kind(pq_kind: str, metric: str) -> str:
     """"auto" trains a ResidualPQ on L2 indexes (the measured fix for the
     plain-PQ ADC-ordering collapse on clustered data, pq/residual.py) and
     a plain PQ otherwise (ADC traversal is L2-only anyway; plain codes
-    stay useful for compression/tooling)."""
+    stay useful for compression/tooling). "int8"/"int4" train the
+    MXU-scorable IntQuantizer (pq/intq.py) — the fast quantized-traversal
+    tier, L2 only."""
     if pq_kind == "auto":
         return "residual" if metric == "l2" else "plain"
-    if pq_kind not in ("plain", "residual"):
+    if pq_kind in ("int8", "int4") and metric != "l2":
+        raise ValueError(
+            f"pq_kind={pq_kind} is L2-only (normalize + l2 for cosine)"
+        )
+    if pq_kind not in ("plain", "residual", "int8", "int4"):
         raise ValueError(f"unknown pq_kind: {pq_kind}")
     return pq_kind
 
@@ -155,7 +161,17 @@ def _train_pq(
     opq_iters: int = 0,
 ):
     """Fit the requested quantizer kind; returns (pq, codes, coarse_ids)
-    with coarse_ids=None for plain PQ."""
+    with coarse_ids=None for plain PQ. For int8/int4 the "codes" are the
+    IntQuantizer's self-contained int8 rows (`n_subvectors` is ignored —
+    row width is set by the dimension and bit depth)."""
+    if kind in ("int8", "int4"):
+        from diskrag_tpu.pq import IntQuantizer, default_iq_cells
+
+        bits = int(kind[3:])
+        iq = IntQuantizer(
+            bits=bits, n_cells=default_iq_cells(len(vectors), bits)
+        ).fit(vectors, seed=seed)
+        return iq, iq.encode(vectors), None
     if kind == "residual":
         from diskrag_tpu.pq import ResidualPQ, default_n_coarse
 

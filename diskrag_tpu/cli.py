@@ -179,6 +179,7 @@ class DiskRAG:
             force_rebuild=force_rebuild,
             build_method=icfg.build_method,
             opq_iters=icfg.opq_iters,
+            pq_kind=icfg.pq_kind,
             write_compat=icfg.write_compat,
             params_override=override or None,
             checkpoint_dir=checkpoint_dir,

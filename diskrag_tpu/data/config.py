@@ -83,6 +83,11 @@ class IndexConfig:
     metric: str = "l2"
     type: str = "vamana"  # vamana | flat | ivf | sharded | auto
     force_pq: Optional[bool] = None  # None = adaptive decision
+    # quantizer for the PQ-accelerated serving tier: auto (residual on
+    # l2, plain otherwise) | plain | residual | int8 | int4 — int8/int4
+    # are the MXU-scorable IntQuantizer rows (pq/intq.py): ~10x the
+    # traversal QPS of ADC lookups at 2-4x the bytes/point
+    pq_kind: str = "auto"
     # explicit graph params override the adaptive schedule when set
     # (the reference documents R/L/alpha in its config.yaml.example
     # index: block but ignores them — we honor them)

@@ -697,19 +697,37 @@ class SearchEngine:
             # PQ-guided traversal would converge to the wrong region, so
             # those metrics fall through to exact traversal below (same
             # guard as HostTierIndex.from_store / ShardedHostTier)
-            tables, aux = self._pq_serving_tables(q)
-            res = beam_search_pq(
-                self.codes_j, tables, self.index.adjacency, self.index.medoid,
-                search_width=l_search, k=k, rerank=True,
-                vectors=self.index.vectors, queries=q,
-                metric=self.index.metric,
-                entry_points=self.index.entry_points,
-                **aux,
-            )
+            from diskrag_tpu.pq.intq import IntQuantizer
+
+            if isinstance(self.pq, IntQuantizer):
+                from diskrag_tpu.graph.search import beam_search_iq
+
+                res = beam_search_iq(
+                    self.codes_j, self.pq.query_tables(q),
+                    self.index.adjacency, self.index.medoid,
+                    dim=self.pq.dim, bits=self.pq.bits,
+                    n_cells=self.pq.n_cells,
+                    search_width=l_search, k=k, rerank=True,
+                    vectors=self.index.vectors, queries=q,
+                    metric=self.index.metric,
+                    entry_points=self.index.entry_points,
+                )
+                search_type = "iq_accelerated"
+            else:
+                tables, aux = self._pq_serving_tables(q)
+                res = beam_search_pq(
+                    self.codes_j, tables, self.index.adjacency,
+                    self.index.medoid,
+                    search_width=l_search, k=k, rerank=True,
+                    vectors=self.index.vectors, queries=q,
+                    metric=self.index.metric,
+                    entry_points=self.index.entry_points,
+                    **aux,
+                )
+                search_type = "pq_accelerated"
             dists, ids, nodes_visited = _fetch_packed(
                 res.dists, res.ids, res.n_expanded
             )
-            search_type = "pq_accelerated"
             n_pq = nodes_visited * self.index.degree_bound
             n_exact = b * (l_search + res.visited_ids.shape[1])
         else:

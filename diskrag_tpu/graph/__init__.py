@@ -12,13 +12,19 @@ cython_utils.pyx) with dense-array algorithms:
 """
 
 from diskrag_tpu.graph.types import VamanaIndex
-from diskrag_tpu.graph.search import beam_search, beam_search_pq, SearchResult
+from diskrag_tpu.graph.search import (
+    beam_search,
+    beam_search_iq,
+    beam_search_pq,
+    SearchResult,
+)
 from diskrag_tpu.graph.prune import robust_prune_batch
 from diskrag_tpu.graph.build import build_vamana, random_regular_init
 
 __all__ = [
     "VamanaIndex",
     "beam_search",
+    "beam_search_iq",
     "beam_search_pq",
     "SearchResult",
     "robust_prune_batch",

@@ -522,3 +522,86 @@ def beam_search_pq(
     # neighbors from the beam, but anything ever expanded is recoverable
     # from the visited log at the cost of one more gather.
     return exact_rerank(vectors, queries, res, k, metric)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "search_width", "k", "max_steps", "rerank", "metric", "expand_width",
+        "dim", "bits", "n_cells", "onehot_cells",
+    ),
+)
+def beam_search_iq(
+    rows: jax.Array,
+    tables,
+    adjacency: jax.Array,
+    medoid: jax.Array,
+    *,
+    dim: int,
+    bits: int,
+    n_cells: int,
+    search_width: int,
+    k: int,
+    max_steps: int | None = None,
+    rerank: bool = True,
+    vectors: jax.Array | None = None,
+    queries: jax.Array | None = None,
+    metric: str = Metric.L2.value,
+    expand_width: int = 1,
+    entry_points: jax.Array | None = None,
+    onehot_cells: bool = True,
+) -> SearchResult:
+    """Int-quantized graph search: traversal guided by MXU-scored int8/int4
+    rows (pq/intq.py), optional exact rerank of beam ∪ visited.
+
+    The fast-traversal sibling of beam_search_pq: a candidate costs ONE
+    int8 row gather + its share of one [B, Cand, D] matmul instead of
+    m ADC table lookups — ~10x the round throughput at 2-4x the bytes
+    (measured: the Pallas ADC round-lookup is 19 ms where the row
+    gather+dot round is ~2 ms at serving shapes). Replaces the
+    reference's PQ-accelerated mode (reference search_engine.py:381-506)
+    on the speed axis; ResidualPQ remains the max-compression tier.
+
+    Args:
+      rows: int8 [N, W] encoded rows (IntQuantizer.encode).
+      tables: IQTables from IntQuantizer.query_tables(queries).
+      dim / bits / n_cells: quantizer geometry (static).
+      onehot_cells: lookup the cell term as a fused compare-select-reduce
+        instead of per-element gathers (see pq/intq.py::_cell_term).
+    """
+    from diskrag_tpu.pq.intq import iq_score_gathered, iq_score_shared
+
+    if k > search_width:
+        raise ValueError(f"k={k} must be <= search_width={search_width}")
+    if max_steps is None:
+        max_steps = -(-2 * search_width // expand_width)
+    n = adjacency.shape[0]
+    b = tables.qw.shape[0]
+
+    def expand(ids):
+        gathered = rows[jnp.clip(ids, 0, n - 1)]
+        return iq_score_gathered(
+            tables, gathered, dim=dim, bits=bits, n_cells=n_cells,
+            onehot_cells=onehot_cells,
+        )
+
+    def seed_expand(seeds):
+        return iq_score_shared(
+            tables, rows[seeds], dim=dim, bits=bits, n_cells=n_cells
+        )
+
+    res = _frontier_search(
+        adjacency, medoid, expand, b,
+        search_width=search_width, k=search_width, max_steps=max_steps,
+        expand_width=expand_width, entry_points=entry_points,
+        seed_expand_fn=seed_expand,
+    )
+    if not rerank:
+        return SearchResult(
+            ids=res.ids[:, :k], dists=res.dists[:, :k],
+            visited_ids=res.visited_ids, visited_dists=res.visited_dists,
+            n_expanded=res.n_expanded, n_steps=res.n_steps,
+        )
+    if vectors is None or queries is None:
+        raise ValueError("rerank=True requires vectors and queries")
+    return exact_rerank(vectors, queries, res, k, metric)

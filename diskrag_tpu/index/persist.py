@@ -106,15 +106,19 @@ def save_pq_artifacts(
     the reference's pkl writer, io/diskann_persist.py:79-105); returns the
     meta keys describing them. A ResidualPQ additionally persists
     pq_aux.npz (coarse cell ids + per-point serving bias) and its coarse
-    codebook rides inside pq_model.npz (pq/residual.py)."""
+    codebook rides inside pq_model.npz (pq/residual.py). An IntQuantizer
+    (pq/intq.py) persists its int8 rows in pq_codes.npy (self-contained —
+    no aux file)."""
+    from diskrag_tpu.pq.intq import IntQuantizer
     from diskrag_tpu.pq.residual import ResidualPQ, pq_from_arrays
 
     if pq_codes is None:
         raise ValueError("pq given without pq_codes")
     residual = isinstance(pq, ResidualPQ)
+    intq = isinstance(pq, IntQuantizer)
     if residual and coarse_ids is None:
         raise ValueError("ResidualPQ needs coarse_ids alongside the codes")
-    pq_codes = np.asarray(pq_codes, np.uint8)
+    pq_codes = np.asarray(pq_codes, np.int8 if intq else np.uint8)
     _atomic_save_npy(store.pq_codes_path, pq_codes)
     tmp = store.pq_model_path.with_suffix(".npz.tmp")
     with open(tmp, "wb") as f:
@@ -122,6 +126,12 @@ def save_pq_artifacts(
     with np.load(tmp) as loaded:
         pq_from_arrays(dict(loaded))
     os.replace(tmp, store.pq_model_path)
+    if intq:
+        return {
+            "pq_kind": f"int{pq.bits}",
+            "iq_row_width": int(pq.row_width),
+            "iq_n_cells": int(pq.n_cells),
+        }
     meta = {
         "n_subvectors": int(pq.n_subvectors),
         "pq_centroids": int(pq.n_centroids),
@@ -260,7 +270,12 @@ def load_index(
         with np.load(store.pq_model_path) as loaded:
             pq = pq_from_arrays(dict(loaded))
         codes = np.load(store.pq_codes_path)
-        if codes.shape != (meta["num_points"], pq.n_subvectors):
+        from diskrag_tpu.pq.intq import IntQuantizer
+
+        want_w = (
+            pq.row_width if isinstance(pq, IntQuantizer) else pq.n_subvectors
+        )
+        if codes.shape != (meta["num_points"], want_w):
             raise ValueError(f"pq_codes shape {codes.shape} mismatch")
     return index, pq, codes, meta
 

@@ -17,6 +17,11 @@ from diskrag_tpu.pq.residual import (
     default_n_coarse,
     pq_from_arrays,
 )
+from diskrag_tpu.pq.intq import (
+    IntQuantizer,
+    IQTables,
+    default_iq_cells,
+)
 from diskrag_tpu.pq.adaptive import (
     PQRecommendation,
     calculate_adaptive_pq_params,
@@ -29,6 +34,9 @@ __all__ = [
     "RPQTables",
     "default_n_coarse",
     "pq_from_arrays",
+    "IntQuantizer",
+    "IQTables",
+    "default_iq_cells",
     "PQRecommendation",
     "calculate_adaptive_pq_params",
 ]

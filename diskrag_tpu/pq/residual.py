@@ -382,7 +382,12 @@ def _cell_tables_impl(coarse_centroids: jax.Array, q: jax.Array) -> jax.Array:
 
 def pq_from_arrays(arrays: dict):
     """Factory: build the right quantizer type from a persisted artifact
-    dict (ResidualPQ when the coarse codebook is present)."""
+    dict (IntQuantizer when iq_meta is present, ResidualPQ when the
+    coarse codebook is, plain ProductQuantizer otherwise)."""
+    if "iq_meta" in arrays:
+        from diskrag_tpu.pq.intq import IntQuantizer
+
+        return IntQuantizer.from_arrays(arrays)
     if "coarse_centroids" in arrays:
         return ResidualPQ.from_arrays(arrays)
     return ProductQuantizer.from_arrays(arrays)

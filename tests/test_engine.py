@@ -2,6 +2,7 @@
 `scripts/test_faq_workflow.py`: CSV -> ingest (mock embeddings) ->
 build index -> engine search -> faq_search with qa_id dedup, all offline."""
 
+import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 import pytest
@@ -499,3 +500,47 @@ def test_engine_residual_pq_serving(tmp_path, clustered_data):
         [len(set(ids[i]) & set(gt[i])) / 10 for i in range(len(gt))]
     )
     assert recall >= 0.9, f"residual-PQ serving recall@10 = {recall}"
+
+
+@pytest.mark.parametrize("kind", ["int8", "int4"])
+def test_engine_intq_serving(tmp_path, clustered_data, kind):
+    """pq_kind int8/int4 builds an IntQuantizer (MXU-scorable rows,
+    pq/intq.py) and the engine serves the iq_accelerated path at >= 0.9
+    recall@10 — the fast quantized-traversal tier."""
+    from diskrag_tpu.pq import IntQuantizer
+
+    vecs = clustered_data  # 2000 x 64
+    mgr = CollectionManager(tmp_path / "collections")
+    mgr.create_collection("c", dimension=vecs.shape[1])
+    mgr.update_collection(
+        "c", vecs, [f"text {i}" for i in range(len(vecs))],
+        [{"i": i} for i in range(len(vecs))],
+    )
+    meta = build_index_from_vectors(
+        vecs, mgr.get_index_dir("c"), pq_kind=kind
+    )
+    assert meta["use_pq"] and meta["pq_kind"] == kind
+    assert meta["pq_validation"]["passed"]
+    assert meta["iq_row_width"] == (
+        vecs.shape[1] + 2 if kind == "int8" else vecs.shape[1] // 2 + 4
+    )
+
+    eng = SearchEngine("c", base_dir=tmp_path / "collections")
+    assert isinstance(eng.pq, IntQuantizer)
+    assert eng.codes_j.dtype == jnp.int8
+    _assert_diag(eng, "vamana")
+    assert eng.diagnostics["pq_exact_correlation"] > 0.99
+
+    rng = np.random.default_rng(3)
+    qi = rng.integers(0, len(vecs), size=32)
+    queries = (
+        vecs[qi] + rng.normal(size=(32, vecs.shape[1])).astype(np.float32) * 0.1
+    ).astype(np.float32)
+    dists, ids, stats = eng.search_batch(queries, k=10)
+    assert stats["search_type"] == "iq_accelerated"
+    exact = ((queries[:, None, :] - vecs[None, :, :]) ** 2).sum(-1)
+    gt = np.argsort(exact, axis=1)[:, :10]
+    recall = np.mean(
+        [len(set(ids[i]) & set(gt[i])) / 10 for i in range(len(gt))]
+    )
+    assert recall >= 0.9, f"{kind} serving recall@10 = {recall}"
