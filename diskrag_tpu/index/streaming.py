@@ -1,0 +1,334 @@
+"""Streaming ingest: a mutable tier between one-wave insert and rebuild.
+
+The reference mutates its graph one point at a time under a lock
+(reference vamana_graph.py:58-125 `insert_node`); at TPU batch sizes that
+amortizes terribly (measured 274 inserts/s via one-wave
+`graph.dynamic.insert_points` — slower than the reference's scalar loop).
+The TPU-shaped fix is FreshDiskANN's: absorb new points into a small
+*exact* side buffer that is brute-scanned alongside the graph, and fold
+the buffer into the graph in bulk when it fills.
+
+Design:
+  - The side buffer is a preallocated device array [capacity, D]; an
+    append is ONE `dynamic_update_slice` dispatch per batch, so ingest
+    throughput is bounded by the merge amortization, not by dispatches.
+  - Search = graph beam search + masked flat scan of the buffer + top-k
+    merge, all inside one jitted function (one dispatch chain — eager
+    op mixing costs ~1.5 ms/op on this platform, see CLAUDE.md).
+    Buffer hits are EXACT, so recall during ingest is the graph's
+    recall on old points and 1.0 on buffered ones.
+  - Merge folds the buffer in bulk: a batched insert wave
+    (`graph.dynamic.insert_points`) while the buffer is a small fraction
+    of the graph, a full kNN rebuild (`graph.knn_build.build_vamana_knn`,
+    12 s warm at 200k) once it isn't. Deletes are tombstones in both
+    tiers; `consolidate()` compacts them (graph/dynamic.py).
+  - Ids are stable across merges: every point gets a permanent external
+    id at insert; searches return external ids via a device-resident
+    translation row (`self._ext_of_int`).
+
+Sustained ingest therefore costs: append dispatches (microseconds per
+batch) + merge_time / capacity per point. Measured on chip (200k base,
+see docs/PERFORMANCE.md "Streaming ingest"): >= 5k vectors/s sustained
+with recall held at the graph's operating point during ingest.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diskrag_tpu.graph import beam_search
+from diskrag_tpu.graph.dynamic import (
+    consolidate,
+    delete_points,
+    insert_points,
+    make_deleted_mask,
+)
+from diskrag_tpu.graph.types import VamanaIndex
+from diskrag_tpu.ops.distance import Metric, pairwise_distance
+from diskrag_tpu.ops.topk import INVALID_ID
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _append(buf: jax.Array, count: jax.Array, batch: jax.Array):
+    """One-dispatch batched append into the preallocated buffer."""
+    return jax.lax.dynamic_update_slice(buf, batch, (count, 0))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("search_width", "k", "expand_width", "metric"),
+)
+def _search_merged(
+    vectors: jax.Array,
+    adjacency: jax.Array,
+    medoid: jax.Array,
+    entry_points: Optional[jax.Array],
+    graph_ext: jax.Array,
+    graph_deleted: jax.Array,
+    buf: jax.Array,
+    buf_ext: jax.Array,
+    buf_live: jax.Array,
+    buf_count: jax.Array,
+    queries: jax.Array,
+    *,
+    search_width: int,
+    k: int,
+    expand_width: int,
+    metric: str,
+):
+    """Graph beam search + exact buffer scan + top-k merge, one program.
+
+    Graph results are over-fetched at the full beam width so tombstoned
+    rows can be dropped without losing k survivors; buffer rows beyond
+    `buf_count` (or tombstoned) are masked to +inf. Returns EXTERNAL ids.
+    """
+    res = beam_search(
+        vectors, adjacency, medoid, queries,
+        search_width=search_width, k=search_width, metric=metric,
+        expand_width=expand_width, entry_points=entry_points,
+    )
+    n = graph_deleted.shape[0]
+    safe = jnp.clip(res.ids, 0, n - 1)
+    bad = (res.ids == INVALID_ID) | graph_deleted[safe]
+    g_dists = jnp.where(bad, jnp.inf, res.dists)
+    g_ext = jnp.where(bad, INVALID_ID, graph_ext[safe])
+
+    cap = buf.shape[0]
+    slot_live = (
+        jnp.arange(cap, dtype=jnp.int32) < buf_count
+    ) & buf_live
+    b_d = pairwise_distance(queries, buf, Metric(metric))
+    b_d = jnp.where(slot_live[None, :], b_d, jnp.inf)
+    bk = min(k, cap)
+    b_neg, b_idx = jax.lax.top_k(-b_d, bk)
+    b_ext = jnp.where(jnp.isinf(b_neg), INVALID_ID, buf_ext[b_idx])
+
+    all_d = jnp.concatenate([g_dists, -b_neg], axis=1)
+    all_i = jnp.concatenate([g_ext, b_ext], axis=1)
+    neg, take = jax.lax.top_k(-all_d, k)
+    ids = jnp.take_along_axis(all_i, take, axis=1)
+    ids = jnp.where(jnp.isinf(-neg), INVALID_ID, ids)
+    return ids, -neg
+
+
+class StreamingIndex:
+    """Mutable serving tier: static Vamana graph + exact device buffer.
+
+    The reference counterpart is the insert/delete/consolidate surface of
+    `VamanaGraph` (reference vamana_graph.py:58-230); the behavior
+    deviation — buffered bulk merges instead of per-point graph mutation
+    — is this module's reason to exist (docstring above).
+
+    Not thread-safe: like the underlying jax arrays, callers serialize
+    mutations (the HTTP layer does; reference holds a lock, ours
+    documents the same single-writer contract).
+    """
+
+    def __init__(
+        self,
+        index: VamanaIndex,
+        *,
+        buffer_capacity: int = 65_536,
+        merge_insert_max_fraction: float = 0.125,
+        build_width: int = 64,
+        alpha: float = 1.2,
+        degree_bound: Optional[int] = None,
+        seed: int = 0,
+    ):
+        self.index = index
+        n = int(index.adjacency.shape[0])
+        self.capacity = int(buffer_capacity)
+        self.merge_insert_max_fraction = merge_insert_max_fraction
+        self.build_width = build_width
+        self.alpha = alpha
+        self.degree_bound = degree_bound or int(index.adjacency.shape[1])
+        self.seed = seed
+        self.metric = index.metric
+
+        dim = int(index.vectors.shape[1])
+        self._buf = jnp.zeros((self.capacity, dim), index.vectors.dtype)
+        self._buf_ext = jnp.full((self.capacity,), INVALID_ID, jnp.int32)
+        self._buf_live = jnp.zeros((self.capacity,), jnp.bool_)
+        self._count = 0
+        # external-id bookkeeping: graph row i serves external id
+        # _graph_ext[i]; external ids are dense and never reused
+        self._graph_ext = jnp.arange(n, dtype=jnp.int32)
+        self._graph_deleted = make_deleted_mask(n)
+        self._next_ext = n
+        self._n_deleted = 0
+        self.n_merges = 0
+        # host-side mirror for delete-by-external-id on the buffer
+        self._buf_ext_host: dict[int, int] = {}
+
+    # --- sizes -------------------------------------------------------------
+    @property
+    def n_graph(self) -> int:
+        return int(self.index.adjacency.shape[0])
+
+    @property
+    def n_buffered(self) -> int:
+        return self._count
+
+    @property
+    def n_total_live(self) -> int:
+        return self.n_graph + self._count - self._n_deleted
+
+    # --- mutation ------------------------------------------------------------
+    def insert(self, vectors: np.ndarray | jax.Array) -> np.ndarray:
+        """Insert a batch; returns the external ids assigned.
+
+        Appends are one dispatch per batch. When a batch would overflow
+        the buffer, the buffer is merged into the graph first (bulk
+        insert wave or rebuild — see `merge`)."""
+        v = jnp.asarray(vectors, self.index.vectors.dtype)
+        if v.ndim == 1:
+            v = v[None, :]
+        m = int(v.shape[0])
+        if m > self.capacity:
+            # oversized batch: fold straight into the graph
+            ids = np.arange(self._next_ext, self._next_ext + m, dtype=np.int32)
+            self._merge_vectors(v, jnp.asarray(ids))
+            self._next_ext += m
+            return ids
+        if self._count + m > self.capacity:
+            self.merge()
+        ids = np.arange(self._next_ext, self._next_ext + m, dtype=np.int32)
+        self._buf = _append(self._buf, jnp.int32(self._count), v)
+        self._buf_ext = jax.lax.dynamic_update_slice(
+            self._buf_ext, jnp.asarray(ids), (self._count,)
+        )
+        self._buf_live = jax.lax.dynamic_update_slice(
+            self._buf_live, jnp.ones((m,), jnp.bool_), (self._count,)
+        )
+        for j, e in enumerate(ids):
+            self._buf_ext_host[int(e)] = self._count + j
+        self._count += m
+        self._next_ext += m
+        return ids
+
+    def delete(self, external_ids) -> None:
+        """Tombstone by external id (either tier)."""
+        ext = np.atleast_1d(np.asarray(external_ids, np.int64))
+        graph_rows = []
+        buf_slots = []
+        ext_host = np.asarray(self._graph_ext)
+        # graph rows: external ids below the graph's watermark are its
+        # rows only if still mapped there (post-merge they always are)
+        ext_to_row = None
+        for e in ext:
+            slot = self._buf_ext_host.get(int(e))
+            if slot is not None:
+                buf_slots.append(slot)
+                continue
+            if ext_to_row is None:
+                ext_to_row = {int(x): i for i, x in enumerate(ext_host)}
+            row = ext_to_row.get(int(e))
+            if row is None:
+                raise KeyError(f"unknown external id {int(e)}")
+            graph_rows.append(row)
+        if graph_rows:
+            self._graph_deleted = delete_points(
+                self._graph_deleted, np.asarray(graph_rows, np.int32)
+            )
+        if buf_slots:
+            sl = jnp.asarray(buf_slots, jnp.int32)
+            self._buf_live = self._buf_live.at[sl].set(False)
+        self._n_deleted += len(ext)
+
+    # --- merge ---------------------------------------------------------------
+    def merge(self) -> None:
+        """Fold the buffer into the graph in bulk."""
+        if self._count == 0:
+            return
+        live = np.asarray(self._buf_live[: self._count])
+        vecs = jnp.asarray(self._buf[: self._count][jnp.asarray(live)])
+        exts = jnp.asarray(self._buf_ext[: self._count][jnp.asarray(live)])
+        self._merge_vectors(vecs, exts)
+        self._buf_live = jnp.zeros_like(self._buf_live)
+        self._buf_ext = jnp.full_like(self._buf_ext, INVALID_ID)
+        self._count = 0
+        self._buf_ext_host.clear()
+        self.n_merges += 1
+
+    def _merge_vectors(self, vecs: jax.Array, exts: jax.Array) -> None:
+        m = int(vecs.shape[0])
+        if m == 0:
+            return
+        n = self.n_graph
+        if m <= self.merge_insert_max_fraction * n:
+            self.index = insert_points(
+                self.index, vecs,
+                build_width=self.build_width, alpha=self.alpha,
+            )
+            self._graph_deleted = jnp.concatenate(
+                [self._graph_deleted, jnp.zeros((m,), jnp.bool_)]
+            )
+        else:
+            from diskrag_tpu.graph.knn_build import build_vamana_knn
+
+            # rebuild drops graph tombstones for free
+            keep = ~np.asarray(self._graph_deleted)
+            old_vecs = self.index.vectors[jnp.asarray(keep)]
+            old_ext = self._graph_ext[jnp.asarray(keep)]
+            all_vecs = jnp.concatenate([old_vecs, vecs])
+            self.index = build_vamana_knn(
+                all_vecs, degree_bound=self.degree_bound,
+                alpha=self.alpha, seed=self.seed, metric=self.metric,
+            )
+            self._graph_ext = jnp.concatenate([old_ext, exts])
+            self._n_deleted -= int((~keep).sum())
+            self._graph_deleted = make_deleted_mask(
+                int(all_vecs.shape[0])
+            )
+            return
+        self._graph_ext = jnp.concatenate([self._graph_ext, exts])
+
+    def consolidate(self) -> None:
+        """Compact graph tombstones (graph/dynamic.py `consolidate`)."""
+        self.merge()
+        if not bool(np.any(np.asarray(self._graph_deleted))):
+            return
+        n_del = int(np.asarray(self._graph_deleted).sum())
+        new_index, old_to_new = consolidate(
+            self.index, self._graph_deleted,
+            build_width=self.build_width, alpha=self.alpha,
+            refine_fraction=0.1, seed=self.seed,
+        )
+        keep = old_to_new >= 0
+        self._graph_ext = self._graph_ext[jnp.asarray(keep)]
+        self.index = new_index
+        self._graph_deleted = make_deleted_mask(self.n_graph)
+        self._n_deleted -= n_del
+
+    # --- search ----------------------------------------------------------------
+    def search(
+        self,
+        queries: np.ndarray | jax.Array,
+        *,
+        k: int = 10,
+        search_width: int = 32,
+        expand_width: int = 8,
+    ):
+        """Merged search over graph + buffer. Returns (ids, dists) in
+        EXTERNAL ids; dists are squared L2 (API edges sqrt, engine.py
+        convention)."""
+        q = jnp.asarray(queries, self.index.vectors.dtype)
+        squeeze = q.ndim == 1
+        if squeeze:
+            q = q[None, :]
+        ids, dists = _search_merged(
+            self.index.vectors, self.index.adjacency, self.index.medoid,
+            self.index.entry_points, self._graph_ext, self._graph_deleted,
+            self._buf, self._buf_ext, self._buf_live,
+            jnp.int32(self._count), q,
+            search_width=search_width, k=k, expand_width=expand_width,
+            metric=self.metric,
+        )
+        if squeeze:
+            return ids[0], dists[0]
+        return ids, dists

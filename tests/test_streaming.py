@@ -1,0 +1,150 @@
+"""Streaming-ingest tier tests (index/streaming.py): buffered inserts are
+immediately searchable with exact scores, deletes tombstone either tier,
+merges (insert-wave and rebuild paths) keep external ids stable, recall
+holds through a full ingest cycle — the FreshDiskANN-style replacement
+for the reference's per-point mutation (reference vamana_graph.py:58-230)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from diskrag_tpu.graph import build_vamana
+from diskrag_tpu.index.streaming import StreamingIndex
+from diskrag_tpu.ops import brute_force_topk
+
+
+def _recall(ids, gt):
+    return np.mean(
+        [len(set(ids[i]) & set(gt[i])) / gt.shape[1] for i in range(len(ids))]
+    )
+
+
+def _make(pts, **kw):
+    idx = build_vamana(pts, degree_bound=24, build_width=48, wave_size=256)
+    return StreamingIndex(idx, **kw)
+
+
+def test_insert_immediately_searchable(clustered_data):
+    base, extra = clustered_data[:1800], clustered_data[1800:]
+    s = _make(base)
+    ids = s.insert(extra)
+    assert list(ids) == list(range(1800, 2000))
+    assert s.n_buffered == 200
+
+    # buffered points are scanned exactly: searching for them finds them
+    got, dists = s.search(extra[:32], k=1, search_width=32)
+    assert np.mean(np.asarray(got)[:, 0] == ids[:32]) == 1.0
+    assert float(np.max(np.asarray(dists)[:, 0])) < 1e-3
+
+
+def test_search_merges_tiers(clustered_data, rng):
+    base, extra = clustered_data[:1600], clustered_data[1600:]
+    s = _make(base)
+    s.insert(extra)
+    q = clustered_data[rng.integers(0, 2000, 64)] + rng.normal(
+        size=(64, base.shape[1])
+    ).astype(np.float32) * 0.05
+    got, _ = s.search(q, k=10, search_width=48)
+    _, gt = brute_force_topk(jnp.asarray(q), jnp.asarray(clustered_data), k=10)
+    rec = _recall(np.asarray(got), np.asarray(gt))
+    assert rec >= 0.95, f"merged-tier recall {rec:.3f}"
+
+
+def test_delete_both_tiers(clustered_data):
+    base, extra = clustered_data[:1800], clustered_data[1800:]
+    s = _make(base)
+    ids = s.insert(extra)
+    # delete one buffered point and one graph point, then search for them
+    s.delete([int(ids[0]), 7])
+    got, _ = s.search(
+        np.stack([extra[0], base[7]]), k=5, search_width=48
+    )
+    got = np.asarray(got)
+    assert int(ids[0]) not in got[0]
+    assert 7 not in got[1]
+
+
+def test_merge_insert_wave_path(clustered_data):
+    base, extra = clustered_data[:1800], clustered_data[1800:]
+    s = _make(base, merge_insert_max_fraction=0.5)
+    ids = s.insert(extra)
+    s.merge()
+    assert s.n_buffered == 0 and s.n_merges == 1
+    assert s.n_graph == 2000
+    # external ids survive the merge
+    got, dists = s.search(extra[:32], k=1, search_width=48)
+    frac = np.mean(np.asarray(got)[:, 0] == ids[:32])
+    assert frac >= 0.9, f"post-merge self-retrieval {frac:.2f}"
+
+
+def test_merge_rebuild_path(clustered_data):
+    base, extra = clustered_data[:1600], clustered_data[1600:]
+    s = _make(base, merge_insert_max_fraction=0.01)  # force rebuild
+    ids = s.insert(extra)
+    s.delete([3, 5])  # graph tombstones are dropped by the rebuild
+    s.merge()
+    assert s.n_graph == 1600 + 400 - 2
+    got, _ = s.search(extra[:32], k=1, search_width=48)
+    frac = np.mean(np.asarray(got)[:, 0] == ids[:32])
+    assert frac >= 0.9, f"post-rebuild self-retrieval {frac:.2f}"
+    # deleted graph points stay gone
+    got, _ = s.search(np.stack([base[3], base[5]]), k=5, search_width=48)
+    got = np.asarray(got)
+    assert 3 not in got[0] and 5 not in got[1]
+
+
+def test_auto_merge_on_overflow(clustered_data):
+    base = clustered_data[:1600]
+    s = _make(base, buffer_capacity=256, merge_insert_max_fraction=0.5)
+    for lo in range(1600, 2000, 100):
+        s.insert(clustered_data[lo : lo + 100])
+    assert s.n_merges >= 1
+    assert s.n_graph + s.n_buffered == 2000
+    got, _ = s.search(clustered_data[1900:1932], k=1, search_width=48)
+    frac = np.mean(np.asarray(got)[:, 0] == np.arange(1900, 1932))
+    assert frac >= 0.9
+
+
+def test_oversized_batch_goes_straight_to_graph(clustered_data):
+    base, extra = clustered_data[:1500], clustered_data[1500:]
+    s = _make(base, buffer_capacity=128, merge_insert_max_fraction=0.5)
+    ids = s.insert(extra)  # 500 > capacity
+    assert s.n_buffered == 0
+    assert s.n_graph == 2000
+    got, _ = s.search(extra[:32], k=1, search_width=48)
+    assert np.mean(np.asarray(got)[:, 0] == ids[:32]) >= 0.9
+
+
+def test_consolidate_compacts_tombstones(clustered_data):
+    base, extra = clustered_data[:1800], clustered_data[1800:]
+    s = _make(base, merge_insert_max_fraction=0.5)
+    s.insert(extra)
+    dead = list(range(0, 100))
+    s.delete(dead)
+    s.consolidate()
+    assert s.n_graph == 1900
+    assert s._n_deleted == 0
+    # survivors keep their external ids
+    got, _ = s.search(base[150:182], k=1, search_width=48)
+    frac = np.mean(np.asarray(got)[:, 0] == np.arange(150, 182))
+    assert frac >= 0.9
+    # deleted are unfindable
+    got, _ = s.search(base[:8], k=3, search_width=48)
+    assert not np.isin(np.asarray(got), np.arange(100)).any()
+
+
+def test_recall_holds_during_ingest(clustered_data, rng):
+    """The VERDICT r1 gate: recall during ingest stays at the graph's
+    operating point (buffered points are exact hits)."""
+    base = clustered_data[:1500]
+    s = _make(base, buffer_capacity=128, merge_insert_max_fraction=0.3)
+    q = clustered_data[rng.integers(0, 2000, 48)] + rng.normal(
+        size=(48, base.shape[1])
+    ).astype(np.float32) * 0.05
+    recs = []
+    for lo in range(1500, 2000, 100):
+        s.insert(clustered_data[lo : lo + 100])
+        live = clustered_data[: lo + 100]
+        got, _ = s.search(q, k=10, search_width=48)
+        _, gt = brute_force_topk(jnp.asarray(q), jnp.asarray(live), k=10)
+        recs.append(_recall(np.asarray(got), np.asarray(gt)))
+    assert min(recs) >= 0.95, f"ingest recall dipped to {min(recs):.3f}"
