@@ -262,10 +262,11 @@ def sweep_pq(
 
 def sweep_flat(
     pts: np.ndarray, queries: np.ndarray, gt: np.ndarray, *, k: int,
-    metric: str = "l2", repeats: int = 3,
+    metric: str = "l2", repeats: int = 3, adaptive_target: float = 0.96,
 ) -> list[SweepPoint]:
     """Exhaustive MXU-scan mode: the default per-row-int8 fused scan,
-    plus (on TPU) the packed-int32-fold variant as its own point."""
+    plus (on TPU) the packed-int32-fold variant as its own point, plus a
+    recall-targeted adaptive rerank-width point (the headline candidate)."""
     from diskrag_tpu.ops.flat import FlatIndex
 
     idx = FlatIndex(pts, metric=metric)
@@ -285,18 +286,9 @@ def sweep_flat(
         # (see flat_search_fused docstring for the measured tradeoff)
         variants = [("flat-rr24", "int8", 24)]
         if metric != "dot":
-            # packed rerank widths swept 2026-08 at 200k: rw=17 is the
-            # narrowest point above the 0.95 recall gate (0.9537 — a
-            # tight 0.004 margin, hence rw=18 at 0.962 stays in the
-            # sweep as the robust point); rw=16 falls below it (0.944).
-            # Recall per width is deterministic on the seeded dataset;
-            # only QPS varies run to run.
             variants += [
                 ("flat-packed", "int8_packed", None),
                 ("flat-packed-rr24", "int8_packed", 24),
-                ("flat-packed-rr20", "int8_packed", 20),
-                ("flat-packed-rr18", "int8_packed", 18),
-                ("flat-packed-rr17", "int8_packed", 17),
             ]
         for mode, prec, rw in variants:
             idx = FlatIndex(
@@ -308,6 +300,110 @@ def sweep_flat(
             points.append(
                 SweepPoint(0, rec, len(queries) / dt,
                            dt / len(queries) * 1e3, mode)
+            )
+        if metric != "dot":
+            p = adaptive_flat_point(
+                pts, queries, gt, k=k, metric=metric,
+                target_recall=adaptive_target, repeats=repeats,
+            )
+            if p is not None:
+                points.append(p)
+    return points
+
+
+def adaptive_flat_point(
+    pts: np.ndarray, queries: np.ndarray, gt: np.ndarray, *, k: int,
+    metric: str = "l2", target_recall: float = 0.96, max_width: int = 48,
+    repeats: int = 3,
+) -> SweepPoint | None:
+    """Recall-targeted rerank-width selection for the packed flat scan.
+
+    Binary-searches the narrowest `rerank_width` whose recall@k on a
+    held-out half of the queries clears `target_recall` (recall is
+    monotone in the width: a wider exact rerank sees a superset of
+    candidates), then measures QPS at that width on the full query set.
+    Replaces a hard-coded width list, which left the headline's margin
+    above the recall gate an accident of the dataset seed — any re-roll
+    of BENCH_N or the seed re-derives the right width instead of
+    invalidating a constant."""
+    from diskrag_tpu.ops.flat import FlatIndex
+
+    n_sel = max(1, len(queries) // 2)
+    sel_q = jnp.asarray(queries[:n_sel])
+    sel_gt = gt[:n_sel]
+
+    def recall_at_width(rw: int) -> float:
+        idx = FlatIndex(
+            pts, metric=metric, fused_precision="int8_packed",
+            rerank_width=rw,
+        )
+        if not idx.use_fused:
+            return -1.0
+        _, ids = idx.search(sel_q, k=k)
+        return recall_at_k(np.asarray(ids), sel_gt, k)
+
+    lo, hi = k, max_width
+    if recall_at_width(hi) < target_recall:
+        return None  # packed scan can't hit the target on this data
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if recall_at_width(mid) >= target_recall:
+            hi = mid
+        else:
+            lo = mid + 1
+    rw = hi
+    idx = FlatIndex(
+        pts, metric=metric, fused_precision="int8_packed", rerank_width=rw
+    )
+    q = jnp.asarray(queries)
+    dt, (dists, ids) = _measure(lambda: idx.search(q, k=k),
+                                len(queries), repeats)
+    rec = recall_at_k(np.asarray(ids), gt, k)
+    return SweepPoint(
+        rw, rec, len(queries) / dt, dt / len(queries) * 1e3,
+        f"flat-packed-rr{rw}-auto",
+    )
+
+
+def sweep_iq(
+    index, iq, rows: np.ndarray, queries: np.ndarray, gt: np.ndarray, *,
+    k: int, widths=(16, 24), expand_widths=(8,), repeats: int = 3,
+    pipeline: int = 4,
+) -> list[SweepPoint]:
+    """Int-quantized traversal sweep (pq/intq.py + beam_search_iq): the
+    fast compressed tier — MXU-scored int8/int4 rows guide the beam,
+    exact rerank restores recall. This is the framework's speed-side
+    replacement for the reference's PQ-accelerated serving mode
+    (reference search_engine.py:381-506)."""
+    from diskrag_tpu.graph import beam_search_iq
+
+    q = jnp.asarray(queries)
+    chunks = _chunked(q, pipeline)
+    rows_j = jnp.asarray(rows)
+    tabs = [iq.query_tables(c) for c in chunks]
+    label = f"iq{iq.bits}" + (f"c{iq.n_cells}" if iq.n_cells else "")
+    points = []
+    for w in widths:
+        for e in expand_widths:
+            def run():
+                return [
+                    beam_search_iq(
+                        rows_j, t, index.adjacency, index.medoid,
+                        dim=iq.dim, bits=iq.bits, n_cells=iq.n_cells,
+                        search_width=w, k=k, rerank=True,
+                        vectors=index.vectors, queries=c,
+                        metric=index.metric, expand_width=e,
+                        entry_points=index.entry_points,
+                    ).ids
+                    for c, t in zip(chunks, tabs)
+                ]
+
+            dt, out = _measure(run, len(queries), repeats)
+            ids = np.concatenate([np.asarray(o) for o in out])
+            rec = recall_at_k(ids, gt, k)
+            points.append(
+                SweepPoint(w, rec, len(queries) / dt,
+                           dt / len(queries) * 1e3, label, e)
             )
     return points
 
