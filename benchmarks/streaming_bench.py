@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""On-chip streaming-ingest measurement (docs/PERFORMANCE.md "Streaming
+ingest"; VERDICT r1 #6 done-criterion: sustained ingest rate + recall
+held during ingest at 200k base scale).
+
+Protocol: build a 200k-base Vamana graph, then stream `STREAM_N` new
+points through `StreamingIndex.insert` in `BATCH`-sized batches, timing
+the whole ingest wall (appends + every merge it triggers). Recall is
+probed mid-stream (buffer half full) and post-stream against an exact
+oracle over the full live set. Two buffer configs: one whose merges take
+the bulk-rebuild path and one sized for the insert-wave path.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/streaming_bench.py
+"""
+
+import json
+import os
+import pathlib
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    str(pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+import numpy as np
+
+BASE_N = int(os.environ.get("BASE_N", "200000"))
+STREAM_N = int(os.environ.get("STREAM_N", "131072"))
+BATCH = int(os.environ.get("BATCH", "1024"))
+DIM = int(os.environ.get("BENCH_DIM", "128"))
+N_QUERIES = 1000
+K = 10
+
+
+def main():
+    from diskrag_tpu.benchmark import ground_truth, make_dataset, recall_at_k
+    from diskrag_tpu.graph.knn_build import build_vamana_knn
+    from diskrag_tpu.index.streaming import StreamingIndex
+
+    pts, queries = make_dataset(BASE_N + STREAM_N, DIM, N_QUERIES)
+    base, stream = pts[:BASE_N], pts[BASE_N:]
+
+    print(f"base build ({BASE_N})...", flush=True)
+    t0 = time.perf_counter()
+    index = build_vamana_knn(base, degree_bound=48, alpha=1.2, seed=0)
+    print(f"  {time.perf_counter() - t0:.1f}s", flush=True)
+
+    results = []
+    for capacity in (16384, 65536):
+        idx = StreamingIndex(index, buffer_capacity=capacity)
+        # warm the merged-search + append compiles out of the timed region
+        idx.insert(stream[:BATCH])
+        idx.search(queries, k=K, search_width=32)
+        idx.merge()
+
+        probes = []
+        t0 = time.perf_counter()
+        for off in range(BATCH, STREAM_N, BATCH):
+            idx.insert(stream[off : off + BATCH])
+            if idx.n_buffered == capacity // 2 and len(probes) < 2:
+                # mid-stream recall probe (excluded from the rate: it is
+                # a serving-path call, not ingest work)
+                t_probe = time.perf_counter()
+                live = np.concatenate(
+                    [base, stream[: off + BATCH]]
+                )
+                gt = ground_truth(live, queries, K)
+                ids, _ = idx.search(queries, k=K, search_width=32)
+                probes.append(
+                    {
+                        "n_live": int(idx.n_total_live),
+                        "n_buffered": int(idx.n_buffered),
+                        "recall": round(recall_at_k(np.asarray(ids), gt, K), 4),
+                    }
+                )
+                t0 += time.perf_counter() - t_probe
+        idx.merge()
+        # drain: one host fetch of a fresh search forces everything
+        # dispatched above to finish (in-order execution; CLAUDE.md)
+        ids, _ = idx.search(queries, k=K, search_width=32)
+        np.asarray(ids)
+        ingest_s = time.perf_counter() - t0
+
+        live = np.concatenate([base, stream])
+        gt = ground_truth(live, queries, K)
+        ids, _ = idx.search(queries, k=K, search_width=32)
+        final_recall = recall_at_k(np.asarray(ids), gt, K)
+
+        # steady-state search QPS with a half-full buffer
+        idx.insert(stream[: capacity // 2])
+        idx.search(queries, k=K, search_width=32)
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            ids, _ = idx.search(queries, k=K, search_width=32)
+        np.asarray(ids)
+        qps = N_QUERIES * reps / (time.perf_counter() - t0)
+
+        r = {
+            "capacity": capacity,
+            "ingest_per_s": round((STREAM_N - BATCH) / ingest_s, 1),
+            "ingest_seconds": round(ingest_s, 1),
+            "n_merges": idx.n_merges,
+            "mid_stream_probes": probes,
+            "final_recall": round(final_recall, 4),
+            "search_qps_half_buffer": round(qps, 1),
+        }
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    print(json.dumps({"base_n": BASE_N, "stream_n": STREAM_N, "runs": results}))
+
+
+if __name__ == "__main__":
+    main()

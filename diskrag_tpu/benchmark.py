@@ -412,10 +412,17 @@ def sweep_ivf(
     pts: np.ndarray, queries: np.ndarray, gt: np.ndarray, *, k: int,
     metric: str = "l2", n_probes=(8, 16, 32, 64), n_cells: int | None = None,
     repeats: int = 3,
-) -> tuple[list[SweepPoint], float]:
-    """IVF-flat mode swept over n_probe. Returns (points, build_seconds)."""
+) -> tuple[list[SweepPoint], tuple[float, float]]:
+    """IVF-flat mode swept over n_probe. Returns (points, (build_cold_s,
+    build_warm_s)): like the graph build, the first build pays the XLA
+    compiles (k-means fit + assignment + tile packing) and the dataset
+    upload; the second is the steady-state build time comparable to a
+    compile-free CPU baseline."""
     from diskrag_tpu.index.ivf import build_ivf
 
+    t0 = time.perf_counter()
+    build_ivf(pts, n_cells=n_cells, metric=metric)
+    build_cold_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     idx = build_ivf(pts, n_cells=n_cells, metric=metric)
     build_s = time.perf_counter() - t0
@@ -434,7 +441,7 @@ def sweep_ivf(
             SweepPoint(p, rec, len(queries) / dt,
                        dt / len(queries) * 1e3, "ivf", 0)
         )
-    return points, build_s
+    return points, (build_cold_s, build_s)
 
 
 def sweep_host_tier(
