@@ -283,28 +283,37 @@ def sweep_flat(
     if idx.use_fused:
         # narrow-rerank point: the post-scan candidate gather is
         # row-latency-bound, so rerank_width is the biggest knob left
-        # (see flat_search_fused docstring for the measured tradeoff)
+        # (see flat_search_fused docstring for the measured tradeoff).
+        # Variants of the same scan precision share one index — only
+        # rerank_width changes, so re-building would re-upload the
+        # database for nothing
         variants = [("flat-rr24", "int8", 24)]
         if metric != "dot":
             variants += [
                 ("flat-packed", "int8_packed", None),
                 ("flat-packed-rr24", "int8_packed", 24),
             ]
+        indexes: dict[str, FlatIndex] = {"int8": idx}
         for mode, prec, rw in variants:
-            idx = FlatIndex(
-                pts, metric=metric, fused_precision=prec, rerank_width=rw
-            )
-            dt, (dists, ids) = _measure(lambda: idx.search(q, k=k),
+            if prec not in indexes:
+                indexes[prec] = FlatIndex(
+                    pts, metric=metric, fused_precision=prec
+                )
+            vidx = indexes[prec]
+            vidx.rerank_width = rw
+            dt, (dists, ids) = _measure(lambda: vidx.search(q, k=k),
                                         len(queries), repeats)
             rec = recall_at_k(np.asarray(ids), gt, k)
             points.append(
                 SweepPoint(0, rec, len(queries) / dt,
                            dt / len(queries) * 1e3, mode)
             )
+        indexes["int8"].rerank_width = None
         if metric != "dot":
             p = adaptive_flat_point(
                 pts, queries, gt, k=k, metric=metric,
                 target_recall=adaptive_target, repeats=repeats,
+                idx=indexes.get("int8_packed"),
             )
             if p is not None:
                 points.append(p)
@@ -314,7 +323,7 @@ def sweep_flat(
 def adaptive_flat_point(
     pts: np.ndarray, queries: np.ndarray, gt: np.ndarray, *, k: int,
     metric: str = "l2", target_recall: float = 0.96, max_width: int = 48,
-    repeats: int = 3,
+    repeats: int = 3, idx=None,
 ) -> SweepPoint | None:
     """Recall-targeted rerank-width selection for the packed flat scan.
 
@@ -332,13 +341,19 @@ def adaptive_flat_point(
     sel_q = jnp.asarray(queries[:n_sel])
     sel_gt = gt[:n_sel]
 
+    # ONE index for every probe: rerank_width is a search-time knob, so
+    # re-constructing per width would re-quantize and re-upload the full
+    # database each probe (~30-50 s at 200k over this link, CLAUDE.md) —
+    # each width still pays its own kernel compile, which the persistent
+    # cache absorbs across runs. `idx` lets the caller share an
+    # already-uploaded packed index.
+    if idx is None:
+        idx = FlatIndex(pts, metric=metric, fused_precision="int8_packed")
+    if not idx.use_fused:
+        return None
+
     def recall_at_width(rw: int) -> float:
-        idx = FlatIndex(
-            pts, metric=metric, fused_precision="int8_packed",
-            rerank_width=rw,
-        )
-        if not idx.use_fused:
-            return -1.0
+        idx.rerank_width = rw
         _, ids = idx.search(sel_q, k=k)
         return recall_at_k(np.asarray(ids), sel_gt, k)
 
@@ -352,9 +367,7 @@ def adaptive_flat_point(
         else:
             lo = mid + 1
     rw = hi
-    idx = FlatIndex(
-        pts, metric=metric, fused_precision="int8_packed", rerank_width=rw
-    )
+    idx.rerank_width = rw
     q = jnp.asarray(queries)
     dt, (dists, ids) = _measure(lambda: idx.search(q, k=k),
                                 len(queries), repeats)
@@ -380,22 +393,24 @@ def sweep_iq(
     q = jnp.asarray(queries)
     chunks = _chunked(q, pipeline)
     rows_j = jnp.asarray(rows)
-    tabs = [iq.query_tables(c) for c in chunks]
     label = f"iq{iq.bits}" + (f"c{iq.n_cells}" if iq.n_cells else "")
     points = []
     for w in widths:
         for e in expand_widths:
+            # table prep stays INSIDE the timed closure — it is part of
+            # the serving path, exactly as sweep_pq times it
             def run():
                 return [
                     beam_search_iq(
-                        rows_j, t, index.adjacency, index.medoid,
+                        rows_j, iq.query_tables(c), index.adjacency,
+                        index.medoid,
                         dim=iq.dim, bits=iq.bits, n_cells=iq.n_cells,
                         search_width=w, k=k, rerank=True,
                         vectors=index.vectors, queries=c,
                         metric=index.metric, expand_width=e,
                         entry_points=index.entry_points,
                     ).ids
-                    for c, t in zip(chunks, tabs)
+                    for c in chunks
                 ]
 
             dt, out = _measure(run, len(queries), repeats)

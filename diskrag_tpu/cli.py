@@ -316,17 +316,37 @@ class DiskRAG:
             )
         pq_src = np.asarray(index.vectors)
         if pq is None or codes is None or len(codes) != n_index:
-            pq, codes, _validation = attach_pq(pq_src)
+            from diskrag_tpu.build_index import _resolve_pq_kind
+            from diskrag_tpu.index.persist import IndexStore as _Store
+
+            # retrain the SAME quantizer kind the index was built with
+            # (meta records it); a fresh kind choice would silently
+            # downgrade e.g. residual -> plain
+            kind = meta.get("pq_kind") or _resolve_pq_kind(
+                "auto", meta.get("distance_metric", "l2")
+            )
+            pq, codes, validation = attach_pq(pq_src, pq_kind=kind)
             if pq is not None:
+                coarse = (validation or {}).get("coarse_ids")
+                # the fresh PQ's own meta keys must win over the stale
+                # ones riding in meta_extra (save_index applies extra
+                # last); a non-residual retrain also invalidates pq_aux
+                pq_meta_keys = (
+                    "use_pq", "n_subvectors", "pq_centroids", "pq_kind",
+                    "pq_n_coarse", "iq_row_width", "iq_n_cells",
+                )
+                if coarse is None:
+                    _Store(index_dir).pq_aux_path.unlink(missing_ok=True)
                 save_index(
                     index_dir, index, pq=pq, pq_codes=codes,
+                    pq_coarse_ids=coarse,
                     host_vectors=pq_src, meta_extra={
                         k: v for k, v in meta.items()
-                        if k not in ("use_pq", "n_subvectors", "pq_centroids")
+                        if k not in pq_meta_keys
                     },
                 )
                 report["actions"].append(
-                    f"retrained PQ (m={pq.n_subvectors})"
+                    f"retrained PQ (kind={kind})"
                 )
         report["status"] = "ok"
         return report

@@ -219,17 +219,25 @@ class SearchEngine:
                     mode_kwargs: dict = {}
                     if store.pq_model_path.exists() and (
                         self.meta.get("distance_metric", "l2") == "l2"
-                    ):
+                    ) and not str(
+                        self.meta.get("pq_kind", "plain")
+                    ).startswith("int"):
+                        # IntQuantizer rows serve the full-HBM iq path
+                        # only — the sharded pool programs score
+                        # plain/residual ADC tables (bf16 fallback here)
                         from diskrag_tpu.index.persist import load_pq_aux
                         from diskrag_tpu.pq.residual import pq_from_arrays
 
                         with np.load(store.pq_model_path) as z:
                             pq = pq_from_arrays(dict(z))
-                        cells, bias = load_pq_aux(store)
+                        codes_arr = np.load(store.pq_codes_path)
+                        cells, bias = load_pq_aux(
+                            store, expect_n=int(codes_arr.shape[0])
+                        )
                         mode_kwargs = {
                             "mode": "pq",
                             "pq": pq,
-                            "codes": np.load(store.pq_codes_path),
+                            "codes": codes_arr,
                             "pq_cells": cells,
                             "pq_bias": bias,
                         }
@@ -383,14 +391,21 @@ class SearchEngine:
             if isinstance(self.pq, ResidualPQ):
                 from diskrag_tpu.index.persist import IndexStore, load_pq_aux
 
-                cells, bias = load_pq_aux(IndexStore(index_dir))
+                try:
+                    cells, bias = load_pq_aux(
+                        IndexStore(index_dir),
+                        expect_n=int(self.codes.shape[0]),
+                    )
+                except ValueError as e:  # stale length — treat as torn
+                    logger.warning("%s", e)
+                    cells = None
                 if cells is None:
-                    # torn artifact set (model present, aux missing):
-                    # recompute from the HBM-resident vectors — cheap,
-                    # and keeps the serving mode available
+                    # torn artifact set (model present, aux missing or
+                    # stale): recompute from the HBM-resident vectors —
+                    # cheap, and keeps the serving mode available
                     logger.warning(
-                        "pq_aux.npz missing — recomputing residual-PQ "
-                        "serving arrays from the index vectors"
+                        "recomputing residual-PQ serving arrays from "
+                        "the index vectors"
                     )
                     cells = self.pq.coarse_assign(self.index.vectors)
                     bias = self.pq.point_bias(self.codes_j, cells)

@@ -138,12 +138,17 @@ class HostTierIndex:
                 "(save with write_compat=True)"
             )
         metric = meta.get("distance_metric", "l2")
+        # IntQuantizer rows are a full-HBM serving format (beam_search_iq);
+        # the host-tier pool programs score plain/residual ADC tables only
+        pq_kind = meta.get("pq_kind", "plain")
         if mode is None:
             # ADC tables are L2-only by design (PERFORMANCE.md "Angular");
             # never auto-pick a traversal that ranks by the wrong metric
+            # (or a quantizer kind this tier cannot score)
             mode = (
                 "pq"
                 if store.pq_model_path.exists() and metric == "l2"
+                and not pq_kind.startswith("int")
                 else "bf16"
             )
         if mode == "pq" and metric != "l2":
@@ -152,6 +157,13 @@ class HostTierIndex:
                 f"index uses metric={metric!r} — serve it in bf16 mode, or "
                 "normalize the vectors and build with metric='l2' for "
                 "angular data"
+            )
+        if mode == "pq" and pq_kind.startswith("int"):
+            raise ValueError(
+                f"host-tier pq traversal cannot score pq_kind={pq_kind!r} "
+                "(IntQuantizer rows serve the full-HBM iq path, "
+                "graph/search.py beam_search_iq) — serve this index in "
+                "bf16 mode, or rebuild its PQ artifacts as residual/plain"
             )
         adjacency = jnp.asarray(np.load(store.adjacency_path))
         reader = RecordReader(
@@ -172,7 +184,9 @@ class HostTierIndex:
             if isinstance(pq, ResidualPQ):
                 from diskrag_tpu.index.persist import load_pq_aux
 
-                cells, bias = load_pq_aux(store)
+                cells, bias = load_pq_aux(
+                    store, expect_n=int(codes.shape[0])
+                )
                 if cells is None:
                     raise FileNotFoundError(
                         f"residual-PQ host tier needs {store.pq_aux_path} "

@@ -149,17 +149,27 @@ def save_pq_artifacts(
 
 
 def load_pq_aux(
-    store: IndexStore,
+    store: IndexStore, expect_n: int | None = None
 ) -> tuple[np.ndarray | None, np.ndarray | None]:
     """(point_cell int32[N], point_bias f32[N]) for a residual-PQ index,
-    (None, None) when absent (plain PQ or no PQ)."""
+    (None, None) when absent (plain PQ or no PQ). `expect_n` (the code
+    row count) guards against a torn/stale aux file: device gathers clamp
+    out-of-bounds indices instead of erroring, so a length mismatch would
+    otherwise serve silently wrong traversal distances."""
     if not store.pq_aux_path.exists():
         return None, None
     with np.load(store.pq_aux_path) as z:
-        return (
-            np.asarray(z["point_cell"], np.int32),
-            np.asarray(z["point_bias"], np.float32),
+        cells = np.asarray(z["point_cell"], np.int32)
+        bias = np.asarray(z["point_bias"], np.float32)
+    if expect_n is not None and (
+        cells.shape[0] != expect_n or bias.shape[0] != expect_n
+    ):
+        raise ValueError(
+            f"pq_aux.npz is stale: {cells.shape[0]} cells / "
+            f"{bias.shape[0]} biases for {expect_n} code rows — rebuild "
+            f"the PQ artifacts (cli doctor, or --force-rebuild)"
         )
+    return cells, bias
 
 
 def save_index(
@@ -256,15 +266,23 @@ def load_index(
         )
     pq = None
     codes = None
-    if meta.get("use_pq") and not store.pq_model_path.exists():
-        # torn artifact set: serve without PQ (the engine's documented
-        # soft-degrade, reference search_engine.py:49-72) but say so —
-        # silence here would hide a half-written index dir
+    if meta.get("use_pq") and not (
+        store.pq_model_path.exists() and store.pq_codes_path.exists()
+    ):
+        # torn artifact set (model or codes missing): serve without PQ
+        # (the engine's documented soft-degrade, reference
+        # search_engine.py:49-72) but say so — silence here would hide a
+        # half-written index dir
+        missing = (
+            store.pq_model_path
+            if not store.pq_model_path.exists()
+            else store.pq_codes_path
+        )
         logger.warning(
             "meta says use_pq but %s is missing — loading without PQ "
-            "(run `doctor` to retrain)", store.pq_model_path,
+            "(run `doctor` to retrain)", missing,
         )
-    if meta.get("use_pq") and store.pq_model_path.exists():
+    elif meta.get("use_pq"):
         from diskrag_tpu.pq.residual import pq_from_arrays
 
         with np.load(store.pq_model_path) as loaded:

@@ -164,6 +164,9 @@ class StreamingIndex:
         self.n_merges = 0
         # host-side mirror for delete-by-external-id on the buffer
         self._buf_ext_host: dict[int, int] = {}
+        # external ids currently tombstoned (either tier): makes delete
+        # idempotent — a re-delete must not re-count into _n_deleted
+        self._deleted_ext: set[int] = set()
 
     # --- sizes -------------------------------------------------------------
     @property
@@ -212,7 +215,9 @@ class StreamingIndex:
         return ids
 
     def delete(self, external_ids) -> None:
-        """Tombstone by external id (either tier)."""
+        """Tombstone by external id (either tier). Idempotent: re-deleting
+        an already-tombstoned id is a no-op (it must not double-count into
+        the live total); an id that never existed raises KeyError."""
         ext = np.atleast_1d(np.asarray(external_ids, np.int64))
         graph_rows = []
         buf_slots = []
@@ -220,17 +225,22 @@ class StreamingIndex:
         # graph rows: external ids below the graph's watermark are its
         # rows only if still mapped there (post-merge they always are)
         ext_to_row = None
+        n_new = 0
         for e in ext:
-            slot = self._buf_ext_host.get(int(e))
+            e = int(e)
+            slot = self._buf_ext_host.get(e)
+            if slot is None and ext_to_row is None:
+                ext_to_row = {int(x): i for i, x in enumerate(ext_host)}
+            if slot is None and ext_to_row.get(e) is None:
+                raise KeyError(f"unknown external id {e}")
+            if e in self._deleted_ext:
+                continue
+            self._deleted_ext.add(e)
+            n_new += 1
             if slot is not None:
                 buf_slots.append(slot)
-                continue
-            if ext_to_row is None:
-                ext_to_row = {int(x): i for i, x in enumerate(ext_host)}
-            row = ext_to_row.get(int(e))
-            if row is None:
-                raise KeyError(f"unknown external id {int(e)}")
-            graph_rows.append(row)
+            else:
+                graph_rows.append(ext_to_row[e])
         if graph_rows:
             self._graph_deleted = delete_points(
                 self._graph_deleted, np.asarray(graph_rows, np.int32)
@@ -238,7 +248,7 @@ class StreamingIndex:
         if buf_slots:
             sl = jnp.asarray(buf_slots, jnp.int32)
             self._buf_live = self._buf_live.at[sl].set(False)
-        self._n_deleted += len(ext)
+        self._n_deleted += n_new
 
     # --- merge ---------------------------------------------------------------
     def merge(self) -> None:
@@ -249,6 +259,14 @@ class StreamingIndex:
         vecs = jnp.asarray(self._buf[: self._count][jnp.asarray(live)])
         exts = jnp.asarray(self._buf_ext[: self._count][jnp.asarray(live)])
         self._merge_vectors(vecs, exts)
+        # dead buffered slots vanish here rather than becoming graph
+        # tombstones — reclaim them from the deleted count or
+        # n_total_live undercounts forever
+        dead_ext = [
+            e for e, s in self._buf_ext_host.items() if not live[s]
+        ]
+        self._deleted_ext.difference_update(dead_ext)
+        self._n_deleted -= len(dead_ext)
         self._buf_live = jnp.zeros_like(self._buf_live)
         self._buf_ext = jnp.full_like(self._buf_ext, INVALID_ID)
         self._count = 0
@@ -273,6 +291,8 @@ class StreamingIndex:
 
             # rebuild drops graph tombstones for free
             keep = ~np.asarray(self._graph_deleted)
+            gone = np.asarray(self._graph_ext)[~keep]
+            self._deleted_ext.difference_update(int(e) for e in gone)
             old_vecs = self.index.vectors[jnp.asarray(keep)]
             old_ext = self._graph_ext[jnp.asarray(keep)]
             all_vecs = jnp.concatenate([old_vecs, vecs])
@@ -300,6 +320,8 @@ class StreamingIndex:
             refine_fraction=0.1, seed=self.seed,
         )
         keep = old_to_new >= 0
+        gone = np.asarray(self._graph_ext)[~np.asarray(keep)]
+        self._deleted_ext.difference_update(int(e) for e in gone)
         self._graph_ext = self._graph_ext[jnp.asarray(keep)]
         self.index = new_index
         self._graph_deleted = make_deleted_mask(self.n_graph)

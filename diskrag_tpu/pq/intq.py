@@ -166,6 +166,23 @@ def iq_score_shared(
     return out
 
 
+@jax.jit
+def _query_tables_impl(q, scales, cell_centroids, bias_lo, bias_scale):
+    cell_t = None
+    if cell_centroids is not None:
+        cell_t = -2.0 * jnp.einsum(
+            "bd,cd->bc", q, cell_centroids,
+            preferred_element_type=jnp.float32,
+        )
+    return IQTables(
+        qw=q * scales,
+        qn=jnp.sum(jnp.square(q), axis=-1),
+        cell_t=cell_t,
+        bias_lo=jnp.asarray(bias_lo, jnp.float32),
+        bias_scale=jnp.asarray(bias_scale, jnp.float32),
+    )
+
+
 @dataclasses.dataclass
 class IntQuantizer:
     """Per-dim scalar quantizer with optional coarse cells, encoded into
@@ -315,20 +332,13 @@ class IntQuantizer:
 
     # --- scoring ------------------------------------------------------------
     def query_tables(self, queries: np.ndarray | jax.Array) -> IQTables:
+        """One jitted dispatch (serving hot path: engine calls this per
+        request before the traversal program — eager ops cost ~1.5 ms
+        each on this platform, see CLAUDE.md)."""
         self._check_fitted()
-        q = jnp.asarray(queries, jnp.float32)
-        cell_t = None
-        if self.n_cells > 0:
-            cell_t = -2.0 * jnp.einsum(
-                "bd,cd->bc", q, self.cell_centroids,
-                preferred_element_type=jnp.float32,
-            )
-        return IQTables(
-            qw=q * self.scales,
-            qn=jnp.sum(jnp.square(q), axis=-1),
-            cell_t=cell_t,
-            bias_lo=jnp.asarray(self.bias_lo, jnp.float32),
-            bias_scale=jnp.asarray(self.bias_scale, jnp.float32),
+        return _query_tables_impl(
+            jnp.asarray(queries, jnp.float32), self.scales,
+            self.cell_centroids, float(self.bias_lo), float(self.bias_scale),
         )
 
     # alias: engine code treats quantizers uniformly

@@ -85,3 +85,40 @@ def test_host_tier_pipelined_matches_sequential(tmp_path, clustered_data):
     d1, i1, s1 = ht.search_pipelined(queries[:8], search_width=48, k=10)
     assert "pipelined_chunks" not in s1
     np.testing.assert_array_equal(i1, i_seq[:8])
+
+
+def test_host_tier_rejects_intq_artifacts(tmp_path, clustered_data):
+    """Regression: IntQuantizer rows are a full-HBM serving format the
+    host-tier pool programs cannot score — auto mode must fall back to
+    bf16 at bring-up, and an explicit mode='pq' must raise (not crash at
+    the first search)."""
+    build_index_from_vectors(
+        clustered_data, tmp_path / "idx", write_compat=True,
+        pq_kind="int8",
+        params_override={"R": 32, "L": 64, "alpha": 1.2},
+    )
+    ht = HostTierIndex.from_store(tmp_path / "idx")
+    assert ht.mode == "bf16"
+    with pytest.raises(ValueError, match="cannot score"):
+        HostTierIndex.from_store(tmp_path / "idx", mode="pq")
+
+
+def test_host_tier_rejects_stale_pq_aux(tmp_path, clustered_data):
+    """Regression: a stale/torn pq_aux.npz (length != code rows) must
+    fail loudly at bring-up — device gathers clamp out-of-bounds indices,
+    so serving it would silently corrupt traversal distances."""
+    from diskrag_tpu.index.persist import IndexStore, load_pq_aux
+
+    build_index_from_vectors(
+        clustered_data, tmp_path / "idx", write_compat=True,
+        pq_kind="residual",
+        params_override={"R": 32, "L": 64, "alpha": 1.2},
+    )
+    store = IndexStore(tmp_path / "idx")
+    with np.load(store.pq_aux_path) as z:
+        cells, bias = z["point_cell"], z["point_bias"]
+    np.savez(store.pq_aux_path, point_cell=cells[:100], point_bias=bias[:100])
+    with pytest.raises(ValueError, match="stale"):
+        load_pq_aux(store, expect_n=len(clustered_data))
+    with pytest.raises(ValueError, match="stale"):
+        HostTierIndex.from_store(tmp_path / "idx", mode="pq")

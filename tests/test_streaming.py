@@ -148,3 +148,40 @@ def test_recall_holds_during_ingest(clustered_data, rng):
         _, gt = brute_force_topk(jnp.asarray(q), jnp.asarray(live), k=10)
         recs.append(_recall(np.asarray(got), np.asarray(gt)))
     assert min(recs) >= 0.95, f"ingest recall dipped to {min(recs):.3f}"
+
+
+def test_delete_idempotent_and_live_count(clustered_data):
+    """Regression: re-deleting an id must not double-count into
+    n_total_live, and merge() must reclaim dead buffered slots (they
+    vanish at merge instead of becoming graph tombstones)."""
+    base, extra = clustered_data[:1800], clustered_data[1800:]
+    s = _make(base)
+    ids = s.insert(extra)  # 200 buffered
+    n0 = s.n_total_live
+    assert n0 == 2000
+
+    s.delete([int(ids[0]), 7])
+    assert s.n_total_live == n0 - 2
+    # idempotent: same ids again, one buffered + one graph
+    s.delete([int(ids[0]), 7])
+    assert s.n_total_live == n0 - 2
+    # unknown id still raises
+    import pytest
+
+    with pytest.raises(KeyError):
+        s.delete([999_999])
+
+    # merge drops the dead buffered slot entirely: live total unchanged,
+    # and the graph tombstone remains the only deletion on the books
+    s.delete([int(ids[1])])
+    s.merge()
+    assert s.n_total_live == n0 - 3
+    assert s.n_buffered == 0
+    # the two dead buffered points are gone from every tier: deleting
+    # them again is now an unknown id
+    with pytest.raises(KeyError):
+        s.delete([int(ids[0])])
+
+    # consolidate compacts the graph tombstone and the count holds
+    s.consolidate()
+    assert s.n_total_live == n0 - 3

@@ -217,3 +217,44 @@ def test_doctor_on_grown_collection(tmp_path):
     eng = SearchEngine("c", base_dir=tmp_path / "collections")
     assert not eng.brute_force_mode
     assert eng.use_pq
+
+
+def test_doctor_preserves_pq_kind(tmp_path):
+    """Regression: doctor's PQ retrain must recreate the SAME quantizer
+    kind the index was built with (meta records it) and refresh the
+    pq_kind meta key — not silently downgrade residual to plain while
+    stale meta_extra keys paper over it."""
+    import json
+
+    import numpy as np
+
+    from diskrag_tpu.cli import DiskRAG
+    from diskrag_tpu.data import CollectionManager
+    from diskrag_tpu.engine import SearchEngine
+
+    mgr = CollectionManager(tmp_path / "collections")
+    mgr.create_collection("c", dimension=64)
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(1500, 64)).astype(np.float32)
+    mgr.update_collection(
+        "c", vecs, [f"t{i}" for i in range(1500)],
+        [{"i": i} for i in range(1500)],
+    )
+    rag = DiskRAG(str(tmp_path / "nonexistent.yaml"),
+                  base_dir=str(tmp_path / "collections"))
+    rag.build_index("c")
+    index_dir = mgr.get_index_dir("c")
+    meta_before = json.loads((index_dir / "meta.json").read_text())
+    assert meta_before["pq_kind"] == "residual"  # the l2 default
+
+    (index_dir / "pq_codes.npy").unlink()
+    report = rag.doctor("c")
+    assert report["status"] == "ok"
+    assert any("kind=residual" in a for a in report["actions"])
+
+    meta_after = json.loads((index_dir / "meta.json").read_text())
+    assert meta_after["pq_kind"] == "residual"
+    assert (index_dir / "pq_aux.npz").exists()
+    # the repaired artifact set serves the residual path end to end
+    eng = SearchEngine("c", base_dir=tmp_path / "collections")
+    assert eng.use_pq and eng.pq_cells_j is not None
