@@ -48,8 +48,11 @@ def main():
     print(f"  {time.perf_counter() - t0:.1f}s", flush=True)
 
     results = []
-    for capacity in (16384, 65536):
-        idx = StreamingIndex(index, buffer_capacity=capacity)
+    for capacity, frac in ((16384, 0.125), (32768, 0.25), (65536, 0.125)):
+        idx = StreamingIndex(
+            index, buffer_capacity=capacity,
+            merge_insert_max_fraction=frac,
+        )
         # warm the merged-search + append compiles out of the timed region
         idx.insert(stream[:BATCH])
         idx.search(queries, k=K, search_width=32)
@@ -100,6 +103,7 @@ def main():
 
         r = {
             "capacity": capacity,
+            "merge_insert_max_fraction": frac,
             "ingest_per_s": round((STREAM_N - BATCH) / ingest_s, 1),
             "ingest_seconds": round(ingest_s, 1),
             "n_merges": idx.n_merges,

@@ -175,7 +175,7 @@ def build_ivf(
     seed: int = 0,
     max_train: int | None = None,
     cap_factor: float = 2.0,
-    kmeans_iters: int = 20,
+    kmeans_iters: int = 12,
     tile_precision: str = "int8",
     rerank_master: "jax.Array | None" = None,
 ) -> IVFIndex:
@@ -220,7 +220,11 @@ def build_ivf(
         train = vectors[rng.choice(n, size=max_train, replace=False)]
     # "d2" init: one-shot joint D² seeding — n_cells is in the thousands,
     # so k-means++'s n_cells sequential device rounds would dominate the
-    # whole IVF build (each round is HBM-latency-bound, ~1ms).
+    # whole IVF build (each round is HBM-latency-bound, ~1ms). 12 Lloyd
+    # iters by default: the serving tiles don't need converged centroids —
+    # the 2M co-probe study above found k-means quality moves the recall
+    # ceiling far less than cap/spill does, and on-chip profiling
+    # (2026-08) showed 20 vs 8 iters costs ~10 s of the 200k build.
     centers, _ = kmeans_fit(
         jax.random.key(seed), jnp.asarray(train)[None], n_cells,
         max_iter=kmeans_iters, init="d2",

@@ -17,8 +17,17 @@ Design:
     op mixing costs ~1.5 ms/op on this platform, see CLAUDE.md).
     Buffer hits are EXACT, so recall during ingest is the graph's
     recall on old points and 1.0 on buffered ones.
+  - **Static shapes under jit**: the graph arrays are padded to a
+    capacity bucket (multiples of 64k, grown geometrically) with masked
+    dead rows, and a full-buffer merge folds ALL `capacity` slots (dead
+    buffered rows become graph tombstones). Every program in the cycle —
+    the merged search, the append, and the bulk insert wave — therefore
+    reuses its compile across merges. The first measurement of this tier
+    (2026-08-19, growing arrays) spent ~90% of its ingest wall in XLA
+    recompiles: every merge changed [N, D]/[N, R] and recompiled both the
+    wave and the serving program, capping ingest at ~330 vectors/s.
   - Merge folds the buffer in bulk: a batched insert wave
-    (`graph.dynamic.insert_points`) while the buffer is a small fraction
+    (`graph.build.wave_step`) while the buffer is a small fraction
     of the graph, a full kNN rebuild (`graph.knn_build.build_vamana_knn`,
     12 s warm at 200k) once it isn't. Deletes are tombstones in both
     tiers; `consolidate()` compacts them (graph/dynamic.py).
@@ -27,9 +36,11 @@ Design:
     translation row (`self._ext_of_int`).
 
 Sustained ingest therefore costs: append dispatches (microseconds per
-batch) + merge_time / capacity per point. Measured on chip (200k base,
-see docs/PERFORMANCE.md "Streaming ingest"): >= 5k vectors/s sustained
-with recall held at the graph's operating point during ingest.
+batch) + merge_time / capacity per point, with merge_time paying compile
+only on the first merge per capacity bucket. Measured on chip (200k
+base, docs/PERFORMANCE.md "Streaming ingest") after the static-shape
+fix; the rate scales with `buffer_capacity` (bigger buffer = fewer,
+larger merges) at the cost of a wider exact scan per query.
 """
 
 from __future__ import annotations
@@ -42,15 +53,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from diskrag_tpu.graph import beam_search
+from diskrag_tpu.graph.build import wave_step
 from diskrag_tpu.graph.dynamic import (
     consolidate,
     delete_points,
-    insert_points,
     make_deleted_mask,
 )
 from diskrag_tpu.graph.types import VamanaIndex
 from diskrag_tpu.ops.distance import Metric, pairwise_distance
 from diskrag_tpu.ops.topk import INVALID_ID
+
+# padding rows: far-but-finite vectors (1e30 would make the squared
+# distance overflow to inf and risk inf-inf = NaN in the masked merges;
+# 1e15 keeps ||pad||^2 ~ 1e32, huge and finite), no out-edges, deleted
+_PAD_VALUE = 1e15
+_BUCKET = 65_536
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -86,6 +107,8 @@ def _search_merged(
     Graph results are over-fetched at the full beam width so tombstoned
     rows can be dropped without losing k survivors; buffer rows beyond
     `buf_count` (or tombstoned) are masked to +inf. Returns EXTERNAL ids.
+    Capacity-padding rows are tombstoned and unreachable (no in-edges),
+    so the same masks cover them.
     """
     res = beam_search(
         vectors, adjacency, medoid, queries,
@@ -116,6 +139,15 @@ def _search_merged(
     return ids, -neg
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=())
+def _place_rows(vectors, adjacency, n0, vecs, rand_links):
+    """Write a wave of new rows into the padded region at n0 — one
+    dispatch for both arrays (donated: updates in place in HBM)."""
+    vectors = jax.lax.dynamic_update_slice(vectors, vecs, (n0, 0))
+    adjacency = jax.lax.dynamic_update_slice(adjacency, rand_links, (n0, 0))
+    return vectors, adjacency
+
+
 class StreamingIndex:
     """Mutable serving tier: static Vamana graph + exact device buffer.
 
@@ -140,7 +172,6 @@ class StreamingIndex:
         degree_bound: Optional[int] = None,
         seed: int = 0,
     ):
-        self.index = index
         n = int(index.adjacency.shape[0])
         self.capacity = int(buffer_capacity)
         self.merge_insert_max_fraction = merge_insert_max_fraction
@@ -157,8 +188,7 @@ class StreamingIndex:
         self._count = 0
         # external-id bookkeeping: graph row i serves external id
         # _graph_ext[i]; external ids are dense and never reused
-        self._graph_ext = jnp.arange(n, dtype=jnp.int32)
-        self._graph_deleted = make_deleted_mask(n)
+        self._n_graph = n
         self._next_ext = n
         self._n_deleted = 0
         self.n_merges = 0
@@ -167,11 +197,92 @@ class StreamingIndex:
         # external ids currently tombstoned (either tier): makes delete
         # idempotent — a re-delete must not re-count into _n_deleted
         self._deleted_ext: set[int] = set()
+        self._adopt_index(index, np.arange(n, dtype=np.int32), None)
+
+    # --- capacity padding ----------------------------------------------------
+    def _adopt_index(
+        self, index: VamanaIndex, ext: np.ndarray, deleted: np.ndarray | None
+    ) -> None:
+        """Install `index` (exact-size arrays) padded to the capacity
+        bucket; `ext`/`deleted` are its per-row external ids / tombstone
+        mask (deleted None = all live)."""
+        n = int(index.adjacency.shape[0])
+        cap = _round_up(n + self.capacity, _BUCKET)
+        pad = cap - n
+        dim = int(index.vectors.shape[1])
+        r = int(index.adjacency.shape[1])
+        vectors = jnp.concatenate(
+            [
+                jnp.asarray(index.vectors, jnp.float32),
+                jnp.full((pad, dim), _PAD_VALUE, jnp.float32),
+            ]
+        )
+        adjacency = jnp.concatenate(
+            [index.adjacency, jnp.full((pad, r), INVALID_ID, jnp.int32)]
+        )
+        self.index = VamanaIndex(
+            vectors=vectors, adjacency=adjacency, medoid=index.medoid,
+            metric=index.metric, entry_points=index.entry_points,
+        )
+        self._n_graph = n
+        self._graph_ext = jnp.concatenate(
+            [
+                jnp.asarray(ext, jnp.int32),
+                jnp.full((pad,), INVALID_ID, jnp.int32),
+            ]
+        )
+        base_deleted = (
+            make_deleted_mask(n) if deleted is None
+            else jnp.asarray(deleted, jnp.bool_)
+        )
+        self._graph_deleted = jnp.concatenate(
+            [base_deleted, jnp.ones((pad,), jnp.bool_)]
+        )
+
+    @property
+    def _graph_capacity(self) -> int:
+        return int(self.index.adjacency.shape[0])
+
+    def _ensure_graph_capacity(self, need: int) -> None:
+        """Grow the padded region (geometric, bucket-rounded) so `need`
+        total rows fit. A growth step changes the jitted shapes — rare by
+        construction (>= 1.5x per step)."""
+        cap = self._graph_capacity
+        if need <= cap:
+            return
+        new_cap = _round_up(max(need, cap + cap // 2), _BUCKET)
+        grow = new_cap - cap
+        dim = int(self.index.vectors.shape[1])
+        r = int(self.index.adjacency.shape[1])
+        self.index = VamanaIndex(
+            vectors=jnp.concatenate(
+                [
+                    self.index.vectors,
+                    jnp.full((grow, dim), _PAD_VALUE, jnp.float32),
+                ]
+            ),
+            adjacency=jnp.concatenate(
+                [
+                    self.index.adjacency,
+                    jnp.full((grow, r), INVALID_ID, jnp.int32),
+                ]
+            ),
+            medoid=self.index.medoid,
+            metric=self.index.metric,
+            entry_points=self.index.entry_points,
+        )
+        self._graph_ext = jnp.concatenate(
+            [self._graph_ext, jnp.full((grow,), INVALID_ID, jnp.int32)]
+        )
+        self._graph_deleted = jnp.concatenate(
+            [self._graph_deleted, jnp.ones((grow,), jnp.bool_)]
+        )
 
     # --- sizes -------------------------------------------------------------
     @property
     def n_graph(self) -> int:
-        return int(self.index.adjacency.shape[0])
+        """Graph rows in use (live + tombstoned; excludes capacity pad)."""
+        return self._n_graph
 
     @property
     def n_buffered(self) -> int:
@@ -179,7 +290,7 @@ class StreamingIndex:
 
     @property
     def n_total_live(self) -> int:
-        return self.n_graph + self._count - self._n_deleted
+        return self._n_graph + self._count - self._n_deleted
 
     # --- mutation ------------------------------------------------------------
     def insert(self, vectors: np.ndarray | jax.Array) -> np.ndarray:
@@ -195,7 +306,9 @@ class StreamingIndex:
         if m > self.capacity:
             # oversized batch: fold straight into the graph
             ids = np.arange(self._next_ext, self._next_ext + m, dtype=np.int32)
-            self._merge_vectors(v, jnp.asarray(ids))
+            self._merge_vectors(
+                v, jnp.asarray(ids), np.zeros((m,), np.bool_)
+            )
             self._next_ext += m
             return ids
         if self._count + m > self.capacity:
@@ -221,7 +334,7 @@ class StreamingIndex:
         ext = np.atleast_1d(np.asarray(external_ids, np.int64))
         graph_rows = []
         buf_slots = []
-        ext_host = np.asarray(self._graph_ext)
+        ext_host = np.asarray(self._graph_ext[: self._n_graph])
         # graph rows: external ids below the graph's watermark are its
         # rows only if still mapped there (post-merge they always are)
         ext_to_row = None
@@ -252,79 +365,118 @@ class StreamingIndex:
 
     # --- merge ---------------------------------------------------------------
     def merge(self) -> None:
-        """Fold the buffer into the graph in bulk."""
+        """Fold the buffer into the graph in bulk.
+
+        Folds EVERY populated slot — tombstoned buffered rows become
+        graph tombstones — so a merge of a full buffer always has the
+        same shape and reuses its wave compile (static-shape rule in the
+        module docstring). `consolidate()` reclaims the tombstones."""
         if self._count == 0:
             return
-        live = np.asarray(self._buf_live[: self._count])
-        vecs = jnp.asarray(self._buf[: self._count][jnp.asarray(live)])
-        exts = jnp.asarray(self._buf_ext[: self._count][jnp.asarray(live)])
-        self._merge_vectors(vecs, exts)
-        # dead buffered slots vanish here rather than becoming graph
-        # tombstones — reclaim them from the deleted count or
-        # n_total_live undercounts forever
-        dead_ext = [
-            e for e, s in self._buf_ext_host.items() if not live[s]
-        ]
-        self._deleted_ext.difference_update(dead_ext)
-        self._n_deleted -= len(dead_ext)
+        vecs = self._buf[: self._count]
+        exts = self._buf_ext[: self._count]
+        dead = ~np.asarray(self._buf_live[: self._count])
+        self._merge_vectors(vecs, exts, dead)
         self._buf_live = jnp.zeros_like(self._buf_live)
         self._buf_ext = jnp.full_like(self._buf_ext, INVALID_ID)
         self._count = 0
         self._buf_ext_host.clear()
         self.n_merges += 1
 
-    def _merge_vectors(self, vecs: jax.Array, exts: jax.Array) -> None:
+    def _merge_vectors(
+        self, vecs: jax.Array, exts: jax.Array, dead: np.ndarray
+    ) -> None:
         m = int(vecs.shape[0])
         if m == 0:
             return
-        n = self.n_graph
-        if m <= self.merge_insert_max_fraction * n:
-            self.index = insert_points(
-                self.index, vecs,
-                build_width=self.build_width, alpha=self.alpha,
+        n0 = self._n_graph
+        n_live = n0 - int(np.asarray(self._graph_deleted[:n0]).sum()) if (
+            self._n_deleted
+        ) else n0
+        if m <= self.merge_insert_max_fraction * max(n_live, 1):
+            self._ensure_graph_capacity(n0 + m)
+            r = int(self.index.adjacency.shape[1])
+            # new rows start with random links into the existing graph so
+            # reverse edges can reach them even before their wave runs
+            key = jax.random.key(n0)
+            rand = jax.random.randint(key, (m, r), 0, n0, jnp.int32)
+            vectors, adjacency = _place_rows(
+                self.index.vectors, self.index.adjacency,
+                jnp.int32(n0), jnp.asarray(vecs, jnp.float32), rand,
             )
-            self._graph_deleted = jnp.concatenate(
-                [self._graph_deleted, jnp.zeros((m,), jnp.bool_)]
+            wave_ids = jnp.arange(n0, n0 + m, dtype=jnp.int32)
+            adjacency = wave_step(
+                vectors, adjacency, self.index.medoid, wave_ids,
+                jnp.asarray(self.alpha, jnp.float32),
+                build_width=self.build_width,
+                max_incoming=min(16, r),
+                chunk=min(8192, m * r),
+                metric=self.metric,
             )
+            self.index = VamanaIndex(
+                vectors=vectors, adjacency=adjacency,
+                medoid=self.index.medoid, metric=self.metric,
+                entry_points=self.index.entry_points,
+            )
+            self._graph_ext = jax.lax.dynamic_update_slice(
+                self._graph_ext, jnp.asarray(exts, jnp.int32), (n0,)
+            )
+            self._graph_deleted = jax.lax.dynamic_update_slice(
+                self._graph_deleted, jnp.asarray(dead), (n0,)
+            )
+            self._n_graph = n0 + m
         else:
             from diskrag_tpu.graph.knn_build import build_vamana_knn
 
-            # rebuild drops graph tombstones for free
-            keep = ~np.asarray(self._graph_deleted)
-            gone = np.asarray(self._graph_ext)[~keep]
+            # rebuild drops every tombstone (graph + dead buffered) for
+            # free; only live rows carry over
+            keep = ~np.asarray(self._graph_deleted[:n0])
+            gone = np.asarray(self._graph_ext[:n0])[~keep]
+            live_new = ~np.asarray(dead)
+            gone_new = np.asarray(exts)[np.asarray(dead)]
             self._deleted_ext.difference_update(int(e) for e in gone)
-            old_vecs = self.index.vectors[jnp.asarray(keep)]
-            old_ext = self._graph_ext[jnp.asarray(keep)]
-            all_vecs = jnp.concatenate([old_vecs, vecs])
-            self.index = build_vamana_knn(
+            self._deleted_ext.difference_update(int(e) for e in gone_new)
+            self._n_deleted -= len(gone) + len(gone_new)
+            old_vecs = self.index.vectors[:n0][jnp.asarray(keep)]
+            old_ext = self._graph_ext[:n0][jnp.asarray(keep)]
+            all_vecs = jnp.concatenate(
+                [old_vecs, jnp.asarray(vecs)[jnp.asarray(live_new)]]
+            )
+            all_ext = np.concatenate(
+                [np.asarray(old_ext), np.asarray(exts)[live_new]]
+            )
+            new_index = build_vamana_knn(
                 all_vecs, degree_bound=self.degree_bound,
                 alpha=self.alpha, seed=self.seed, metric=self.metric,
             )
-            self._graph_ext = jnp.concatenate([old_ext, exts])
-            self._n_deleted -= int((~keep).sum())
-            self._graph_deleted = make_deleted_mask(
-                int(all_vecs.shape[0])
-            )
-            return
-        self._graph_ext = jnp.concatenate([self._graph_ext, exts])
+            self._adopt_index(new_index, all_ext, None)
 
     def consolidate(self) -> None:
         """Compact graph tombstones (graph/dynamic.py `consolidate`)."""
         self.merge()
-        if not bool(np.any(np.asarray(self._graph_deleted))):
+        n0 = self._n_graph
+        deleted_real = np.asarray(self._graph_deleted[:n0])
+        if not bool(deleted_real.any()):
             return
-        n_del = int(np.asarray(self._graph_deleted).sum())
+        n_del = int(deleted_real.sum())
+        # compact over the in-use rows only (the capacity pad would count
+        # as deleted rows and inflate the consolidation)
+        used = VamanaIndex(
+            vectors=self.index.vectors[:n0],
+            adjacency=self.index.adjacency[:n0],
+            medoid=self.index.medoid, metric=self.metric,
+            entry_points=self.index.entry_points,
+        )
         new_index, old_to_new = consolidate(
-            self.index, self._graph_deleted,
+            used, jnp.asarray(deleted_real),
             build_width=self.build_width, alpha=self.alpha,
             refine_fraction=0.1, seed=self.seed,
         )
         keep = old_to_new >= 0
-        gone = np.asarray(self._graph_ext)[~np.asarray(keep)]
+        ext0 = np.asarray(self._graph_ext[:n0])
+        gone = ext0[~np.asarray(keep)]
         self._deleted_ext.difference_update(int(e) for e in gone)
-        self._graph_ext = self._graph_ext[jnp.asarray(keep)]
-        self.index = new_index
-        self._graph_deleted = make_deleted_mask(self.n_graph)
+        self._adopt_index(new_index, ext0[np.asarray(keep)], None)
         self._n_deleted -= n_del
 
     # --- search ----------------------------------------------------------------

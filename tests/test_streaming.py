@@ -171,17 +171,17 @@ def test_delete_idempotent_and_live_count(clustered_data):
     with pytest.raises(KeyError):
         s.delete([999_999])
 
-    # merge drops the dead buffered slot entirely: live total unchanged,
-    # and the graph tombstone remains the only deletion on the books
+    # merge folds dead buffered slots in as graph tombstones (static
+    # merge shapes — see the module docstring): the live total holds
     s.delete([int(ids[1])])
     s.merge()
     assert s.n_total_live == n0 - 3
     assert s.n_buffered == 0
-    # the two dead buffered points are gone from every tier: deleting
-    # them again is now an unknown id
-    with pytest.raises(KeyError):
-        s.delete([int(ids[0])])
+    # the folded tombstones stay idempotently deleted (no double count)
+    s.delete([int(ids[0]), int(ids[1])])
+    assert s.n_total_live == n0 - 3
 
-    # consolidate compacts the graph tombstone and the count holds
+    # consolidate compacts all three tombstones and the count holds
     s.consolidate()
     assert s.n_total_live == n0 - 3
+    assert s.n_graph == n0 - 3
