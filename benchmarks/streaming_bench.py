@@ -55,10 +55,12 @@ def main():
             for c in sel.split(",")
         ]
     results = []
+    merge_method = os.environ.get("MERGE_METHOD", "knn")
     for capacity, frac in configs:
         idx = StreamingIndex(
             index, buffer_capacity=capacity,
             merge_insert_max_fraction=frac,
+            merge_method=merge_method,
         )
         # warm the merged-search + append compiles out of the timed region
         idx.insert(stream[:BATCH])
@@ -110,6 +112,7 @@ def main():
 
         r = {
             "capacity": capacity,
+            "merge_method": merge_method,
             "merge_insert_max_fraction": frac,
             "ingest_per_s": round((STREAM_N - BATCH) / ingest_s, 1),
             "ingest_seconds": round(ingest_s, 1),

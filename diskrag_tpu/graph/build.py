@@ -134,14 +134,30 @@ def _reverse_edges(
         )
         return jnp.where(overflow[:, None], pruned_rows, union_ids)
 
+    # unique targets are compacted at the front (seg_id is dense), so
+    # chunks past ceil(n_seg/chunk) are all-padding: a while_loop skips
+    # them (E slots are allocated for the worst case of all-distinct
+    # targets, but a clustered wave's edges share targets heavily — at
+    # W=4096, R=48 typically <40% of the slots hold a live segment)
     n_chunks = (e + pad_e) // chunk
-    new_rows = jax.lax.map(
-        fix_chunk,
-        (
-            uniq_t_p.reshape(n_chunks, chunk),
-            inc_p.reshape(n_chunks, chunk, max_incoming),
-        ),
-    ).reshape(-1, r)
+    t_chunks = uniq_t_p.reshape(n_chunks, chunk)
+    inc_chunks = inc_p.reshape(n_chunks, chunk, max_incoming)
+    n_seg = jnp.sum(is_first.astype(jnp.int32))
+    n_live_chunks = (n_seg + chunk - 1) // chunk
+
+    def live(carry):
+        i, _ = carry
+        return i < n_live_chunks
+
+    def body(carry):
+        i, rows = carry
+        out = fix_chunk((t_chunks[i], inc_chunks[i]))
+        rows = jax.lax.dynamic_update_slice(rows, out[None], (i, 0, 0))
+        return i + 1, rows
+
+    rows0 = jnp.zeros((n_chunks, chunk, r), jnp.int32)
+    _, new_rows = jax.lax.while_loop(live, body, (jnp.int32(0), rows0))
+    new_rows = new_rows.reshape(-1, r)
 
     scatter_idx = jnp.where(uniq_t_p == INVALID_ID, n, uniq_t_p)
     return adjacency.at[scatter_idx].set(new_rows[: e + pad_e], mode="drop")

@@ -26,11 +26,14 @@ Design:
     (2026-08-19, growing arrays) spent ~90% of its ingest wall in XLA
     recompiles: every merge changed [N, D]/[N, R] and recompiled both the
     wave and the serving program, capping ingest at ~330 vectors/s.
-  - Merge folds the buffer in bulk: a batched insert wave
-    (`graph.build.wave_step`) while the buffer is a small fraction
-    of the graph, a full kNN rebuild (`graph.knn_build.build_vamana_knn`,
-    12 s warm at 200k) once it isn't. Deletes are tombstones in both
-    tiers; `consolidate()` compacts them (graph/dynamic.py).
+  - Merge folds the buffer in bulk while it is a small fraction of the
+    graph — by default via exact-kNN insertion (`_knn_merge_waves`:
+    candidates from ONE fused MXU flat scan per sub-wave instead of a
+    latency-bound beam search; `merge_method="wave"` keeps the
+    beam-searched `graph.build.wave_step` path) — and by a full kNN
+    rebuild (`graph.knn_build.build_vamana_knn`, 12 s warm at 200k)
+    once it isn't. Deletes are tombstones in both tiers;
+    `consolidate()` compacts them (graph/dynamic.py).
   - Ids are stable across merges: every point gets a permanent external
     id at insert; searches return external ids via a device-resident
     translation row (`self._ext_of_int`).
@@ -53,7 +56,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from diskrag_tpu.graph import beam_search
-from diskrag_tpu.graph.build import wave_step
+from diskrag_tpu.graph.build import _reverse_edges, wave_step
+from diskrag_tpu.graph.prune import robust_prune_batch
+from diskrag_tpu.graph.search import _gathered_distance
 from diskrag_tpu.graph.dynamic import (
     consolidate,
     delete_points,
@@ -68,6 +73,7 @@ from diskrag_tpu.ops.topk import INVALID_ID
 # 1e15 keeps ||pad||^2 ~ 1e32, huge and finite), no out-edges, deleted
 _PAD_VALUE = 1e15
 _BUCKET = 65_536
+INF = jnp.inf
 
 
 def _round_up(x: int, m: int) -> int:
@@ -139,6 +145,66 @@ def _search_merged(
     return ids, -neg
 
 
+@functools.partial(
+    jax.jit, static_argnames=("metric",), donate_argnames=("adjacency",)
+)
+def _knn_forward_rows(
+    vectors: jax.Array,
+    adjacency: jax.Array,
+    wave_ids: jax.Array,
+    cand_ids: jax.Array,
+    cand_dists: jax.Array,
+    n_used: jax.Array,
+    alpha: jax.Array,
+    *,
+    metric: str,
+):
+    """Prune one sub-wave's exact-kNN candidate pool and write the
+    forward rows. The pool = the flat scan's top candidates (self and
+    capacity-pad rows >= n_used masked out here — pads are far under L2
+    but all-identical unit vectors under cosine) ++ the rows' current
+    links (the random init links, plus any reverse edges received from
+    earlier merges). Returns (adjacency, pruned [W, R])."""
+    n, r = adjacency.shape
+    queries = vectors[wave_ids]
+    bad = (cand_ids >= n_used) | (cand_ids == wave_ids[:, None])
+    cand_dists = jnp.where(bad, INF, cand_dists)
+    cand_ids = jnp.where(bad, INVALID_ID, cand_ids)
+    cur = adjacency[wave_ids]
+    cur_vecs = vectors[jnp.clip(cur, 0, n - 1)]
+    cur_d = jnp.where(
+        cur == INVALID_ID,
+        INF,
+        _gathered_distance(queries, cur_vecs, metric),
+    )
+    pool_ids = jnp.concatenate([cand_ids, cur], axis=1)
+    pool_dists = jnp.concatenate([cand_dists, cur_d], axis=1)
+    pool_vecs = vectors[jnp.clip(pool_ids, 0, n - 1)]
+    pruned = robust_prune_batch(
+        wave_ids, pool_ids, pool_vecs, pool_dists, alpha,
+        degree_bound=r, metric=metric,
+    )
+    return adjacency.at[wave_ids].set(pruned), pruned
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_incoming", "chunk", "metric"),
+    donate_argnames=("adjacency",),
+)
+def _reverse_pass(
+    vectors, adjacency, wave_ids, pruned, alpha,
+    *, max_incoming, chunk, metric,
+):
+    """Standalone jitted reverse-edge repair (graph/build.py's
+    `_reverse_edges`) for the kNN merge: forward rows are written first
+    for ALL sub-waves, then targets are repaired once per merge slice."""
+    return _reverse_edges(
+        vectors, adjacency, wave_ids, pruned, alpha,
+        max_incoming=max_incoming, chunk=chunk, metric=metric,
+    )
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=())
 def _place_rows(vectors, adjacency, n0, vecs, rand_links):
     """Write a wave of new rows into the padded region at n0 — one
@@ -172,11 +238,15 @@ class StreamingIndex:
         degree_bound: Optional[int] = None,
         seed: int = 0,
         wave_chunk: int = 4096,
+        merge_method: str = "knn",
     ):
+        if merge_method not in ("knn", "wave"):
+            raise ValueError(f"unknown merge_method {merge_method!r}")
         n = int(index.adjacency.shape[0])
         self.capacity = int(buffer_capacity)
         self.merge_insert_max_fraction = merge_insert_max_fraction
         self._wave_chunk = int(wave_chunk)
+        self.merge_method = merge_method
         self.build_width = build_width
         self.alpha = alpha
         self.degree_bound = degree_bound or int(index.adjacency.shape[1])
@@ -406,24 +476,31 @@ class StreamingIndex:
                 self.index.vectors, self.index.adjacency,
                 jnp.int32(n0), jnp.asarray(vecs, jnp.float32), rand,
             )
-            # the wave runs in fixed-size sub-waves: wave_step's prune
+            # the wave runs in fixed-size sub-waves: the prune
             # intermediates are [W, C, C] + [W, C, D] — multi-GB at
             # W = 16k+ (measured on chip 2026-08-19: one 32k wave ran
             # 3.2x slower than two 16k waves' worth of 4k sub-waves) —
             # and a fixed sub-wave shape means every merge after the
             # first reuses the compile regardless of buffer capacity
             wc = self._wave_chunk
-            for lo in range(0, m, wc):
-                mm = min(wc, m - lo)
-                wave_ids = jnp.arange(n0 + lo, n0 + lo + mm, dtype=jnp.int32)
-                adjacency = wave_step(
-                    vectors, adjacency, self.index.medoid, wave_ids,
-                    jnp.asarray(self.alpha, jnp.float32),
-                    build_width=self.build_width,
-                    max_incoming=min(16, r),
-                    chunk=min(8192, mm * r),
-                    metric=self.metric,
+            if self.merge_method == "knn":
+                adjacency = self._knn_merge_waves(
+                    vectors, adjacency, n0, m, wc
                 )
+            else:
+                for lo in range(0, m, wc):
+                    mm = min(wc, m - lo)
+                    wave_ids = jnp.arange(
+                        n0 + lo, n0 + lo + mm, dtype=jnp.int32
+                    )
+                    adjacency = wave_step(
+                        vectors, adjacency, self.index.medoid, wave_ids,
+                        jnp.asarray(self.alpha, jnp.float32),
+                        build_width=self.build_width,
+                        max_incoming=min(16, r),
+                        chunk=min(8192, mm * r),
+                        metric=self.metric,
+                    )
             self.index = VamanaIndex(
                 vectors=vectors, adjacency=adjacency,
                 medoid=self.index.medoid, metric=self.metric,
@@ -461,6 +538,94 @@ class StreamingIndex:
                 alpha=self.alpha, seed=self.seed, metric=self.metric,
             )
             self._adopt_index(new_index, all_ext, None)
+
+    def _knn_merge_waves(self, vectors, adjacency, n0, m, wc):
+        """Exact-kNN bulk insert: the MXU-native merge.
+
+        The wave path's candidate acquisition is a graph beam search —
+        ~30 sequential frontier rounds per sub-wave, each a scattered
+        row-gather at HBM *latency* (CLAUDE.md platform model). Here
+        candidates come from ONE fused int8 flat scan per sub-wave over
+        the padded database (`ops/flat_scan_pallas`, the same kernel the
+        flat serving tier uses) — exact top-C, no traversal, MXU-bound —
+        mirroring what `graph/knn_build.py` does for full builds.
+
+        Because the scan sees every *placed* row directly, sub-waves
+        don't need reverse edges for reachability (the beam-searched
+        path does), so forward rows are written for ALL sub-waves first
+        and reverse-edge repair runs once per 16k-row slice at the end —
+        each affected target is repaired once per slice instead of once
+        per sub-wave. Tombstoned rows still participate as candidates
+        (they do in the wave path too); `consolidate()` clears them.
+        """
+        r = int(adjacency.shape[1])
+        knn_k = max(64, (4 * r) // 3)
+        alpha = jnp.asarray(self.alpha, jnp.float32)
+        metric = self.metric
+        n_used = jnp.int32(n0 + m)
+        on_cpu = jax.default_backend() == "cpu"
+        norms = jnp.sum(jnp.square(vectors), axis=-1)
+        if on_cpu:
+            # the XLA scan normalizes internally for cosine (raw db +
+            # norms), mirroring knn_build.exact_knn's backend split
+            from diskrag_tpu.ops.flat import flat_search
+
+            db_bf16 = vectors.astype(jnp.bfloat16)
+        else:
+            from diskrag_tpu.ops.flat_scan_pallas import (
+                flat_search_fused,
+                quantize_int8,
+            )
+
+            # the fused int8 scan expects a pre-normalized db for cosine
+            # (knn_build.exact_knn:94-98 does the same)
+            if metric == Metric.COSINE.value:
+                inv = jax.lax.rsqrt(
+                    jnp.sum(jnp.square(vectors), axis=-1, keepdims=True)
+                    + 1e-12
+                )
+                vec_scan, scan_scales = quantize_int8(vectors * inv)
+            else:
+                vec_scan, scan_scales = quantize_int8(vectors)
+        pruned_slices = []
+        for lo in range(0, m, wc):
+            mm = min(wc, m - lo)
+            wave_ids = jnp.arange(n0 + lo, n0 + lo + mm, dtype=jnp.int32)
+            q = vectors[n0 + lo : n0 + lo + mm]
+            if on_cpu:
+                d, ids = flat_search(
+                    q, db_bf16, norms, vectors, k=knn_k + 1, metric=metric,
+                    chunk=min(65_536, int(vectors.shape[0])), rerank_mult=2,
+                )
+            else:
+                d, ids = flat_search_fused(
+                    q, vec_scan, norms, vectors, k=knn_k + 1, metric=metric,
+                    rerank_mult=4, n_buckets=4096, db_tile=4096,
+                    query_block=128, db_scales=scan_scales,
+                )
+            adjacency, pruned = _knn_forward_rows(
+                vectors, adjacency, wave_ids, ids, d, n_used, alpha,
+                metric=metric,
+            )
+            pruned_slices.append(pruned)
+        pruned_all = (
+            jnp.concatenate(pruned_slices)
+            if len(pruned_slices) > 1 else pruned_slices[0]
+        )
+        # reverse repair in bounded slices: the grouping argsort is over
+        # rows*R elements — 16k rows x R=48 = 786k, well under the
+        # platform's ~10M-element sort/scan cliff (CLAUDE.md)
+        rev_rows = 16_384
+        for lo in range(0, m, rev_rows):
+            mm = min(rev_rows, m - lo)
+            wave_ids = jnp.arange(n0 + lo, n0 + lo + mm, dtype=jnp.int32)
+            adjacency = _reverse_pass(
+                vectors, adjacency, wave_ids,
+                jax.lax.dynamic_slice_in_dim(pruned_all, lo, mm),
+                alpha, max_incoming=min(16, r),
+                chunk=min(8192, mm * r), metric=metric,
+            )
+        return adjacency
 
     def consolidate(self) -> None:
         """Compact graph tombstones (graph/dynamic.py `consolidate`)."""

@@ -6,6 +6,7 @@ for the reference's per-point mutation (reference vamana_graph.py:58-230)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from diskrag_tpu.graph import build_vamana
 from diskrag_tpu.index.streaming import StreamingIndex
@@ -63,9 +64,10 @@ def test_delete_both_tiers(clustered_data):
     assert 7 not in got[1]
 
 
-def test_merge_insert_wave_path(clustered_data):
+@pytest.mark.parametrize("mm", ["knn", "wave"])
+def test_merge_insert_wave_path(clustered_data, mm):
     base, extra = clustered_data[:1800], clustered_data[1800:]
-    s = _make(base, merge_insert_max_fraction=0.5)
+    s = _make(base, merge_insert_max_fraction=0.5, merge_method=mm)
     ids = s.insert(extra)
     s.merge()
     assert s.n_buffered == 0 and s.n_merges == 1
@@ -132,11 +134,15 @@ def test_consolidate_compacts_tombstones(clustered_data):
     assert not np.isin(np.asarray(got), np.arange(100)).any()
 
 
-def test_recall_holds_during_ingest(clustered_data, rng):
+@pytest.mark.parametrize("mm", ["knn", "wave"])
+def test_recall_holds_during_ingest(clustered_data, rng, mm):
     """The VERDICT r1 gate: recall during ingest stays at the graph's
     operating point (buffered points are exact hits)."""
     base = clustered_data[:1500]
-    s = _make(base, buffer_capacity=128, merge_insert_max_fraction=0.3)
+    s = _make(
+        base, buffer_capacity=128, merge_insert_max_fraction=0.3,
+        merge_method=mm,
+    )
     q = clustered_data[rng.integers(0, 2000, 48)] + rng.normal(
         size=(48, base.shape[1])
     ).astype(np.float32) * 0.05
@@ -148,6 +154,29 @@ def test_recall_holds_during_ingest(clustered_data, rng):
         _, gt = brute_force_topk(jnp.asarray(q), jnp.asarray(live), k=10)
         recs.append(_recall(np.asarray(got), np.asarray(gt)))
     assert min(recs) >= 0.95, f"ingest recall dipped to {min(recs):.3f}"
+
+
+def test_knn_merge_cosine_masks_pad_rows(clustered_data):
+    """The kNN merge's candidate scan sees the capacity-pad rows; under
+    cosine they normalize to one identical unit vector (not 'far' like
+    under L2), so the merge must mask candidates past the in-use
+    watermark or new rows would link to pads."""
+    data = clustered_data / np.linalg.norm(
+        clustered_data, axis=1, keepdims=True
+    )
+    base, extra = data[:1800], data[1800:]
+    idx = build_vamana(
+        base, degree_bound=24, build_width=48, wave_size=256,
+        metric="cosine",
+    )
+    s = StreamingIndex(idx, merge_insert_max_fraction=0.5,
+                       merge_method="knn")
+    ids = s.insert(extra)
+    s.merge()
+    adj = np.asarray(s.index.adjacency[: s.n_graph])
+    assert adj.max() < s.n_graph, "merge linked into capacity-pad rows"
+    got, _ = s.search(extra[:16], k=1, search_width=48)
+    assert np.mean(np.asarray(got)[:, 0] == ids[:16]) >= 0.9
 
 
 def test_delete_idempotent_and_live_count(clustered_data):
