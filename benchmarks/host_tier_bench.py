@@ -28,7 +28,14 @@ def main() -> None:
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--queries", type=int, default=1000)
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--mode", default="bf16", choices=["bf16", "pq"])
+    ap.add_argument("--mode", default="bf16", choices=["bf16", "pq", "iq"])
+    ap.add_argument(
+        "--train-quantizer", default=None,
+        choices=["iq8", "rpq32", "rpq64"],
+        help="train + persist quantizer artifacts into the index dir "
+        "before serving (needed once per index for --mode pq/iq; the "
+        "dataset is regenerated if the index was reused)",
+    )
     ap.add_argument("--widths", type=int, nargs="+", default=[32, 48])
     ap.add_argument("--expand", type=int, default=8)
     ap.add_argument("--repeats", type=int, default=3)
@@ -123,6 +130,36 @@ def main() -> None:
         gt_path.parent.mkdir(parents=True, exist_ok=True)
         np.save(gt_path, gt)
         print(f"ground truth: {time.perf_counter() - t0:.1f}s")
+    if args.train_quantizer:
+        from diskrag_tpu.index.persist import IndexStore, save_pq_artifacts
+
+        store = IndexStore(index_dir)
+        if pts is None:
+            t0 = time.perf_counter()
+            pts, _ = make_dataset(args.n, args.dim, args.queries)
+            print(f"dataset regen for quantizer: "
+                  f"{time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        kind = args.train_quantizer
+        if kind == "iq8":
+            from diskrag_tpu.pq.intq import IntQuantizer
+
+            quant = IntQuantizer(bits=8).fit(pts, seed=0)
+            extra = save_pq_artifacts(
+                store, quant, np.asarray(quant.encode(pts))
+            )
+        else:
+            from diskrag_tpu.pq.residual import ResidualPQ
+
+            quant = ResidualPQ(n_subvectors=int(kind[3:])).fit(pts, seed=0)
+            codes, cids = quant.encode(pts)
+            extra = save_pq_artifacts(
+                store, quant, np.asarray(codes), coarse_ids=np.asarray(cids)
+            )
+        meta = json.loads(meta_p.read_text())
+        meta.update(extra)
+        meta_p.write_text(json.dumps(meta))
+        print(f"quantizer {kind}: {time.perf_counter() - t0:.1f}s")
     del pts
 
     ht = HostTierIndex.from_store(index_dir, mode=args.mode)

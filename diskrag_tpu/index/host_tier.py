@@ -4,10 +4,12 @@ reference vamana_graph.py:719-760 + io/diskann_persist.py:209-235).
 
 Memory layout (BASELINE.json config 4, "DEEP10M disk-style split"):
   - HBM: adjacency int32[N, R] + a compressed traversal representation —
-    either PQ codes uint8[N, m] (`mode="pq"`, 16-32x compression, quality
-    depends on the data's quantizability) or bfloat16 vectors
-    (`mode="bf16"`, 2x compression, near-exact ordering) — everything
-    graph traversal needs;
+    PQ codes uint8[N, m] (`mode="pq"`, 16-32x compression, quality
+    depends on the data's quantizability), IntQuantizer int8 rows
+    (`mode="iq"`, ~4x compression, near-exact ordering at ~10x the ADC
+    round throughput — pq/intq.py), or bfloat16 vectors (`mode="bf16"`,
+    2x compression, near-exact ordering) — everything graph traversal
+    needs;
   - host RAM / disk: full-precision float32 vectors in the packed record
     file, served by the native batched reader (diskrag_tpu.native);
   - query flow: compressed-guided traversal on device -> candidate pool
@@ -108,8 +110,8 @@ class HostTierIndex:
     adjacency: jax.Array      # [N, R] HBM
     medoid: jax.Array
     reader: RecordReader      # host-side full vectors
-    mode: str = "pq"          # "pq" | "bf16"
-    codes: jax.Array | None = None          # [N, m] uint8 HBM (pq mode)
+    mode: str = "pq"          # "pq" | "iq" | "bf16"
+    codes: jax.Array | None = None  # [N, m] uint8 (pq) / [N, rw] int8 (iq)
     pq: ProductQuantizer | None = None
     vectors_bf16: jax.Array | None = None   # [N, D] bf16 HBM (bf16 mode)
     metric: str = "l2"
@@ -123,8 +125,9 @@ class HostTierIndex:
         cls, index_dir, cache_capacity: int = 65_536, mode: str | None = None
     ) -> "HostTierIndex":
         """Open from a persisted index directory containing the packed
-        record file (index.dat). mode None = "pq" when PQ artifacts
-        exist, else "bf16". bf16 mode streams vectors.npy to HBM
+        record file (index.dat). mode None auto-picks: "iq" for
+        IntQuantizer artifacts, "pq" for plain/residual ADC codes,
+        else "bf16". bf16 mode streams vectors.npy to HBM
         chunk-wise as bfloat16 (half the f32 footprint; the f32 master
         stays host-side, read through the record file for rerank)."""
         from diskrag_tpu.index.persist import IndexStore
@@ -138,32 +141,34 @@ class HostTierIndex:
                 "(save with write_compat=True)"
             )
         metric = meta.get("distance_metric", "l2")
-        # IntQuantizer rows are a full-HBM serving format (beam_search_iq);
-        # the host-tier pool programs score plain/residual ADC tables only
         pq_kind = meta.get("pq_kind", "plain")
         if mode is None:
-            # ADC tables are L2-only by design (PERFORMANCE.md "Angular");
-            # never auto-pick a traversal that ranks by the wrong metric
-            # (or a quantizer kind this tier cannot score)
-            mode = (
-                "pq"
-                if store.pq_model_path.exists() and metric == "l2"
-                and not pq_kind.startswith("int")
-                else "bf16"
-            )
-        if mode == "pq" and metric != "l2":
+            # ADC/iq scores rank by squared L2 only (PERFORMANCE.md
+            # "Angular"); never auto-pick a traversal that ranks by the
+            # wrong metric. Int rows get the iq traversal (one row gather
+            # + matmul per candidate — ~10x the ADC round throughput at
+            # ~4x the bytes of m=32 codes), plain/residual codes the ADC
+            # one; no compressed artifacts (or a non-L2 metric) = bf16.
+            if store.pq_model_path.exists() and metric == "l2":
+                mode = "iq" if pq_kind.startswith("int") else "pq"
+            else:
+                mode = "bf16"
+        if mode in ("pq", "iq") and metric != "l2":
             raise ValueError(
-                f"host-tier pq traversal is L2-only (ADC tables); this "
-                f"index uses metric={metric!r} — serve it in bf16 mode, or "
-                "normalize the vectors and build with metric='l2' for "
-                "angular data"
+                f"host-tier {mode} traversal is L2-only (quantized scores "
+                f"rank by squared L2); this index uses metric={metric!r} — "
+                "serve it in bf16 mode, or normalize the vectors and build "
+                "with metric='l2' for angular data"
             )
         if mode == "pq" and pq_kind.startswith("int"):
             raise ValueError(
                 f"host-tier pq traversal cannot score pq_kind={pq_kind!r} "
-                "(IntQuantizer rows serve the full-HBM iq path, "
-                "graph/search.py beam_search_iq) — serve this index in "
-                "bf16 mode, or rebuild its PQ artifacts as residual/plain"
+                "(IntQuantizer rows) — use mode='iq' (or None for auto)"
+            )
+        if mode == "iq" and not pq_kind.startswith("int"):
+            raise ValueError(
+                f"host-tier iq traversal needs IntQuantizer artifacts; "
+                f"this index has pq_kind={pq_kind!r} — use mode='pq'"
             )
         adjacency = jnp.asarray(np.load(store.adjacency_path))
         reader = RecordReader(
@@ -175,7 +180,7 @@ class HostTierIndex:
         vec_bf16 = None
         pq_cells = None
         pq_bias = None
-        if mode == "pq":
+        if mode in ("pq", "iq"):
             from diskrag_tpu.pq.residual import ResidualPQ, pq_from_arrays
 
             with np.load(store.pq_model_path) as z:
@@ -246,7 +251,20 @@ class HostTierIndex:
         device scalar.)  Dispatch is async: nothing here blocks on the
         device, which is what makes the pipelined path overlap.
         """
-        if self.mode == "pq":
+        if self.mode == "iq":
+            from diskrag_tpu.graph.search import beam_search_iq
+
+            # int8 rows in HBM (D + cid/bias lanes per point): traversal
+            # scores one gathered row per candidate on the MXU, exact
+            # rerank still happens host-side downstream
+            res: SearchResult = beam_search_iq(
+                self.codes, self.pq.query_tables(q), self.adjacency,
+                self.medoid, dim=self.pq.dim, bits=self.pq.bits,
+                n_cells=self.pq.n_cells, search_width=search_width,
+                k=search_width, rerank=False, expand_width=expand_width,
+                entry_points=self.entry_points,
+            )
+        elif self.mode == "pq":
             if self.pq_cells is not None:  # residual PQ (pq/residual.py)
                 tables = self.pq.inner_tables(q)
                 aux = {
@@ -257,7 +275,7 @@ class HostTierIndex:
             else:
                 tables = self.pq.compute_distance_tables(q)
                 aux = {}
-            res: SearchResult = beam_search_pq(
+            res = beam_search_pq(
                 self.codes, tables, self.adjacency, self.medoid,
                 search_width=search_width, k=search_width, rerank=False,
                 expand_width=expand_width, entry_points=self.entry_points,

@@ -87,20 +87,35 @@ def test_host_tier_pipelined_matches_sequential(tmp_path, clustered_data):
     np.testing.assert_array_equal(i1, i_seq[:8])
 
 
-def test_host_tier_rejects_intq_artifacts(tmp_path, clustered_data):
-    """Regression: IntQuantizer rows are a full-HBM serving format the
-    host-tier pool programs cannot score — auto mode must fall back to
-    bf16 at bring-up, and an explicit mode='pq' must raise (not crash at
-    the first search)."""
+def test_host_tier_iq_mode(tmp_path, clustered_data):
+    """IntQuantizer artifacts serve the host tier via the iq traversal
+    (int8 rows in HBM, exact host rerank): auto mode picks it, the ADC
+    path still refuses the row format, and recall matches bf16's."""
+    pts = clustered_data
     build_index_from_vectors(
-        clustered_data, tmp_path / "idx", write_compat=True,
+        pts, tmp_path / "idx", write_compat=True,
         pq_kind="int8",
         params_override={"R": 32, "L": 64, "alpha": 1.2},
     )
     ht = HostTierIndex.from_store(tmp_path / "idx")
-    assert ht.mode == "bf16"
+    assert ht.mode == "iq"
     with pytest.raises(ValueError, match="cannot score"):
         HostTierIndex.from_store(tmp_path / "idx", mode="pq")
+
+    rng = np.random.default_rng(9)
+    qi = rng.integers(0, len(pts), size=32)
+    queries = (
+        pts[qi]
+        + rng.normal(size=(32, pts.shape[1])).astype(np.float32) * 0.1
+    )
+    dists, ids, stats = ht.search(queries, search_width=64, k=10)
+    assert stats["mode"] == "iq"
+    _, gt = brute_force_topk(jnp.asarray(queries), jnp.asarray(pts), k=10)
+    gt = np.asarray(gt)
+    recall = np.mean(
+        [len(set(ids[i]) & set(gt[i])) / 10 for i in range(len(ids))]
+    )
+    assert recall >= 0.85, f"host-tier iq recall@10 = {recall}"
 
 
 def test_host_tier_rejects_stale_pq_aux(tmp_path, clustered_data):
