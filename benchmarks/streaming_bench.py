@@ -35,6 +35,8 @@ K = 10
 
 
 def main():
+    import jax.numpy as jnp
+
     from diskrag_tpu.benchmark import ground_truth, make_dataset, recall_at_k
     from diskrag_tpu.graph.knn_build import build_vamana_knn
     from diskrag_tpu.index.streaming import StreamingIndex
@@ -62,14 +64,21 @@ def main():
             merge_insert_max_fraction=frac,
             merge_method=merge_method,
         )
-        # warm the merged-search + append compiles out of the timed region
-        idx.insert(stream[:BATCH])
-        idx.search(queries, k=K, search_width=32)
+        # warm the merged-search + append + MERGE compiles out of the
+        # timed region — the merge warmup must run at the real shapes
+        # (a full-capacity merge: sub-waves + reverse slices), or the
+        # first timed config eats every compile and the next config
+        # inherits them warm (measured 2026-08-19: 619/s vs 5,650/s for
+        # two configs whose steady-state rates are ~2.8k and ~7k)
+        warm_n = capacity
+        for off in range(0, warm_n, BATCH):
+            idx.insert(stream[off : off + BATCH])
         idx.merge()
+        idx.search(queries, k=K, search_width=32)
 
         probes = []
         t0 = time.perf_counter()
-        for off in range(BATCH, STREAM_N, BATCH):
+        for off in range(warm_n, STREAM_N, BATCH):
             idx.insert(stream[off : off + BATCH])
             if idx.n_buffered == capacity // 2 and len(probes) < 2:
                 # mid-stream recall probe (excluded from the rate: it is
@@ -100,13 +109,17 @@ def main():
         ids, _ = idx.search(queries, k=K, search_width=32)
         final_recall = recall_at_k(np.asarray(ids), gt, K)
 
-        # steady-state search QPS with a half-full buffer
+        # steady-state search QPS with a half-full buffer; queries are
+        # uploaded ONCE like every other serving sweep (benchmark.py
+        # sweep_*) — a per-call [1000, D] f32 upload over this tunnel
+        # would dominate the measurement
         idx.insert(stream[: capacity // 2])
-        idx.search(queries, k=K, search_width=32)
+        q_dev = jnp.asarray(queries)
+        idx.search(q_dev, k=K, search_width=32)
         t0 = time.perf_counter()
         reps = 5
         for _ in range(reps):
-            ids, _ = idx.search(queries, k=K, search_width=32)
+            ids, _ = idx.search(q_dev, k=K, search_width=32)
         np.asarray(ids)
         qps = N_QUERIES * reps / (time.perf_counter() - t0)
 
@@ -114,7 +127,7 @@ def main():
             "capacity": capacity,
             "merge_method": merge_method,
             "merge_insert_max_fraction": frac,
-            "ingest_per_s": round((STREAM_N - BATCH) / ingest_s, 1),
+            "ingest_per_s": round((STREAM_N - warm_n) / ingest_s, 1),
             "ingest_seconds": round(ingest_s, 1),
             "n_merges": idx.n_merges,
             "mid_stream_probes": probes,
