@@ -219,28 +219,35 @@ class SearchEngine:
                     mode_kwargs: dict = {}
                     if store.pq_model_path.exists() and (
                         self.meta.get("distance_metric", "l2") == "l2"
-                    ) and not str(
-                        self.meta.get("pq_kind", "plain")
-                    ).startswith("int"):
-                        # IntQuantizer rows serve the full-HBM iq path
-                        # only — the sharded pool programs score
-                        # plain/residual ADC tables (bf16 fallback here)
+                    ):
                         from diskrag_tpu.index.persist import load_pq_aux
                         from diskrag_tpu.pq.residual import pq_from_arrays
 
                         with np.load(store.pq_model_path) as z:
                             pq = pq_from_arrays(dict(z))
                         codes_arr = np.load(store.pq_codes_path)
-                        cells, bias = load_pq_aux(
-                            store, expect_n=int(codes_arr.shape[0])
-                        )
-                        mode_kwargs = {
-                            "mode": "pq",
-                            "pq": pq,
-                            "codes": codes_arr,
-                            "pq_cells": cells,
-                            "pq_bias": bias,
-                        }
+                        if str(
+                            self.meta.get("pq_kind", "plain")
+                        ).startswith("int"):
+                            # IntQuantizer int8 rows: MXU-scored iq
+                            # traversal (same auto-pick as the
+                            # single-chip tier, HostTierIndex.from_store)
+                            mode_kwargs = {
+                                "mode": "iq",
+                                "pq": pq,
+                                "codes": codes_arr,
+                            }
+                        else:
+                            cells, bias = load_pq_aux(
+                                store, expect_n=int(codes_arr.shape[0])
+                            )
+                            mode_kwargs = {
+                                "mode": "pq",
+                                "pq": pq,
+                                "codes": codes_arr,
+                                "pq_cells": cells,
+                                "pq_bias": bias,
+                            }
                     self.host_tier = ShardedHostTier.from_sharded_index(
                         load_sharded_index(index_dir / "sharded"),
                         reader, self.mesh, **mode_kwargs,

@@ -193,6 +193,81 @@ def _sharded_pool_pq_impl(
       pq_cells, pq_bias, cell_tables)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "search_width", "k", "max_steps", "expand_width", "mesh",
+        "dim", "bits", "n_cells",
+    ),
+)
+def _sharded_pool_iq_impl(
+    codes, adjacency, medoids, global_ids, entry_points, queries,
+    qw, qn, cell_t, bias_lo, bias_scale,
+    *, search_width: int, k: int, max_steps: int, expand_width: int,
+    mesh: Mesh, dim: int, bits: int, n_cells: int,
+):
+    """iq twin of `_sharded_pool_pq_impl`: traversal guided by MXU-scored
+    IntQuantizer int8 rows per shard (pq/intq.py) — row_width bytes/node
+    in HBM, near-exact ordering at ~10x the ADC round throughput (the
+    same trade as the single-chip tier's mode='iq', index/host_tier.py).
+    The IQTables leaves ride in flat so each gets its own sharding spec
+    (qw/qn/cell_t are per-query → data-sharded; the bias affine scalars
+    are replicated)."""
+    from diskrag_tpu.pq.intq import (
+        IQTables,
+        iq_score_gathered,
+        iq_score_shared,
+    )
+
+    def local_search(cds, adj, med, gid, ep, q, qw_, qn_, ct_, blo, bsc):
+        cds, adj, gid = cds[0], adj[0], gid[0]
+        med = med[0]
+        ns = cds.shape[0]
+        tbl = IQTables(
+            qw=qw_, qn=qn_, cell_t=ct_, bias_lo=blo, bias_scale=bsc
+        )
+
+        def expand(ids):
+            safe = jnp.clip(ids, 0, ns - 1)
+            return iq_score_gathered(
+                tbl, cds[safe], dim=dim, bits=bits, n_cells=n_cells
+            )
+
+        def seed_expand(seeds):
+            return iq_score_shared(
+                tbl, cds[seeds], dim=dim, bits=bits, n_cells=n_cells
+            )
+
+        return _local_pool(
+            adj, med, gid, ep, expand, seed_expand, q.shape[0],
+            search_width=search_width, k=k, max_steps=max_steps,
+            expand_width=expand_width,
+        )
+
+    ep_spec = P() if entry_points is None else P("shard", None)
+    ct_spec = P() if cell_t is None else P("data", None)
+    return jax.shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(
+            P("shard", None, None),
+            P("shard", None, None),
+            P("shard"),
+            P("shard", None),
+            ep_spec,
+            P("data", None),
+            P("data", None),
+            P("data"),
+            ct_spec,
+            P(),
+            P(),
+        ),
+        out_specs=P("data", None),
+        check_vma=False,  # all_gather replicates over "shard"
+    )(codes, adjacency, medoids, global_ids, entry_points, queries,
+      qw, qn, cell_t, bias_lo, bias_scale)
+
+
 @dataclasses.dataclass
 class ShardedHostTier:
     """Sharded compressed-traversal tier + host-resident f32 rerank.
@@ -200,7 +275,9 @@ class ShardedHostTier:
     mode "bf16": bf16 vectors/shard in HBM (2*D bytes/node, near-exact
     traversal ordering). mode "pq": uint8 PQ codes/shard (m bytes/node,
     ~2*D/m more capacity per chip; quality is data-dependent — the same
-    trade as the single-chip tier, index/host_tier.py)."""
+    trade as the single-chip tier, index/host_tier.py). mode "iq":
+    IntQuantizer int8 rows/shard (row_width bytes/node, near-exact
+    ordering at ~10x the ADC round throughput)."""
 
     vectors_bf16: jax.Array | None  # [S, Ns, D] bf16 (bf16 mode)
     adjacency: jax.Array      # [S, Ns, R]
@@ -266,17 +343,37 @@ class ShardedHostTier:
                     np.asarray(v).astype(ml_dtypes.bfloat16), spec3
                 )
             return cls(vectors_bf16=v16, **common)
-        if mode != "pq":
+        if mode not in ("pq", "iq"):
             raise ValueError(f"unknown sharded host-tier mode: {mode}")
         if pq is None or codes is None:
-            raise ValueError("mode='pq' needs pq model + global codes")
+            raise ValueError(f"mode={mode!r} needs pq model + global codes")
         if Metric(index.metric) != Metric.L2:
-            # ADC tables are L2-only by design: traversal would rank by
-            # the wrong metric (see index/host_tier.py from_store)
+            # quantized scores rank by squared L2 only: traversal would
+            # rank by the wrong metric (see index/host_tier.py from_store)
             raise ValueError(
-                f"sharded host-tier pq traversal is L2-only (ADC tables); "
-                f"this index uses metric={index.metric!r} — use bf16 mode, "
+                f"sharded host-tier {mode} traversal is L2-only; this "
+                f"index uses metric={index.metric!r} — use bf16 mode, "
                 "or normalize the vectors and build with metric='l2'"
+            )
+        if mode == "iq":
+            gids = np.asarray(index.global_ids)
+            safe_gids = np.clip(gids, 0, None)
+            shard_rows = np.asarray(codes, np.int8)[safe_gids]
+            pad_mask = gids < 0
+            if pad_mask.any():
+                # same treatment as pq below: pad rows are wrap-around
+                # duplicates — encode their actual vectors so traversal
+                # through them ranks correctly
+                ps, pr = np.nonzero(pad_mask)
+                shard_rows[pad_mask] = np.asarray(
+                    pq.encode(np.asarray(index.vectors[ps, pr]))
+                )
+            return cls(
+                vectors_bf16=None,
+                mode="iq",
+                codes=jax.device_put(shard_rows, spec3),
+                pq=pq,
+                **common,
             )
         from diskrag_tpu.pq.residual import ResidualPQ
 
@@ -330,6 +427,17 @@ class ShardedHostTier:
 
     def _pool(self, q: jax.Array, *, search_width, max_steps, expand_width):
         """Dispatch one traversal round -> device pool array [B, S*P]."""
+        if self.mode == "iq":
+            t = self.pq.query_tables(q)
+            return _sharded_pool_iq_impl(
+                self.codes, self.adjacency, self.medoids,
+                self.global_ids, self.entry_points, q,
+                t.qw, t.qn, t.cell_t, t.bias_lo, t.bias_scale,
+                search_width=search_width, k=search_width,
+                max_steps=max_steps, expand_width=expand_width,
+                mesh=self.mesh, dim=self.pq.dim, bits=self.pq.bits,
+                n_cells=self.pq.n_cells,
+            )
         if self.mode == "pq":
             if self.pq_cells is not None:  # residual PQ (pq/residual.py)
                 tables = self.pq.inner_tables(q)

@@ -292,16 +292,28 @@ class ResidualPQ:
         )
 
     def point_bias(
-        self, codes: np.ndarray | jax.Array, coarse_ids: np.ndarray | jax.Array
+        self,
+        codes: np.ndarray | jax.Array,
+        coarse_ids: np.ndarray | jax.Array,
+        *,
+        chunk: int = 262_144,
     ) -> jax.Array:
         """f32 [N] per-point constant: ||c||^2 + 2 c . e (c = assigned
         coarse centroid, e = decoded residual). Persisted next to the
-        codes so serving never touches the codebooks per candidate."""
+        codes so serving never touches the codebooks per candidate.
+
+        Chunked over N: the decode intermediates are [chunk, D] f32 —
+        whole-N at 1M+ next to the training leftovers OOMed a 16 GB chip
+        (measured 2026-08-19 in save_pq_artifacts at 1M x 128)."""
         self._check_fitted()
-        cid = jnp.asarray(coarse_ids, jnp.int32)
-        c = self.coarse_centroids[cid]                       # [N, D]
-        e = self.pq.decode(codes)                            # [N, D]
-        return jnp.sum(c * (c + 2.0 * e), axis=-1)
+        n = int(codes.shape[0])
+        out = []
+        for lo in range(0, n, chunk):
+            cid = jnp.asarray(coarse_ids[lo : lo + chunk], jnp.int32)
+            c = self.coarse_centroids[cid]                   # [W, D]
+            e = self.pq.decode(codes[lo : lo + chunk])       # [W, D]
+            out.append(jnp.sum(c * (c + 2.0 * e), axis=-1))
+        return jnp.concatenate(out) if len(out) > 1 else out[0]
 
     def reconstruction_error(self, vectors: np.ndarray | jax.Array) -> float:
         v = jnp.asarray(vectors, jnp.float32)

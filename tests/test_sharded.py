@@ -277,6 +277,49 @@ def test_sharded_host_tier_pq_mode(clustered_data, tmp_path):
     np.testing.assert_array_equal(i_pip, ids)
 
 
+def test_sharded_host_tier_iq_mode(clustered_data, tmp_path):
+    """iq traversal mode of the sharded host tier: IntQuantizer int8
+    rows/shard guide the traversal (MXU-scored, near-exact ordering),
+    exact host rerank restores true distances."""
+    from diskrag_tpu.index.persist import write_compat_records
+    from diskrag_tpu.native import RecordReader
+    from diskrag_tpu.parallel.host_tier import ShardedHostTier
+    from diskrag_tpu.pq import IntQuantizer
+
+    pts = clustered_data
+    rng = np.random.default_rng(11)
+    sharded = build_sharded(pts, n_shards=4, degree_bound=24)
+    mesh = make_mesh(n_shards=4, n_data=2)
+    path = tmp_path / "vectors.dat"
+    write_compat_records(path, pts, np.empty((len(pts), 0), np.int32))
+    reader = RecordReader(path, len(pts), pts.shape[1], 0)
+
+    iq = IntQuantizer(bits=8).fit(pts, seed=0)
+    rows = np.asarray(iq.encode(pts))
+    ht = ShardedHostTier.from_sharded_index(
+        sharded, reader, mesh, mode="iq", pq=iq, codes=rows
+    )
+    assert ht.mode == "iq" and ht.vectors_bf16 is None
+    assert ht.codes.shape[0] == 4 and ht.codes.dtype == jnp.int8
+
+    qi = rng.integers(0, len(pts), size=50)
+    queries = (
+        pts[qi] + rng.normal(size=(50, pts.shape[1])).astype(np.float32) * 0.1
+    )
+    dists, ids, stats = ht.search(queries, search_width=48, k=10)
+    assert stats["mode"] == "iq"
+    _, gt = brute_force_topk(jnp.asarray(queries), jnp.asarray(pts), k=10)
+    gt = np.asarray(gt)
+    recall = np.mean(
+        [len(set(ids[i]) & set(gt[i])) / 10 for i in range(len(ids))]
+    )
+    # int8 ordering is near-exact: expect the bf16-mode recall band,
+    # not the ADC one
+    assert recall >= 0.9, f"iq sharded host-tier recall@10 = {recall}"
+    d0 = ((queries[0] - pts[ids[0, 0]]) ** 2).sum()
+    np.testing.assert_allclose(dists[0, 0], d0, rtol=1e-3)
+
+
 def test_sharded_save_load_without_entry_points(clustered_data, tmp_path):
     """Wave-built shards carry no entry points; the artifact round-trip
     must preserve that (has_entry_points=False path)."""
