@@ -28,7 +28,7 @@ from typing import Annotated, Any, Optional
 from pydantic import BaseModel, Field, ValidationError
 
 from diskrag_tpu.data import CollectionManager, EmbeddingConfig, EmbeddingGenerator
-from diskrag_tpu.engine import SearchEngine
+from diskrag_tpu.engine import SearchEngine, ServingConfigError
 
 try:
     from aiohttp import web
@@ -56,6 +56,19 @@ class BatchSearchRequest(BaseModel):
         Field(..., min_length=1, max_length=1024)
     )
     top_k: int = Field(5, ge=1, le=20)
+
+
+class InsertRequest(BaseModel):
+    collection: str = Field(...)
+    texts: list[Annotated[str, Field(min_length=1, max_length=5000)]] = (
+        Field(..., min_length=1, max_length=1024)
+    )
+    metadata: Optional[list[dict]] = None
+
+
+class DeleteRequest(BaseModel):
+    collection: str = Field(...)
+    ids: list[int] = Field(..., min_length=1, max_length=65536)
 
 
 class AskRequest(BaseModel):
@@ -234,6 +247,64 @@ def create_app(state: Optional[AppState] = None):
             logger.exception("faq_search failed")
             return _json_error(500, str(e))
 
+    async def insert(request: web.Request):
+        """Live ingest (ours only — no reference counterpart; requires
+        the server to run with DISKRAG_SERVING_MODE=streaming): embed ->
+        dedup-append to the collection -> insert into the serving tier.
+        Inserted rows are searchable immediately (exact side buffer)."""
+        try:
+            req = InsertRequest(**await request.json())
+        except (ValidationError, ValueError) as e:
+            return _json_error(422, str(e))
+        if req.metadata is not None and len(req.metadata) != len(req.texts):
+            return _json_error(422, "metadata length != texts length")
+        try:
+            def work():
+                engine = state.get_engine(req.collection)
+                ids = engine.insert_texts(
+                    req.texts, metadata_list=req.metadata,
+                    embedding_fn=state.embed,
+                )
+                return {
+                    "inserted": len(ids),
+                    "skipped_duplicates": len(req.texts) - len(ids),
+                    "ids": [int(i) for i in ids],
+                    "n_total_live": int(engine.streaming.n_total_live),
+                }
+
+            out = await asyncio.to_thread(work)
+            return web.json_response(out)
+        except ServingConfigError as e:
+            return _json_error(409, str(e))
+        except Exception as e:  # noqa: BLE001
+            logger.exception("insert failed")
+            return _json_error(500, str(e))
+
+    async def delete(request: web.Request):
+        """Tombstone rows by vector id (streaming mode; idempotent)."""
+        try:
+            req = DeleteRequest(**await request.json())
+        except (ValidationError, ValueError) as e:
+            return _json_error(422, str(e))
+        try:
+            def work():
+                engine = state.get_engine(req.collection)
+                engine.delete_ids(req.ids)
+                return {
+                    "deleted": len(req.ids),
+                    "n_total_live": int(engine.streaming.n_total_live),
+                }
+
+            out = await asyncio.to_thread(work)
+            return web.json_response(out)
+        except ServingConfigError as e:
+            return _json_error(409, str(e))
+        except KeyError as e:
+            return _json_error(404, f"unknown id: {e}")
+        except Exception as e:  # noqa: BLE001
+            logger.exception("delete failed")
+            return _json_error(500, str(e))
+
     async def collections(request: web.Request):
         """Per-collection integrity report (reference app.py:132-293)."""
         out = []
@@ -392,6 +463,8 @@ def create_app(state: Optional[AppState] = None):
 
     app.router.add_post("/search", search)
     app.router.add_post("/search-batch", search_batch)
+    app.router.add_post("/insert", insert)
+    app.router.add_post("/delete", delete)
     app.router.add_post("/faq-search", faq_search)
     app.router.add_get("/collections", collections)
     app.router.add_get("/health", health)
@@ -436,4 +509,11 @@ def main(
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser(description="diskrag-tpu HTTP API")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--config", default="config.yaml")
+    a = ap.parse_args()
+    main(host=a.host, port=a.port, config=a.config)

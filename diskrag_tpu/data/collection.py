@@ -153,9 +153,15 @@ class CollectionManager:
         texts: list[str],
         metadata_list: list[dict[str, Any]],
         source_file: str | None = None,
-    ) -> CollectionInfo:
+        return_rows: bool = False,
+    ) -> "CollectionInfo | tuple[CollectionInfo, np.ndarray, np.ndarray]":
         """Dedup-append new (vector, text, metadata) rows
-        (reference collection.py:195-389 semantics)."""
+        (reference collection.py:195-389 semantics).
+
+        `return_rows=True` additionally returns the appended vectors
+        [K, D] and their assigned vector_index values [K] (duplicates
+        excluded) — the live-ingest path (engine.insert_texts) needs
+        them to mirror the append into the serving tier."""
         info = self.get_collection_info(name)
         if not info:
             raise ValueError(f"collection {name} not found")
@@ -220,6 +226,13 @@ class CollectionManager:
 
         if not keep_rows:
             logger.warning("no new texts to add to %s (all duplicates)", name)
+            if return_rows:
+                dim = info.dimension
+                return (
+                    info,
+                    np.empty((0, dim), np.float32),
+                    np.empty((0,), np.int32),
+                )
             return info
 
         all_vecs = np.vstack([old_vecs, np.stack(keep_vecs)])
@@ -240,6 +253,14 @@ class CollectionManager:
             "collection %s: +%d vectors (now %d)", name, len(keep_rows),
             info.num_vectors,
         )
+        if return_rows:
+            return (
+                info,
+                np.stack(keep_vecs),
+                np.asarray(
+                    [r["vector_index"] for r in keep_rows], np.int32
+                ),
+            )
         return info
 
     def rebuild_collection(self, name: str) -> CollectionInfo:

@@ -102,8 +102,15 @@ class SearchEngine:
         record file, i.e. an index saved with write_compat);
         "sharded_flat" serves a sharded index as an exhaustive bf16 MXU
         scan per shard merged over ICI — exact result ids, distances at
-        bf16 precision (no reference counterpart)."""
-        if serving_mode not in ("auto", "host_tier", "sharded_flat"):
+        bf16 precision (no reference counterpart); "streaming" wraps a
+        full-HBM vamana index in the mutable tier (index/streaming.py) so
+        the engine accepts live insert_texts/delete_ids between searches
+        — the reference's insert_node/delete_node surface
+        (vamana_graph.py:58-125) lifted to the serving API (it never
+        exposed them through its engine)."""
+        if serving_mode not in (
+            "auto", "host_tier", "sharded_flat", "streaming"
+        ):
             raise ValueError(f"unknown serving_mode: {serving_mode}")
         self.serving_mode = serving_mode
         # host-tier batches larger than this are pipelined (device
@@ -134,7 +141,10 @@ class SearchEngine:
         self.meta: dict = {}
         self.use_pq = False
         self.brute_force_mode = False
+        self.streaming = None
         self._load_artifacts()
+        if serving_mode == "streaming":
+            self._init_streaming()
         self.diagnostics: Optional[dict] = None
         if run_diagnostics:
             try:
@@ -466,6 +476,174 @@ class SearchEngine:
         ids = pick(int(self.index.vectors.shape[0]))
         return np.asarray(self.index.vectors[ids], np.float32), ids
 
+    # --- streaming serving mode (live insert/delete) ----------------------
+    def _init_streaming(self) -> None:
+        """Wrap the loaded full-HBM vamana index in the mutable tier.
+
+        Row alignment invariant: graph row i serves collection
+        vector_index i, and the streaming tier hands out external ids
+        sequentially from N — so the collection row count must equal the
+        index's, or live appends would be joined to the wrong texts
+        (stale indexes must be rebuilt first)."""
+        from diskrag_tpu.index.streaming import StreamingIndex
+
+        if self.brute_force_mode or self.index is None:
+            raise ServingConfigError(
+                "streaming serving needs a loaded vamana index "
+                f"(index_type={self.index_type!r}, "
+                f"brute_force={self.brute_force_mode}) — build one with "
+                "index type 'vamana' first"
+            )
+        n_index = int(self.index.adjacency.shape[0])
+        n_coll = int(self.info.num_vectors)
+        if n_coll < n_index:
+            raise ServingConfigError(
+                f"collection has {n_coll} vectors but the index covers "
+                f"{n_index} — the collection is behind its index "
+                "(corrupt or hand-edited); rebuild before serving"
+            )
+        self.streaming = StreamingIndex(self.index)
+        if n_coll > n_index:
+            # recovery: rows appended after the index was built (e.g.
+            # live inserts from a previous session that were never
+            # flushed, or a plain `process` without reindex) are adopted
+            # into the buffer — they get external ids n_index.. in
+            # order, restoring the row == vector_index alignment
+            vecs = np.load(
+                self.manager.get_vectors_path(self.collection_name),
+                mmap_mode="r",
+            )
+            got = self.streaming.insert(
+                np.asarray(vecs[n_index:n_coll], np.float32)
+            )
+            logger.info(
+                "streaming: adopted %d collection rows past the index "
+                "watermark (%d..%d)", len(got), n_index, n_coll - 1,
+            )
+
+    def insert_texts(
+        self,
+        texts: list[str],
+        metadata_list: Optional[list[dict]] = None,
+        embedding_fn: Optional[Callable] = None,
+        vectors: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Live-append texts: embed -> dedup-append to the collection ->
+        insert into the serving tier. Returns the assigned vector ids
+        (duplicate texts are skipped, matching update_collection
+        semantics). Streaming mode only.
+
+        The reference mutates its graph object directly under a lock
+        (vamana_graph.py:58-114) and has no engine-level ingest; here the
+        collection (texts/metadata/vectors.npy) and the serving tier
+        move together so results keep joining to the right rows."""
+        if self.streaming is None:
+            raise ServingConfigError(
+                "insert_texts requires serving_mode='streaming'"
+            )
+        if metadata_list is None:
+            metadata_list = [{} for _ in texts]
+        if vectors is None:
+            if embedding_fn is None:
+                raise ValueError("need embedding_fn or precomputed vectors")
+            vectors = np.stack(
+                [np.asarray(embedding_fn(t), np.float32) for t in texts]
+            )
+        vectors = np.asarray(vectors, np.float32)
+        lock = self._lock if self._lock else threading.Lock()
+        with lock:
+            info, new_vecs, new_idx = self.manager.update_collection(
+                self.collection_name, vectors, texts, metadata_list,
+                return_rows=True,
+            )
+            self.info = info
+            if len(new_vecs) == 0:
+                return np.empty((0,), np.int32)
+            got = self.streaming.insert(new_vecs)
+            if list(np.asarray(got)) != list(np.asarray(new_idx)):
+                # alignment is the correctness invariant — never serve on
+                raise RuntimeError(
+                    "streaming/collection id divergence: collection "
+                    f"assigned {new_idx[:4]}..., serving tier {got[:4]}..."
+                )
+        return np.asarray(got)
+
+    def delete_ids(self, external_ids) -> None:
+        """Tombstone rows in the serving tier by vector id (either tier;
+        idempotent — index/streaming.py). Collection rows remain until a
+        rebuild: like the reference's tombstones (vamana_graph.py:116-125),
+        deletion is a serving-visibility operation, not storage reclaim."""
+        if self.streaming is None:
+            raise ServingConfigError(
+                "delete_ids requires serving_mode='streaming'"
+            )
+        lock = self._lock if self._lock else threading.Lock()
+        with lock:
+            self.streaming.delete(external_ids)
+
+    def flush_index(self) -> dict:
+        """Fold any buffered inserts into the graph and persist the
+        merged index over the collection's index artifacts, so a
+        restarted engine (any serving mode) serves every inserted row.
+        Returns {n_points, n_buffered_before}.
+
+        Deletions are serving-session-local (delete_ids docstring): a
+        flush with live tombstones refuses rather than silently
+        resurrecting them on restart — consolidation would compact rows
+        and break the row == vector_index alignment the collection join
+        depends on; reprocess + rebuild to drop rows from storage."""
+        if self.streaming is None:
+            raise ServingConfigError(
+                "flush_index requires serving_mode='streaming'"
+            )
+        from diskrag_tpu.graph.types import VamanaIndex
+        from diskrag_tpu.index.persist import save_index
+
+        lock = self._lock if self._lock else threading.Lock()
+        with lock:
+            if self.streaming._n_deleted:
+                raise ServingConfigError(
+                    "flush_index with live tombstones would resurrect "
+                    "them on restart (deletions are serving-session-"
+                    "local); rebuild the collection + index to persist "
+                    "deletions"
+                )
+            n_buf = self.streaming.n_buffered
+            self.streaming.merge()
+            n = self.streaming.n_graph
+            idx = self.streaming.index
+            exact = VamanaIndex(
+                vectors=idx.vectors[:n], adjacency=idx.adjacency[:n],
+                medoid=idx.medoid, metric=idx.metric,
+                entry_points=idx.entry_points,
+            )
+            index_dir = self.manager.get_index_dir(self.collection_name)
+            meta_extra = {
+                k: v for k, v in self.meta.items()
+                if k not in ("num_points",)
+            }
+            pq_kwargs = {}
+            if self.use_pq and self.pq is not None:
+                # re-encode so the persisted codes cover the merged rows
+                # (stale shorter codes would desync every quantized
+                # serving path on reload)
+                from diskrag_tpu.pq.residual import ResidualPQ
+
+                if isinstance(self.pq, ResidualPQ):
+                    codes, cids = self.pq.encode(exact.vectors)
+                    pq_kwargs = {
+                        "pq": self.pq,
+                        "pq_codes": np.asarray(codes),
+                        "pq_coarse_ids": np.asarray(cids),
+                    }
+                else:
+                    pq_kwargs = {
+                        "pq": self.pq,
+                        "pq_codes": np.asarray(self.pq.encode(exact.vectors)),
+                    }
+            save_index(index_dir, exact, meta_extra=meta_extra, **pq_kwargs)
+        return {"n_points": n, "n_buffered_before": n_buf}
+
     def _run_diagnostic_check(self) -> dict:
         """Startup self-check for EVERY serving mode (the reference always
         self-checks at engine bring-up, search_engine.py:142-253; round 1
@@ -651,6 +829,20 @@ class SearchEngine:
             search_type = "brute_force"
             nodes_visited = self._bf_flat.n_points * b
             n_exact = nodes_visited
+            n_pq = 0
+        elif self.serving_mode == "streaming":
+            # mutable tier: graph beam + exact buffer scan, one program
+            # (index/streaming.py); ids come back as external ids, which
+            # equal collection vector_index rows by the alignment
+            # invariant (_init_streaming)
+            ids, dists = self.streaming.search(
+                q, k=k, search_width=l_search
+            )
+            search_type = "streaming"
+            nodes_visited = b * 2 * l_search  # frontier bound
+            n_exact = nodes_visited * int(
+                self.streaming.index.adjacency.shape[1]
+            ) + b * self.streaming.capacity
             n_pq = 0
         elif self.serving_mode == "host_tier":
             # pipelined path overlaps device traversal with host rerank

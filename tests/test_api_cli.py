@@ -208,3 +208,75 @@ def test_api_search_batch(api_client):
                  {"collection": "faq", "queries": []})
     )
     assert status == 422
+
+
+def test_api_insert_delete_live(api_client):
+    """POST /insert + /delete on a streaming-mode server: inserted texts
+    are searchable immediately; non-streaming servers answer 409."""
+    pytest.importorskip("aiohttp")
+    from diskrag_tpu.api import AppState, create_app
+
+    def streaming_factory():
+        state = AppState(
+            base_dir="collections",
+            embedding_config=EmbeddingConfig(
+                provider="mock", model="mock", dimension=128
+            ),
+            serving_mode="streaming",
+        )
+        return create_app(state)
+
+    async def flow():
+        app = streaming_factory()
+        texts = [f"即時插入的新文件 {i}" for i in range(4)]
+        status, data = await _request(
+            app, "POST", "/insert",
+            {"collection": "faq", "texts": texts,
+             "metadata": [{"type": "live"}] * 4},
+        )
+        assert status == 200, data
+        assert data["inserted"] == 4 and len(data["ids"]) == 4
+        # duplicates skipped on a second insert
+        status, data2 = await _request(
+            app, "POST", "/insert", {"collection": "faq", "texts": texts[:2]}
+        )
+        assert status == 200 and data2["inserted"] == 0
+        # immediately searchable
+        status, out = await _request(
+            app, "POST", "/search",
+            {"collection": "faq", "query": texts[1], "top_k": 3},
+        )
+        assert status == 200
+        assert out["results"][0]["text"] == texts[1]
+        # delete tombstones it
+        status, d = await _request(
+            app, "POST", "/delete",
+            {"collection": "faq", "ids": [data["ids"][1]]},
+        )
+        assert status == 200 and d["deleted"] == 1
+        status, out = await _request(
+            app, "POST", "/search",
+            {"collection": "faq", "query": texts[1], "top_k": 3},
+        )
+        assert all(r["text"] != texts[1] for r in out["results"])
+        # unknown id -> 404
+        status, _ = await _request(
+            app, "POST", "/delete", {"collection": "faq", "ids": [999999]}
+        )
+        assert status == 404
+        return True
+
+    assert _run(flow())
+
+
+def test_api_insert_requires_streaming_mode(api_client):
+    """A non-streaming server must answer /insert with 409 (serving
+    configuration), not 500."""
+    status, data = _run(
+        _request(
+            api_client(), "POST", "/insert",
+            {"collection": "faq", "texts": ["x"]},
+        )
+    )
+    assert status == 409
+    assert "streaming" in data["detail"]

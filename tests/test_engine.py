@@ -544,3 +544,92 @@ def test_engine_intq_serving(tmp_path, clustered_data, kind):
         [len(set(ids[i]) & set(gt[i])) / 10 for i in range(len(gt))]
     )
     assert recall >= 0.9, f"{kind} serving recall@10 = {recall}"
+
+
+def test_engine_streaming_serving_live_ingest(faq_collection):
+    """serving_mode='streaming': live insert_texts lands in the
+    collection AND the serving tier with aligned ids, is searchable
+    immediately, delete_ids tombstones, and flush_index persists the
+    merged graph for any later engine."""
+    base = faq_collection
+    embed = _embed(base)
+    eng = SearchEngine(
+        "faq", base_dir=base / "collections", serving_mode="streaming"
+    )
+    assert eng.streaming is not None
+    assert eng.diagnostics is not None and eng.diagnostics["passed"]
+    n0 = eng.streaming.n_total_live
+
+    new_texts = [f"全新的即時文件 {i}：串流插入測試。" for i in range(6)]
+    ids = eng.insert_texts(
+        new_texts,
+        metadata_list=[{"type": "live", "i": i} for i in range(6)],
+        embedding_fn=embed,
+    )
+    assert len(ids) == 6
+    assert eng.streaming.n_total_live == n0 + 6
+    # duplicates are skipped (update_collection semantics)
+    again = eng.insert_texts(new_texts[:3], embedding_fn=embed)
+    assert len(again) == 0
+
+    # inserted rows are immediately searchable and join to their text
+    out = eng.search(new_texts[2], k=3, embedding_fn=embed)
+    assert out["results"][0]["text"] == new_texts[2]
+
+    # delete tombstones the row out of serving
+    eng.delete_ids([int(ids[2])])
+    out = eng.search(new_texts[2], k=3, embedding_fn=embed)
+    assert all(r["text"] != new_texts[2] for r in out["results"])
+
+    # flush with live tombstones must refuse (deletions are
+    # serving-session-local; silent resurrection is worse)
+    import pytest as _pytest
+
+    from diskrag_tpu.engine import ServingConfigError
+
+    with _pytest.raises(ServingConfigError, match="tombstone"):
+        eng.flush_index()
+
+    # a tombstone-free engine flushes and a fresh auto-mode engine
+    # serves the inserted rows from the persisted artifacts
+    eng2 = SearchEngine(
+        "faq", base_dir=base / "collections", serving_mode="streaming",
+        run_diagnostics=False,
+    )
+    stats = eng2.flush_index()
+    assert stats["n_points"] == eng2.info.num_vectors
+    eng3 = SearchEngine(
+        "faq", base_dir=base / "collections", run_diagnostics=False
+    )
+    out = eng3.search(new_texts[1], k=3, embedding_fn=embed)
+    assert out["results"][0]["text"] == new_texts[1]
+
+
+def test_engine_streaming_adopts_unindexed_rows(tmp_path):
+    """Rows appended to the collection after the index was built (e.g.
+    unflushed inserts from a crashed session, or `process` without
+    reindex) are adopted into the streaming buffer at bring-up — the
+    resume path of the live-ingest story."""
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(64, 32)).astype(np.float32)
+    mgr = CollectionManager(tmp_path / "collections")
+    mgr.create_collection("c", 32)
+    mgr.update_collection(
+        "c", vecs, [f"t{i}" for i in range(64)],
+        [{"i": i} for i in range(64)],
+    )
+    build_index_from_vectors(vecs, mgr.get_index_dir("c"))
+    # append more rows WITHOUT rebuilding
+    extra = rng.normal(size=(8, 32)).astype(np.float32)
+    mgr.update_collection(
+        "c", extra, [f"x{i}" for i in range(8)], [{} for _ in range(8)]
+    )
+    eng = SearchEngine(
+        "c", base_dir=tmp_path / "collections",
+        serving_mode="streaming", run_diagnostics=False,
+    )
+    assert eng.streaming.n_total_live == 72
+    assert eng.streaming.n_buffered == 8
+    # the adopted rows are searchable and joined to the right texts
+    dists, ids, _ = eng.search_batch(extra, k=1)
+    np.testing.assert_array_equal(ids[:, 0], np.arange(64, 72))
