@@ -420,11 +420,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--faq", action="store_true",
                    help="FAQ mode: dedup by qa_id, keep type=='faq' entries")
     p.add_argument("--serving-mode", default="auto",
-                   choices=["auto", "host_tier", "sharded_flat"],
+                   choices=["auto", "host_tier", "sharded_flat",
+                            "streaming"],
                    help="host_tier: graph in HBM, f32 vectors host-resident "
                         "(needs an index saved with compat records); "
                         "sharded_flat: exhaustive bf16 MXU scan per shard "
-                        "of a sharded index, merged over ICI")
+                        "of a sharded index, merged over ICI; streaming: "
+                        "mutable tier accepting live inserts/deletes "
+                        "(HTTP POST /insert, /delete)")
 
     p = sub.add_parser("process-dir", help="process a whole directory")
     p.add_argument("directory")
