@@ -8,6 +8,7 @@ from diskrag_tpu.index.persist import (
     write_compat_records,
     read_compat_records,
 )
+from diskrag_tpu.index.streaming import StreamingIndex
 
 __all__ = [
     "IndexStore",
@@ -15,4 +16,5 @@ __all__ = [
     "load_index",
     "write_compat_records",
     "read_compat_records",
+    "StreamingIndex",
 ]
