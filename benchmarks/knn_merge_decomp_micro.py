@@ -1,0 +1,144 @@
+#!/usr/bin/env python3
+"""Decompose the streaming exact-kNN merge cost at large base N.
+
+The kNN merge (index/streaming.py `_knn_merge_waves`) sustained
+14.1k inserts/s at a 200k base but 1.43k/s at 1M — a 10x drop for a
+5x base. This probe times each phase of one merge cycle at the real
+geometry (capacity-padded base, wc=4096 sub-waves) with a *synthetic*
+graph (random adjacency): the scan, prune, and reverse phases don't
+care about edge quality, and it avoids a ~15 min 1M base build.
+
+Phases per merge of `m` rows:
+  quantize — int8-pack the padded db (once per merge)
+  scan     — fused flat scan per sub-wave (m/wc of them)
+  forward  — _knn_forward_rows alpha-prune + row writes (per sub-wave)
+  reverse  — _reverse_pass per 16k-row slice (m/16k of them)
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site \
+       BASE_N=1000000 python benchmarks/knn_merge_decomp_micro.py
+"""
+
+import json
+import os
+import pathlib
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    str(pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N = int(os.environ.get("BASE_N", "1000000"))
+DIM = 128
+CAP = int(os.environ.get("STREAM_CAP", "32768"))
+WC = 4096
+R = 48
+
+
+def timeit(fn, reps=3):
+    out = fn()
+    np.asarray(jax.tree_util.tree_leaves(out)[-1]).ravel()[:1]
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+    np.asarray(jax.tree_util.tree_leaves(out)[-1]).ravel()[:1]
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    from diskrag_tpu.benchmark import make_dataset
+    from diskrag_tpu.index.streaming import (
+        _knn_forward_rows,
+        _reverse_pass,
+        _round_up,
+    )
+    from diskrag_tpu.ops.flat_scan_pallas import (
+        flat_search_fused,
+        quantize_int8,
+    )
+
+    pts, _ = make_dataset(N + CAP, DIM, 10)
+    n0 = N
+    m = CAP
+    cap_total = _round_up(n0 + m, CAP)
+    print(f"N={N} m={m} padded={cap_total}", flush=True)
+
+    rng = np.random.default_rng(0)
+    vectors = jnp.zeros((cap_total, DIM), jnp.float32)
+    vectors = jax.lax.dynamic_update_slice(
+        vectors, jnp.asarray(pts, jnp.float32), (0, 0)
+    )
+    adjacency = jnp.asarray(
+        rng.integers(0, n0, (cap_total, R), dtype=np.int32)
+    )
+    vectors, adjacency = jax.device_put((vectors, adjacency))
+    alpha = jnp.asarray(1.2, jnp.float32)
+    n_used = jnp.int32(n0 + m)
+    knn_k = max(64, (4 * R) // 3)
+
+    res = {"n": N, "m": m, "padded": cap_total}
+
+    res["quantize_s"] = timeit(lambda: quantize_int8(vectors))
+    print("quantize", res["quantize_s"], flush=True)
+    vec_scan, scan_scales = jax.device_put(quantize_int8(vectors))
+    norms = jax.device_put(jnp.sum(jnp.square(vectors), axis=-1))
+
+    q = jax.lax.dynamic_slice_in_dim(vectors, n0, WC)
+
+    def scan():
+        return flat_search_fused(
+            q, vec_scan, norms, vectors, k=knn_k + 1, metric="l2",
+            rerank_mult=4, n_buckets=4096, db_tile=4096,
+            query_block=128, db_scales=scan_scales,
+        )
+
+    res["scan_per_subwave_s"] = timeit(scan)
+    print("scan", res["scan_per_subwave_s"], flush=True)
+
+    d, ids = scan()
+    wave_ids = jnp.arange(n0, n0 + WC, dtype=jnp.int32)
+
+    def forward():
+        return _knn_forward_rows(
+            vectors, adjacency, wave_ids, ids, d, n_used, alpha,
+            metric="l2",
+        )
+
+    res["forward_per_subwave_s"] = timeit(forward)
+    print("forward", res["forward_per_subwave_s"], flush=True)
+
+    adj2, pruned = forward()
+    rev_rows = 16_384
+    pruned_big = jnp.tile(pruned, (rev_rows // WC, 1))[:rev_rows]
+    wave_big = jnp.arange(n0, n0 + rev_rows, dtype=jnp.int32) % jnp.int32(
+        n0 + m
+    )
+
+    def reverse():
+        return _reverse_pass(
+            vectors, adj2, wave_big, pruned_big, alpha,
+            max_incoming=min(16, R), chunk=min(8192, rev_rows * R),
+            metric="l2",
+        )
+
+    res["reverse_per_slice_s"] = timeit(reverse)
+    print("reverse", res["reverse_per_slice_s"], flush=True)
+
+    n_sub = (m + WC - 1) // WC
+    n_slices = (m + rev_rows - 1) // rev_rows
+    res["merge_total_est_s"] = (
+        res["quantize_s"]
+        + n_sub * (res["scan_per_subwave_s"] + res["forward_per_subwave_s"])
+        + n_slices * res["reverse_per_slice_s"]
+    )
+    res["ingest_rate_est_per_s"] = m / res["merge_total_est_s"]
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

