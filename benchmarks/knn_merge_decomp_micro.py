@@ -103,16 +103,23 @@ def main():
     d, ids = scan()
     wave_ids = jnp.arange(n0, n0 + WC, dtype=jnp.int32)
 
+    # _knn_forward_rows/_reverse_pass DONATE adjacency — chain the
+    # returned array through the timing loop or the second rep reads a
+    # freed buffer (opaque "TPU backend error (InvalidArgument)")
+    state = {"adj": adjacency, "pruned": None}
+
     def forward():
-        return _knn_forward_rows(
-            vectors, adjacency, wave_ids, ids, d, n_used, alpha,
+        adj, pruned = _knn_forward_rows(
+            vectors, state["adj"], wave_ids, ids, d, n_used, alpha,
             metric="l2",
         )
+        state["adj"], state["pruned"] = adj, pruned
+        return pruned
 
     res["forward_per_subwave_s"] = timeit(forward)
     print("forward", res["forward_per_subwave_s"], flush=True)
 
-    adj2, pruned = forward()
+    adj2, pruned = state["adj"], state["pruned"]
     rev_rows = 16_384
     pruned_big = jnp.tile(pruned, (rev_rows // WC, 1))[:rev_rows]
     wave_big = jnp.arange(n0, n0 + rev_rows, dtype=jnp.int32) % jnp.int32(
@@ -120,11 +127,12 @@ def main():
     )
 
     def reverse():
-        return _reverse_pass(
-            vectors, adj2, wave_big, pruned_big, alpha,
+        state["adj"] = _reverse_pass(
+            vectors, state["adj"], wave_big, pruned_big, alpha,
             max_incoming=min(16, R), chunk=min(8192, rev_rows * R),
             metric="l2",
         )
+        return state["adj"]
 
     res["reverse_per_slice_s"] = timeit(reverse)
     print("reverse", res["reverse_per_slice_s"], flush=True)
