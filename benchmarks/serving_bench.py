@@ -1,0 +1,229 @@
+#!/usr/bin/env python3
+"""Engine-level and HTTP-level serving throughput (VERDICT r2 #6).
+
+Every QPS number in the sweep records is harness-level (jitted fns timed
+via diskrag_tpu.benchmark._measure). This measures what a *user* gets:
+`SearchEngine.search_many` (mock embedder, packed device fetch, text
+join) and `POST /search-batch` (plus request parse + JSON assembly),
+batch-size sweep, flat + vamana serving modes — the counterpart of the
+reference's `performance_test_search_engine`
+(reference search_engine.py:818-933), which measured its engine end to
+end the same way.
+
+Standalone: `python benchmarks/serving_bench.py` (writes
+benchmarks/last_serving_tpu.json). bench.py calls `measure_serving`
+directly for its compact driver-visible stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import shutil
+import tempfile
+import time
+
+
+def _enable_compilation_cache() -> None:
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        str(pathlib.Path(__file__).parent.parent / ".jax_cache"),
+    )
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+
+def make_collection(base_dir, pts, name: str = "bench"):
+    """A real collection over the benchmark points: texts + metadata +
+    vectors.npy, appended in chunks (one 200k update_collection call
+    would build one giant parquet concat anyway; chunking bounds peak
+    memory and matches how ingest actually arrives)."""
+    from diskrag_tpu.data.collection import CollectionManager
+
+    mgr = CollectionManager(base_dir)
+    mgr.create_collection(name, int(pts.shape[1]))
+    chunk = 100_000
+    for lo in range(0, len(pts), chunk):
+        hi = min(lo + chunk, len(pts))
+        mgr.update_collection(
+            name,
+            pts[lo:hi],
+            [f"doc {i}" for i in range(lo, hi)],
+            [{"i": i} for i in range(lo, hi)],
+        )
+    return mgr
+
+
+def _time_calls(fn, warm_args, timed_args, repeats: int) -> float:
+    """Wall-time `repeats` calls after one full-shape warmup (warming
+    with a different shape leaves the real shape's compile inside the
+    timed region — CLAUDE.md). Engine calls fetch results to host, so
+    wall clock is an honest barrier here (unlike raw device dispatch)."""
+    fn(*warm_args)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        fn(*timed_args)
+    return (time.perf_counter() - t0) / repeats
+
+
+def measure_engine_qps(
+    engine, queries, *, batch: int, k: int = 10, repeats: int = 5,
+    l_search: int | None = None,
+) -> dict:
+    """search_many QPS at one batch size (mock embedder = dict lookup,
+    so embedding cost is the Python-side floor, not OpenAI)."""
+    qtexts = [f"q{i}" for i in range(batch)]
+    lut = {f"q{i}": queries[i % len(queries)] for i in range(batch)}
+    out = {}
+
+    def call(texts):
+        return engine.search_many(
+            texts, k=k, embedding_fn=lut.__getitem__, l_search=l_search
+        )
+
+    dt = _time_calls(call, (qtexts,), (qtexts,), repeats)
+    res = call(qtexts)
+    out["qps"] = batch / dt
+    out["batch"] = batch
+    out["latency_ms"] = dt * 1e3
+    out["search_type"] = res["stats"]["search_type"]
+    return out
+
+
+def measure_http_qps(
+    base_dir, queries, *, batch: int, k: int = 10, repeats: int = 5,
+    collection: str = "bench",
+) -> dict:
+    """POST /search-batch through the real aiohttp app (request parse,
+    worker-thread dispatch, text join, JSON response assembly)."""
+    import asyncio
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from diskrag_tpu.api import AppState, create_app
+
+    state = AppState(base_dir=str(base_dir))
+    lut = {f"q{i}": queries[i % len(queries)] for i in range(batch)}
+    state.embed = lut.__getitem__  # inject the benchmark embedder
+    app = create_app(state)
+    payload = {
+        "collection": collection,
+        "queries": [f"q{i}" for i in range(batch)],
+        "top_k": k,
+    }
+
+    async def run():
+        async with TestClient(TestServer(app)) as client:
+            r = await client.post("/search-batch", json=payload)
+            assert r.status == 200, await r.text()
+            t0 = time.perf_counter()
+            for _ in range(repeats):
+                r = await client.post("/search-batch", json=payload)
+                await r.json()
+            return (time.perf_counter() - t0) / repeats
+
+    dt = asyncio.run(run())
+    return {"qps": batch / dt, "batch": batch, "latency_ms": dt * 1e3}
+
+
+def measure_serving(
+    pts,
+    queries,
+    *,
+    index=None,
+    batches=(512,),
+    k: int = 10,
+    repeats: int = 5,
+    http: bool = True,
+    tmp_dir: str | None = None,
+    modes=("flat", "vamana"),
+) -> dict:
+    """Build a collection over `pts` and measure end-to-end serving.
+
+    `index`: a prebuilt VamanaIndex over `pts` (skips rebuilding for the
+    vamana mode); None builds one.
+    Returns {mode: [{batch, qps, ...}]}, plus "http_vamana" rows.
+    """
+    from diskrag_tpu.build_index import build_index_from_vectors
+    from diskrag_tpu.engine import SearchEngine
+    from diskrag_tpu.index.persist import save_index
+
+    own_tmp = tmp_dir is None
+    base = tmp_dir or tempfile.mkdtemp(prefix="diskrag_serving_")
+    out: dict = {}
+    try:
+        mgr = make_collection(base, pts)
+        index_dir = mgr.get_index_dir("bench")
+
+        if "flat" in modes:
+            build_index_from_vectors(
+                pts, index_dir, index_type="flat", force_rebuild=True
+            )
+            eng = SearchEngine("bench", base_dir=base, run_diagnostics=False)
+            out["flat"] = [
+                measure_engine_qps(
+                    eng, queries, batch=b, k=k, repeats=repeats
+                )
+                for b in batches
+            ]
+            del eng
+
+        if "vamana" in modes:
+            if index is None:
+                from diskrag_tpu.graph.knn_build import build_vamana_knn
+
+                index = build_vamana_knn(
+                    pts, degree_bound=48, alpha=1.2, seed=0
+                )
+            save_index(index_dir, index, host_vectors=pts)
+            eng = SearchEngine("bench", base_dir=base, run_diagnostics=False)
+            out["vamana"] = [
+                measure_engine_qps(
+                    eng, queries, batch=b, k=k, repeats=repeats,
+                    l_search=16,
+                )
+                for b in batches
+            ]
+            del eng
+            if http:
+                try:
+                    out["http_vamana"] = [
+                        measure_http_qps(
+                            base, queries, batch=b, k=k, repeats=repeats
+                        )
+                        for b in batches
+                    ]
+                except ImportError:
+                    out["http_vamana"] = "aiohttp unavailable"
+    finally:
+        if own_tmp:
+            shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def main() -> None:
+    _enable_compilation_cache()
+    import numpy as np
+
+    from diskrag_tpu.benchmark import make_dataset
+
+    n = int(os.environ.get("BENCH_N", "200000"))
+    dim = int(os.environ.get("BENCH_DIM", "128"))
+    pts, queries = make_dataset(n, dim, 1024)
+    t0 = time.perf_counter()
+    out = measure_serving(
+        pts, np.asarray(queries), batches=(64, 512, 1024), repeats=5
+    )
+    record = {
+        "n": n,
+        "dim": dim,
+        "wall_seconds": round(time.perf_counter() - t0, 1),
+        "results": out,
+    }
+    path = pathlib.Path(__file__).parent / "last_serving_tpu.json"
+    path.write_text(json.dumps(record, indent=2))
+    print(json.dumps(record, indent=2))
+
+
+if __name__ == "__main__":
+    main()

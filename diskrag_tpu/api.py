@@ -292,9 +292,14 @@ def create_app(state: Optional[AppState] = None):
         try:
             def work():
                 engine = state.get_engine(req.collection)
-                engine.delete_ids(req.ids)
+                # delete_ids validates every id BEFORE mutating (a 404
+                # is side-effect-free) and returns how many ids were
+                # NEWLY tombstoned — idempotent re-deletes are not
+                # reported as deletions
+                n_new = engine.delete_ids(req.ids)
                 return {
-                    "deleted": len(req.ids),
+                    "deleted": n_new,
+                    "requested": len(req.ids),
                     "n_total_live": int(engine.streaming.n_total_live),
                 }
 

@@ -575,18 +575,21 @@ class SearchEngine:
                 )
         return np.asarray(got)
 
-    def delete_ids(self, external_ids) -> None:
+    def delete_ids(self, external_ids) -> int:
         """Tombstone rows in the serving tier by vector id (either tier;
         idempotent — index/streaming.py). Collection rows remain until a
         rebuild: like the reference's tombstones (vamana_graph.py:116-125),
-        deletion is a serving-visibility operation, not storage reclaim."""
+        deletion is a serving-visibility operation, not storage reclaim.
+        Returns the count of NEWLY tombstoned ids (idempotent re-deletes
+        excluded) so callers report what actually happened; unknown ids
+        raise KeyError before any state mutates (streaming.delete)."""
         if self.streaming is None:
             raise ServingConfigError(
                 "delete_ids requires serving_mode='streaming'"
             )
         lock = self._lock if self._lock else threading.Lock()
         with lock:
-            self.streaming.delete(external_ids)
+            return self.streaming.delete(external_ids)
 
     def flush_index(self) -> dict:
         """Fold any buffered inserts into the graph and persist the
@@ -615,6 +618,19 @@ class SearchEngine:
                     "local); rebuild the collection + index to persist "
                     "deletions"
                 )
+            if self.streaming.rows_compacted:
+                # _n_deleted alone can't catch this: a rebuild-path merge
+                # or consolidate drops tombstoned rows (returning
+                # _n_deleted to 0) and shifts every later row, so graph
+                # row i no longer equals collection vector_index i —
+                # persisting would silently mis-join texts after restart
+                # and re-adopt already-indexed rows under new ids.
+                raise ServingConfigError(
+                    "flush_index after rows were compacted (a merge or "
+                    "consolidate dropped deleted rows) would persist an "
+                    "index misaligned with the collection's vector_index;"
+                    " rebuild the collection + index instead"
+                )
             n_buf = self.streaming.n_buffered
             self.streaming.merge()
             n = self.streaming.n_graph
@@ -625,9 +641,20 @@ class SearchEngine:
                 entry_points=idx.entry_points,
             )
             index_dir = self.manager.get_index_dir(self.collection_name)
+            # save_index derives these from the index/PQ it is handed and
+            # applies meta_extra LAST — carrying the stale values over
+            # would override the fresh ones (e.g. a rebuild-path merge
+            # moves the medoid/entry points; stale seeds degrade recall
+            # silently on reload). Keep only genuinely extra keys such as
+            # recommended_search_L / build stats.
+            derived = {
+                "num_points", "medoid_idx", "entry_points", "R",
+                "dimension", "use_pq", "format_version", "index_type",
+                "distance_metric", "n_subvectors", "pq_centroids",
+                "pq_kind", "pq_n_coarse", "iq_row_width", "iq_n_cells",
+            }
             meta_extra = {
-                k: v for k, v in self.meta.items()
-                if k not in ("num_points",)
+                k: v for k, v in self.meta.items() if k not in derived
             }
             pq_kwargs = {}
             if self.use_pq and self.pq is not None:

@@ -279,6 +279,14 @@ class StreamingIndex:
         # external ids currently tombstoned (either tier): makes delete
         # idempotent — a re-delete must not re-count into _n_deleted
         self._deleted_ext: set[int] = set()
+        # sticky: set whenever rows are dropped + compacted (rebuild-path
+        # merge or consolidate). From then on graph row i != external id
+        # i, so persisting the raw rows over a collection whose
+        # vector_index is positional would silently mis-join every
+        # compacted row after restart — engine.flush_index refuses while
+        # this is set. _n_deleted alone can't guard this: compaction
+        # returns it to 0.
+        self.rows_compacted = False
         self._adopt_index(index, np.arange(n, dtype=np.int32), None)
 
     # --- capacity padding ----------------------------------------------------
@@ -418,10 +426,15 @@ class StreamingIndex:
         self._next_ext += m
         return ids
 
-    def delete(self, external_ids) -> None:
+    def delete(self, external_ids) -> int:
         """Tombstone by external id (either tier). Idempotent: re-deleting
         an already-tombstoned id is a no-op (it must not double-count into
-        the live total); an id that never existed raises KeyError."""
+        the live total); an id that never existed raises KeyError BEFORE
+        any state mutates (all ids are resolved first, so a failed batch
+        is a full no-op — a partially applied batch would leave ids in
+        `_deleted_ext` with no device tombstone, permanently un-deletable
+        through the idempotency skip). Returns the count of NEWLY
+        tombstoned ids (idempotent re-deletes excluded)."""
         ext = np.atleast_1d(np.asarray(external_ids, np.int64))
         graph_rows = []
         buf_slots = []
@@ -429,14 +442,22 @@ class StreamingIndex:
         # graph rows: external ids below the graph's watermark are its
         # rows only if still mapped there (post-merge they always are)
         ext_to_row = None
-        n_new = 0
+        # pass 1: resolve every id (raising on unknowns) without mutating
+        resolved: list[tuple[int, int | None, int | None]] = []
         for e in ext:
             e = int(e)
             slot = self._buf_ext_host.get(e)
-            if slot is None and ext_to_row is None:
-                ext_to_row = {int(x): i for i, x in enumerate(ext_host)}
-            if slot is None and ext_to_row.get(e) is None:
-                raise KeyError(f"unknown external id {e}")
+            row = None
+            if slot is None:
+                if ext_to_row is None:
+                    ext_to_row = {int(x): i for i, x in enumerate(ext_host)}
+                row = ext_to_row.get(e)
+                if row is None:
+                    raise KeyError(f"unknown external id {e}")
+            resolved.append((e, slot, row))
+        # pass 2: apply (nothing below raises)
+        n_new = 0
+        for e, slot, row in resolved:
             if e in self._deleted_ext:
                 continue
             self._deleted_ext.add(e)
@@ -444,7 +465,7 @@ class StreamingIndex:
             if slot is not None:
                 buf_slots.append(slot)
             else:
-                graph_rows.append(ext_to_row[e])
+                graph_rows.append(row)
         if graph_rows:
             self._graph_deleted = delete_points(
                 self._graph_deleted, np.asarray(graph_rows, np.int32)
@@ -453,6 +474,7 @@ class StreamingIndex:
             sl = jnp.asarray(buf_slots, jnp.int32)
             self._buf_live = self._buf_live.at[sl].set(False)
         self._n_deleted += n_new
+        return n_new
 
     # --- merge ---------------------------------------------------------------
     def merge(self) -> None:
@@ -544,6 +566,10 @@ class StreamingIndex:
             self._deleted_ext.difference_update(int(e) for e in gone)
             self._deleted_ext.difference_update(int(e) for e in gone_new)
             self._n_deleted -= len(gone) + len(gone_new)
+            if len(gone) or len(gone_new):
+                # dropping rows shifts every later row: external ids are
+                # no longer positional (see rows_compacted in __init__)
+                self.rows_compacted = True
             old_vecs = self.index.vectors[:n0][jnp.asarray(keep)]
             old_ext = self._graph_ext[:n0][jnp.asarray(keep)]
             all_vecs = jnp.concatenate(
@@ -584,12 +610,28 @@ class StreamingIndex:
         n_used = jnp.int32(n0 + m)
         on_cpu = jax.default_backend() == "cpu"
         norms = jnp.sum(jnp.square(vectors), axis=-1)
+        # Under cosine the capacity pads (constant 1e15 rows) normalize
+        # to ONE unit all-ones direction: tens of thousands of identical
+        # scan rows that can crowd the candidate slots of any query
+        # correlated with that direction (they're masked only after the
+        # top-(knn_k+1) cut in _knn_forward_rows). Push them to the worst
+        # cosine score at SCAN level: zero codes (fused path) / +inf norm
+        # (XLA path) -> similarity 0 -> distance 1.0, behind every
+        # positively-correlated real candidate. L2 needs nothing: pads
+        # are ~1e30 away.
+        cos = metric == Metric.COSINE.value
+        pad_rows = (
+            jnp.arange(vectors.shape[0], dtype=jnp.int32) >= n_used
+            if cos else None
+        )
         if on_cpu:
             # the XLA scan normalizes internally for cosine (raw db +
             # norms), mirroring knn_build.exact_knn's backend split
             from diskrag_tpu.ops.flat import flat_search
 
             db_bf16 = vectors.astype(jnp.bfloat16)
+            if cos:
+                norms = jnp.where(pad_rows, jnp.inf, norms)
         else:
             from diskrag_tpu.ops.flat_scan_pallas import (
                 flat_search_fused,
@@ -598,12 +640,14 @@ class StreamingIndex:
 
             # the fused int8 scan expects a pre-normalized db for cosine
             # (knn_build.exact_knn:94-98 does the same)
-            if metric == Metric.COSINE.value:
+            if cos:
                 inv = jax.lax.rsqrt(
                     jnp.sum(jnp.square(vectors), axis=-1, keepdims=True)
                     + 1e-12
                 )
                 vec_scan, scan_scales = quantize_int8(vectors * inv)
+                vec_scan = jnp.where(pad_rows[:, None], 0, vec_scan)
+                scan_scales = jnp.where(pad_rows, 0.0, scan_scales)
             else:
                 vec_scan, scan_scales = quantize_int8(vectors)
         pruned_slices = []
@@ -673,6 +717,7 @@ class StreamingIndex:
         self._deleted_ext.difference_update(int(e) for e in gone)
         self._adopt_index(new_index, ext0[np.asarray(keep)], None)
         self._n_deleted -= n_del
+        self.rows_compacted = True
 
     # --- search ----------------------------------------------------------------
     def search(

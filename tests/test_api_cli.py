@@ -254,6 +254,13 @@ def test_api_insert_delete_live(api_client):
             {"collection": "faq", "ids": [data["ids"][1]]},
         )
         assert status == 200 and d["deleted"] == 1
+        # idempotent re-delete reports 0 newly tombstoned (ADVICE r2:
+        # the response counts what actually happened, not len(ids))
+        status, d = await _request(
+            app, "POST", "/delete",
+            {"collection": "faq", "ids": [data["ids"][1]]},
+        )
+        assert status == 200 and d["deleted"] == 0 and d["requested"] == 1
         status, out = await _request(
             app, "POST", "/search",
             {"collection": "faq", "query": texts[1], "top_k": 3},

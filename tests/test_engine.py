@@ -633,3 +633,71 @@ def test_engine_streaming_adopts_unindexed_rows(tmp_path):
     # the adopted rows are searchable and joined to the right texts
     dists, ids, _ = eng.search_batch(extra, k=1)
     np.testing.assert_array_equal(ids[:, 0], np.arange(64, 72))
+
+
+def test_engine_flush_refuses_after_compaction(tmp_path):
+    """ADVICE r2 (high): a rebuild-path merge that drops tombstones
+    returns _n_deleted to 0 — flush_index must still refuse, or the
+    persisted rows silently mis-join to collection texts after restart."""
+    import pytest as _pytest
+
+    from diskrag_tpu.engine import ServingConfigError
+
+    rng = np.random.default_rng(1)
+    vecs = rng.normal(size=(64, 32)).astype(np.float32)
+    mgr = CollectionManager(tmp_path / "collections")
+    mgr.create_collection("c", 32)
+    mgr.update_collection(
+        "c", vecs, [f"t{i}" for i in range(64)], [{} for _ in range(64)]
+    )
+    build_index_from_vectors(vecs, mgr.get_index_dir("c"))
+    eng = SearchEngine(
+        "c", base_dir=tmp_path / "collections",
+        serving_mode="streaming", run_diagnostics=False,
+    )
+    assert eng.delete_ids([3, 5]) == 2
+    # force the rebuild path: tiny max fraction makes any merge rebuild
+    eng.streaming.merge_insert_max_fraction = 0.0
+    extra = rng.normal(size=(4, 32)).astype(np.float32)
+    eng.insert_texts(
+        [f"x{i}" for i in range(4)], vectors=extra,
+    )
+    eng.streaming.merge()
+    assert eng.streaming._n_deleted == 0  # the old guard would pass
+    with _pytest.raises(ServingConfigError, match="compacted"):
+        eng.flush_index()
+
+
+def test_engine_flush_meta_does_not_override_derived_keys(tmp_path):
+    """ADVICE r2 (medium): flush_index must not carry stale derived meta
+    (medoid_idx/entry_points/num_points/...) over the values save_index
+    computes from the merged index — stale search seeds silently degrade
+    recall on reload."""
+    import json
+
+    rng = np.random.default_rng(2)
+    vecs = rng.normal(size=(48, 32)).astype(np.float32)
+    mgr = CollectionManager(tmp_path / "collections")
+    mgr.create_collection("c", 32)
+    mgr.update_collection(
+        "c", vecs, [f"t{i}" for i in range(48)], [{} for _ in range(48)]
+    )
+    build_index_from_vectors(vecs, mgr.get_index_dir("c"))
+    eng = SearchEngine(
+        "c", base_dir=tmp_path / "collections",
+        serving_mode="streaming", run_diagnostics=False,
+    )
+    # poison the in-memory meta with stale derived values; a correct
+    # flush recomputes them from the merged index instead
+    eng.meta["medoid_idx"] = 9_999
+    eng.meta["num_points"] = 1
+    eng.meta["recommended_search_L"] = 77  # genuinely extra: must survive
+    extra = rng.normal(size=(4, 32)).astype(np.float32)
+    eng.insert_texts([f"x{i}" for i in range(4)], vectors=extra)
+    eng.flush_index()
+    meta = json.loads(
+        (mgr.get_index_dir("c") / "meta.json").read_text()
+    )
+    assert meta["num_points"] == 52
+    assert 0 <= meta["medoid_idx"] < 52
+    assert meta["recommended_search_L"] == 77

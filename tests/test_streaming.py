@@ -238,3 +238,63 @@ def test_reserve_inserts_prevents_growth(clustered_data):
         s2.insert(extra[off : off + 32])
     s2.merge()
     assert s2._graph_capacity == cap1
+
+
+def test_delete_batch_with_unknown_id_is_side_effect_free(clustered_data):
+    """ADVICE r2: a KeyError on a later id in a delete batch must not
+    leave earlier ids half-deleted (marked in _deleted_ext but never
+    tombstoned on device — a retried delete would then no-op forever
+    through the idempotency skip while the rows keep serving)."""
+    base, extra = clustered_data[:1800], clustered_data[1800:]
+    s = _make(base)
+    ids = s.insert(extra)
+    n0 = s.n_total_live
+    with pytest.raises(KeyError):
+        s.delete([int(ids[0]), 7, 999_999])  # buffered, graph, unknown
+    assert s.n_total_live == n0
+    # the earlier ids in the failed batch are still live and servable
+    got, _ = s.search(np.stack([extra[0], base[7]]), k=1, search_width=48)
+    got = np.asarray(got)
+    assert got[0, 0] == int(ids[0]) and got[1, 0] == 7
+    # and a retried delete of them actually works
+    assert s.delete([int(ids[0]), 7]) == 2
+    assert s.n_total_live == n0 - 2
+
+
+def test_delete_returns_newly_tombstoned_count(clustered_data):
+    base, extra = clustered_data[:1800], clustered_data[1800:]
+    s = _make(base)
+    ids = s.insert(extra)
+    assert s.delete([int(ids[0]), 7]) == 2
+    # idempotent re-delete reports 0 new; mixed batch reports only new
+    assert s.delete([int(ids[0]), 7]) == 0
+    assert s.delete([int(ids[0]), 9]) == 1
+
+
+def test_rows_compacted_flag(clustered_data):
+    """ADVICE r2 (high): compaction (rebuild-path merge or consolidate
+    dropping tombstones) breaks row == external-id alignment and must
+    leave a sticky marker for flush_index to refuse on — _n_deleted
+    returns to 0 and can't guard it."""
+    base, extra = clustered_data[:1600], clustered_data[1600:]
+    # rebuild path WITHOUT tombstones preserves row order: no flag
+    s = _make(base, merge_insert_max_fraction=0.01)
+    s.insert(extra)
+    s.merge()
+    assert not s.rows_compacted
+
+    # rebuild path WITH tombstones drops rows: sticky flag, counter at 0
+    s = _make(base, merge_insert_max_fraction=0.01)
+    s.insert(extra)
+    s.delete([3, 5])
+    s.merge()
+    assert s._n_deleted == 0
+    assert s.rows_compacted
+
+    # consolidate also compacts
+    s2 = _make(base, merge_insert_max_fraction=0.5)
+    s2.insert(extra)
+    s2.delete([3])
+    s2.consolidate()
+    assert s2._n_deleted == 0
+    assert s2.rows_compacted
