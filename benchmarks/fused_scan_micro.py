@@ -106,6 +106,29 @@ def main() -> None:
     )
     report("fused_full_packed", dt, np.asarray(ids))
 
+    # stage 4b: hierarchical packed fold (NB free of the segment budget)
+    from diskrag_tpu.ops.flat_scan_pallas import scan_bucketed_topk_hier
+
+    for pipe, hnb, htile in (
+        (False, 512, 2048), (False, 1024, 2048), (False, 512, 4096),
+        (True, 512, 1024), (True, 512, 2048), (True, 1024, 2048),
+    ):
+        tag = "pipe" if pipe else "plain"
+        try:
+            dt, _ = _measure(
+                lambda: scan_bucketed_topk_hier(
+                    gq, gqs, gcodes, norms, gscale,
+                    n_buckets=hnb, db_tile=htile, pipelined=pipe,
+                ),
+                nq, args.repeats,
+            )
+            report(f"scan_only_hier_{tag}_nb{hnb}_t{htile}", dt)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({
+                "stage": f"scan_only_hier_{tag}_nb{hnb}_t{htile}",
+                "error": f"{type(e).__name__}: {e}"[:200],
+            }))
+
     # stage 5: rerank breakdown on the packed scan's output (the
     # post-scan stages dominate the fused path once the scan is packed)
     import jax
@@ -120,9 +143,49 @@ def main() -> None:
     dt, _ = _measure(lambda: cut(scores, cids), nq, args.repeats)
     report("rerank_cut_only", dt)
 
-    rr = jax.jit(lambda qq, s, i: _rerank(qq, v, s, i, args.k, 40, Metric.L2))
-    dt, (d, ids) = _measure(lambda: rr(q, scores, cids), nq, args.repeats)
+    # v must be an ARGUMENT: a closed-over 1M x 128 f32 constant gets
+    # embedded in the compile request (HTTP 413 from the remote helper)
+    rr = jax.jit(
+        lambda qq, vv, s, i: _rerank(qq, vv, s, i, args.k, 40, Metric.L2)
+    )
+    dt, (d, ids) = _measure(lambda: rr(q, v, scores, cids), nq, args.repeats)
     report("rerank_full", dt, np.asarray(ids))
+
+    # tail decomposition on a hier-width score block (NB=512): the cut
+    # (pallas extraction), the candidate gather + exact distances +
+    # final top-k, at two rerank widths
+    from diskrag_tpu.ops.flat_scan_pallas import (
+        scan_bucketed_topk_hier, topk_lanes_pallas,
+    )
+    from diskrag_tpu.ops.distance import rerank_exact_topk
+
+    hs, hi = scan_bucketed_topk_hier(gq, gqs, gcodes, norms, gscale)
+    np.asarray(hi[:1])
+    for kk in (20, 40):
+        dt, _ = _measure(
+            lambda: topk_lanes_pallas(hs, kk), nq, args.repeats
+        )
+        report(f"tail_cut_pallas_nb512_kk{kk}", dt)
+
+        cut = jax.jit(
+            lambda s, i, _kk=kk: jnp.where(
+                topk_lanes_pallas(s, _kk) >= s.shape[1], -1,
+                jnp.take_along_axis(
+                    i,
+                    jnp.minimum(topk_lanes_pallas(s, _kk), s.shape[1] - 1),
+                    axis=1,
+                ),
+            )
+        )
+        cids_kk = cut(hs, hi)
+        np.asarray(cids_kk[:1])
+        g = jax.jit(
+            lambda qq, vv, ii, _kk=kk: rerank_exact_topk(
+                qq, vv, ii, args.k, Metric.L2
+            )
+        )
+        dt, _ = _measure(lambda: g(q, v, cids_kk), nq, args.repeats)
+        report(f"tail_gather_exact_kk{kk}", dt)
 
     # no-rerank variant: trust packed kernel scores outright
     def norerank(s, i):

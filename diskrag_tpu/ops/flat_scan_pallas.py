@@ -155,6 +155,7 @@ def scan_bucketed_topk(
     # don't pad a small batch up to a huge query block: cap the block at
     # the batch rounded to the 128-row MXU tile (same kernel, fewer rows)
     query_block = min(query_block, max(128, -(-b // 128) * 128))
+    query_block = _rebalance_query_block(query_block, b)
 
     pad_q = (-b) % query_block
     q = jnp.pad(queries_bf16, ((0, pad_q), (0, 0)))
@@ -254,6 +255,7 @@ def _scan_kernel_packed(q_ref, db_ref, nc_ref, bestp_ref):
 
 
 _PACK = 256  # segment-id bits per packed int32 (max 256 segments)
+_PACK_BITS = 8  # log2(_PACK)
 
 # packed-int32 range proof dimension cap: |2*PACK*cross| + PACK*2^21 +
 # PACK must stay below 2^31, with |cross| <= 127*127*D. D <= 192 gives
@@ -262,10 +264,297 @@ _PACK = 256  # segment-id bits per packed int32 (max 256 segments)
 _PACKED_MAX_DIM = 192
 
 
+def _scan_kernel_hier(
+    q_ref, db_ref, nc_ref, bestv_ref, bests_ref, local_ref,
+    *, merge_every, n_tiles
+):
+    """Hierarchical packed fold: small NB at unbounded N.
+
+    The flat packed fold's 8-bit segment budget forces NB >= N/(256*?) —
+    at 1M that's NB=4096, whose [QB, NB] i32 state shrinks the VMEM-fit
+    query block to ~256 (4 passes over the database for B=1000) and
+    makes the post-scan bucket cut 8x wider than the collision bound
+    needs. Here the packed fold runs per SUPER-TILE of `merge_every` db
+    tiles with LOCAL segment ids (always < 256 by construction), and a
+    boundary step unpacks the super-tile winner into a (value, global
+    segment) pair state — so NB is a free parameter again. Fold cost is
+    unchanged (mul+add+max per score element); the merge adds ~6 VPU
+    passes over [QB, NB] once per `merge_every` tiles (amortized to
+    noise). Same int32 range proof as `_scan_kernel_packed`.
+
+    local_ref: [QB, NB] i32 scratch (packed value*PACK + local_seg).
+    bestv_ref/bests_ref: [QB, NB] i32 running (score_int, global seg).
+    nc_ref: [1, T] i32 = local_seg_j - n_int_j*PACK (local_seg_j =
+    (j // NB) % (merge_every * F)).
+    """
+    t_idx = pl.program_id(1)
+    bq = q_ref.shape[0]
+    t = db_ref.shape[0]
+    nb = bestv_ref.shape[1]
+    f = t // nb
+    segs_per_super = merge_every * f
+    int_min = jnp.iinfo(jnp.int32).min
+
+    @pl.when(t_idx == 0)
+    def _init():
+        # empty sentinel in the UNPACKED value domain: int_min >> 8 is
+        # below any reachable score (|2cross - n_int| < 2^23)
+        bestv_ref[...] = jnp.full((bq, nb), int_min >> 8, jnp.int32)
+        bests_ref[...] = jnp.full((bq, nb), -1, jnp.int32)
+
+    @pl.when(t_idx % merge_every == 0)
+    def _reset_local():
+        local_ref[...] = jnp.full((bq, nb), int_min, jnp.int32)
+
+    cross = jax.lax.dot_general(
+        q_ref[...], db_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [BQ, T]
+    scored = cross * (2 * _PACK) + nc_ref[0, :][None, :]
+    lp = local_ref[...]
+    for fi in range(f):
+        lp = jnp.maximum(lp, scored[:, fi * nb : (fi + 1) * nb])
+    local_ref[...] = lp
+
+    @pl.when(((t_idx + 1) % merge_every == 0) | (t_idx == n_tiles - 1))
+    def _merge():
+        p = local_ref[...]
+        # arithmetic shift: floor(p / PACK) = score_int
+        val = p >> _PACK_BITS
+        lseg = p & (_PACK - 1)
+        base = (t_idx // merge_every) * segs_per_super
+        gseg = base + lseg
+        bv = bestv_ref[...]
+        upd = (val > bv) & (p != int_min)
+        bestv_ref[...] = jnp.where(upd, val, bv)
+        bests_ref[...] = jnp.where(upd, gseg, bests_ref[...])
+
+
+def _scan_kernel_hier_pipe(
+    q_ref, db_ref, nc_ref, bestv_ref, bests_ref, local_ref, b0_ref, b1_ref,
+    *, merge_every, n_tiles
+):
+    """Software-pipelined hierarchical fold: MXU/VPU overlap.
+
+    The plain hier kernel alternates matmul -> fold within each grid
+    step, so the MXU idles during the fold and the VPU idles during the
+    matmul (measured 1.77 ms/step-sum at 1M where matmul ~0.7 ms and
+    fold ~1.1 ms). Here step j ISSUES the matmul for tile j into one of
+    two cross buffers, then folds tile j-1's buffer — no data hazard
+    between them, so the in-order instruction stream lets the MXU crunch
+    tile j while the VPU folds tile j-1. Steady state = max(matmul,
+    fold) per tile. The grid runs one epilogue step (j == n_tiles) to
+    fold the final tile; nc blocks are host-shifted one tile right so
+    block j carries tile j-1's norm constants.
+    """
+    j = pl.program_id(1)
+    bq = q_ref.shape[0]
+    t = db_ref.shape[0]
+    nb = bestv_ref.shape[1]
+    f = t // nb
+    segs_per_super = merge_every * f
+    int_min = jnp.iinfo(jnp.int32).min
+
+    @pl.when(j == 0)
+    def _init():
+        bestv_ref[...] = jnp.full((bq, nb), int_min >> _PACK_BITS, jnp.int32)
+        bests_ref[...] = jnp.full((bq, nb), -1, jnp.int32)
+
+    @pl.when(j < n_tiles)
+    def _mm():
+        cross = jax.lax.dot_general(
+            q_ref[...], db_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+        @pl.when(j % 2 == 0)
+        def _w0():
+            b0_ref[...] = cross
+
+        @pl.when(j % 2 == 1)
+        def _w1():
+            b1_ref[...] = cross
+
+    @pl.when(j > 0)
+    def _fold():
+        prev = j - 1
+
+        @pl.when(prev % merge_every == 0)
+        def _reset_local():
+            local_ref[...] = jnp.full((bq, nb), int_min, jnp.int32)
+
+        lp0 = local_ref[...]
+
+        def fold_from(buf):
+            scored = buf * (2 * _PACK) + nc_ref[0, :][None, :]
+            lp = lp0
+            for fi in range(f):
+                lp = jnp.maximum(lp, scored[:, fi * nb : (fi + 1) * nb])
+            return lp
+
+        @pl.when(prev % 2 == 0)
+        def _f0():
+            local_ref[...] = fold_from(b0_ref[...])
+
+        @pl.when(prev % 2 == 1)
+        def _f1():
+            local_ref[...] = fold_from(b1_ref[...])
+
+        @pl.when((j % merge_every == 0) | (j == n_tiles))
+        def _merge():
+            p = local_ref[...]
+            val = p >> _PACK_BITS
+            lseg = p & (_PACK - 1)
+            base = (prev // merge_every) * segs_per_super
+            gseg = base + lseg
+            bv = bestv_ref[...]
+            upd = (val > bv) & (p != int_min)
+            bestv_ref[...] = jnp.where(upd, val, bv)
+            bests_ref[...] = jnp.where(upd, gseg, bests_ref[...])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_buckets", "query_block", "db_tile", "interpret", "pipelined"
+    ),
+)
+def scan_bucketed_topk_hier(
+    queries_i8: jax.Array,
+    q_scale: jax.Array,
+    db_i8: jax.Array,
+    db_norms: jax.Array,
+    db_scale: jax.Array,
+    *,
+    n_buckets: int = 512,
+    query_block: int = 1024,
+    db_tile: int = 2048,
+    interpret: bool = False,
+    pipelined: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused L2 scan with the hierarchical packed fold (see
+    `_scan_kernel_hier`). Same contract and quantization inputs as
+    `scan_bucketed_topk_packed`; NB stays at the requested width at any
+    N, so the per-query state is small enough for a single 1024-row
+    query block at 1M+ (the flat packed fold drops to ~256 there) and
+    the post-scan cut runs over NB=512 lanes instead of 4096. Returns
+    (scores [B, NB] — integer score units as f32, order-correct — and
+    ids [B, NB], -1 for empty buckets).
+
+    `pipelined` uses `_scan_kernel_hier_pipe` (double-buffered raw cross
+    so the MXU matmul of tile j overlaps the VPU fold of tile j-1); the
+    two cross buffers cost extra VMEM, so the tile auto-narrows."""
+    b, d = queries_i8.shape
+    n = db_i8.shape[0]
+    if d > _PACKED_MAX_DIM:
+        raise ValueError(
+            f"packed folds cap D at {_PACKED_MAX_DIM} (int32 range "
+            f"proof); got D={d} — use the per-row int8 scan instead"
+        )
+    nb = n_buckets
+    while nb > 128 and nb > n:
+        nb //= 2
+    if pipelined:
+        # the second cross buffer doubles the [QB, T] cost: narrow the
+        # tile so two buffers + outputs still leave a large query block
+        db_tile = min(db_tile, 2 * nb)
+    db_tile = max(nb, (min(db_tile, 1 << 20) // nb) * nb)
+    # local segment ids must stay < PACK even within ONE tile
+    db_tile = min(db_tile, nb * _PACK)
+    f = db_tile // nb
+    merge_every = max(1, _PACK // f)
+    pad_n = (-n) % db_tile
+    # VMEM fit: [QB,T] score (plain) or 2x[QB,T] cross buffers
+    # (pipelined) + 2 output arrays (state_bytes=8, double-buffered when
+    # the batch spans blocks) + the [QB,NB] i32 local scratch
+    scratch_rb = nb * 4 + (2 * db_tile * 4 if pipelined else 0)
+    query_block = _fit_query_block(
+        query_block, db_tile, nb, d, state_bytes=8, itemsize=1,
+        batch=b, scratch_row_bytes=scratch_rb,
+    )
+    if query_block == 0:
+        raise ValueError(
+            f"hier scan geometry (N={n}, NB={nb}, T={db_tile}) exceeds "
+            "the scoped-VMEM budget at any query block"
+        )
+    query_block = min(query_block, max(128, -(-b // 128) * 128))
+    query_block = _rebalance_query_block(query_block, b)
+
+    pad_q = (-b) % query_block
+    q = jnp.pad(queries_i8, ((0, pad_q), (0, 0)))
+    db = jnp.pad(db_i8, ((0, pad_n), (0, 0)))
+    nc = jnp.clip(
+        jnp.round(db_norms / (db_scale * q_scale)), 0, 1 << 21
+    ).astype(jnp.int32)
+    nc = jnp.pad(nc, (0, pad_n), constant_values=1 << 21)
+    col = jnp.arange(n + pad_n, dtype=jnp.int32)
+    local_seg = (col // nb) % (merge_every * f)
+    nc = (local_seg - nc * _PACK)[None, :]
+
+    n_q_blocks = q.shape[0] // query_block
+    n_tiles = db.shape[0] // db_tile
+
+    if pltpu is None:
+        raise RuntimeError("hier scan needs pallas TPU support (pltpu)")
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        )
+    scratch = [pltpu.VMEM((query_block, nb), jnp.int32)]
+    if pipelined:
+        # one epilogue grid step folds the final tile; nc blocks are
+        # shifted one tile right so block j carries tile j-1's constants
+        nc = jnp.pad(nc, ((0, 0), (db_tile, 0)))
+        last = n_tiles - 1
+        kernel = functools.partial(
+            _scan_kernel_hier_pipe, merge_every=merge_every,
+            n_tiles=n_tiles,
+        )
+        grid = (n_q_blocks, n_tiles + 1)
+        db_spec = pl.BlockSpec(
+            (db_tile, d), lambda i, j: (jnp.minimum(j, last), 0)
+        )
+        scratch += [
+            pltpu.VMEM((query_block, db_tile), jnp.int32),
+            pltpu.VMEM((query_block, db_tile), jnp.int32),
+        ]
+    else:
+        kernel = functools.partial(
+            _scan_kernel_hier, merge_every=merge_every, n_tiles=n_tiles
+        )
+        grid = (n_q_blocks, n_tiles)
+        db_spec = pl.BlockSpec((db_tile, d), lambda i, j: (j, 0))
+    vals, segs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((query_block, d), lambda i, j: (i, 0)),
+            db_spec,
+            pl.BlockSpec((1, db_tile), lambda i, j: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((query_block, nb), lambda i, j: (i, 0)),
+            pl.BlockSpec((query_block, nb), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q.shape[0], nb), jnp.int32),
+            jax.ShapeDtypeStruct((q.shape[0], nb), jnp.int32),
+        ],
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **kwargs,
+    )(q, db, nc)
+    ids = segs * nb + jnp.arange(nb, dtype=jnp.int32)[None, :]
+    ids = jnp.where((segs < 0) | (ids >= n), -1, ids)
+    scores = jnp.where(segs < 0, NEG_INF, vals.astype(jnp.float32))
+    return scores[:b], ids[:b]
+
+
 def _fit_query_block(
     query_block: int, db_tile: int, n_buckets: int, d: int,
     *, state_bytes: int, itemsize: int, norm_rows: int = 1,
-    batch: int | None = None,
+    batch: int | None = None, scratch_row_bytes: int = 0,
 ) -> int:
     """Largest query block (multiple of 8, >= 0) whose VMEM working set
     fits the 16 MB scoped limit. Model (validated against the real
@@ -287,13 +576,31 @@ def _fit_query_block(
     budget = (15 << 20) - in_tile_bytes
     if budget <= 0:
         return 0
-    qb1 = budget // (db_tile * 4 + n_buckets * state_bytes) // 8 * 8
-    qb1 = min(query_block, qb1)
+    # scratch_row_bytes: per-QB-row VMEM scratch (single-buffered always)
+    row1 = db_tile * 4 + n_buckets * state_bytes + scratch_row_bytes
+    qb1 = min(query_block, budget // row1 // 8 * 8)
     if qb1 >= 8 and batch is not None and batch <= qb1:
         return qb1  # single query block: output state single-buffered
-    qb2 = budget // (db_tile * 4 + 2 * n_buckets * state_bytes) // 8 * 8
-    qb2 = min(query_block, qb2)
+    row2 = db_tile * 4 + 2 * n_buckets * state_bytes + scratch_row_bytes
+    qb2 = min(query_block, budget // row2 // 8 * 8)
     return 0 if qb2 < 8 else qb2
+
+
+def _rebalance_query_block(qb: int, b: int, align: int = 32) -> int:
+    """Equalize query blocks across the padded batch.
+
+    The VMEM fit gives a max QB; padding the batch up to a multiple of
+    it strands a sliver block of mostly-dead rows that still pays full
+    matmul + fold (B=1000 at the 1M packed geometry fits QB=296 ->
+    blocks 296/296/296/112, i.e. 184 padded rows = 15% dead work).
+    Keeping the same block COUNT but ceil-balancing the size pads only
+    to the alignment (4 x 256 -> 24 dead rows). `align` 32 satisfies
+    the int8 sublane tile; never exceeds the fitted `qb`."""
+    if qb <= 0 or qb >= b:
+        return qb
+    blocks = -(-b // qb)
+    bal = -(-(-(-b // blocks)) // align) * align
+    return max(8, min(qb, bal))
 
 
 def _packed_layout(
@@ -371,6 +678,7 @@ def scan_bucketed_topk_packed(
             "per-row int8/bf16 scan for databases this large"
         )
     query_block = min(query_block, max(128, -(-b // 128) * 128))
+    query_block = _rebalance_query_block(query_block, b)
 
     pad_q = (-b) % query_block
     q = jnp.pad(queries_i8, ((0, pad_q), (0, 0)))
@@ -556,11 +864,39 @@ def flat_search_fused(
         else:
             qf = queries
         q_i8, q_scale = quantize_int8_global(qf)
-        scores, ids = scan_bucketed_topk_packed(
-            q_i8, q_scale, vectors_bf16, norms_sq, db_scale_global,
-            n_buckets=n_buckets, query_block=query_block, db_tile=db_tile,
-            interpret=interpret,
+        # Route between the two packed folds: the FLAT fold's 256-global-
+        # segment budget widens NB with N (NB=4096 at 1M), whose [QB, NB]
+        # state starves the query block (~256 rows -> 4 database passes
+        # for B=1000) and widens the bucket cut 8x. The HIERARCHICAL fold
+        # keeps NB at the request by tracking segments per super-tile —
+        # measured 1.88 ms vs 2.6+ ms per 1000 x 1M scan (2026-08-20).
+        # Flat stays whenever its query block is NOT starved (it fits the
+        # batch in as few blocks as requested): at 200k its NB=1024
+        # single-state fold measures faster than hier's three arrays
+        # (0.374 vs 0.442 ms), and the mild NB widening only tightens the
+        # bucket-collision bound.
+        nb_flat, dt_flat, qb_flat, _ = _packed_layout(
+            n, d, n_buckets, query_block, db_tile, batch=b
         )
+        use_hier = qb_flat == 0 or qb_flat < min(b, query_block)
+        if use_hier:
+            try:
+                scores, ids = scan_bucketed_topk_hier(
+                    q_i8, q_scale, vectors_bf16, norms_sq, db_scale_global,
+                    n_buckets=n_buckets, query_block=query_block,
+                    db_tile=min(db_tile, 4 * n_buckets),
+                    interpret=interpret,
+                )
+            except ValueError:
+                from diskrag_tpu.ops.distance import brute_force_topk
+
+                return brute_force_topk(queries, vectors_f32, k, metric)
+        else:
+            scores, ids = scan_bucketed_topk_packed(
+                q_i8, q_scale, vectors_bf16, norms_sq, db_scale_global,
+                n_buckets=n_buckets, query_block=query_block,
+                db_tile=db_tile, interpret=interpret,
+            )
         return _rerank(queries, vectors_f32, scores, ids, k, kk, m, interpret)
     if m == Metric.COSINE:
         qn = jnp.sqrt(jnp.sum(jnp.square(queries), -1, keepdims=True)) + 1e-12

@@ -39,14 +39,14 @@ TESTS_DIR = Path(__file__).parent
 # sharded mesh, streaming ingest cycles, build checkpoints) are full-tier
 # only.
 QUICK_MODULES = [
-    "test_ops.py",
-    "test_pq.py",
+    "test_ops.py",       # kernel numpy oracles
     "test_pq_scan.py",
-    "test_data.py",
-    "test_native.py",
-    "test_persist.py",
+    "test_data.py",      # collection/chunker/config
+    "test_native.py",    # C++ io lib
+    "test_flat_ivf.py",  # flat + ivf serving on tiny data
     "test_intq.py",
-]
+    "test_persist.py",   # artifact round-trips
+]  # measured 151s serial on the build box (full suite: 1906s)
 
 _SUMMARY_RE = re.compile(
     r"(?:(\d+) failed)?(?:, )?(?:(\d+) passed)?(?:, )?(?:(\d+) skipped)?"

@@ -472,3 +472,75 @@ def test_fused_search_large_k_matches_bruteforce():
         for r in range(5)
     ])
     assert overlap >= 0.9, overlap
+
+
+def test_hier_scan_matches_packed_oracle():
+    """Hierarchical packed fold (scan_bucketed_topk_hier): per-bucket
+    winners must match the integer-score oracle exactly, across multiple
+    (NB, T) geometries including partial final super-tiles, and NB must
+    stay at the requested width (the flat packed fold would widen it
+    past the 256-segment budget)."""
+    from diskrag_tpu.ops.flat_scan_pallas import (
+        quantize_int8_global,
+        scan_bucketed_topk_hier,
+    )
+
+    rng = np.random.default_rng(3)
+    for n, nb, tile in [(9000, 512, 2048), (3000, 256, 512),
+                        (40_000, 512, 1024)]:
+        db = rng.normal(size=(n, 64)).astype(np.float32)
+        q = (
+            db[rng.integers(0, n, 23)]
+            + 0.1 * rng.normal(size=(23, 64)).astype(np.float32)
+        )
+        gcodes, gscale = quantize_int8_global(jnp.asarray(db))
+        gq, gqs = quantize_int8_global(jnp.asarray(q))
+        norms = jnp.sum(jnp.square(jnp.asarray(db)), -1)
+        scores, ids = scan_bucketed_topk_hier(
+            gq, gqs, gcodes, norms, gscale,
+            n_buckets=nb, db_tile=tile, interpret=True,
+        )
+        assert ids.shape[1] == nb  # segment budget did not widen NB
+        n_int = np.clip(
+            np.round(np.asarray(norms) / (float(gscale) * float(gqs))),
+            0, 1 << 21,
+        ).astype(np.int64)
+        cross = np.asarray(gq, np.int64) @ np.asarray(gcodes, np.int64).T
+        score = 2 * cross - n_int[None, :]
+        ids_np = np.asarray(ids)
+        scores_np = np.asarray(scores)
+        for b in range(0, 23, 5):
+            for lane in range(0, nb, 113):
+                cols = np.arange(lane, n, nb)
+                best = score[b, cols].max()
+                got = ids_np[b, lane]
+                assert got >= 0 and got % nb == lane
+                assert score[b, got] == best
+                assert scores_np[b, lane] == float(score[b, got])
+
+
+def test_hier_scan_end_to_end_recall():
+    """Full path: hier scan -> cut -> exact rerank reaches the same
+    recall as the flat packed path at equal bucket count."""
+    from diskrag_tpu.ops.distance import Metric
+    from diskrag_tpu.ops.flat_scan_pallas import (
+        _rerank,
+        quantize_int8_global,
+        scan_bucketed_topk_hier,
+    )
+
+    pts, q = make_dataset(20000, 64, 64)
+    v = jnp.asarray(pts)
+    gcodes, gscale = quantize_int8_global(v)
+    gq, gqs = quantize_int8_global(jnp.asarray(q))
+    norms = jnp.sum(jnp.square(v), -1)
+    scores, ids = scan_bucketed_topk_hier(
+        gq, gqs, gcodes, norms, gscale,
+        n_buckets=512, db_tile=2048, interpret=True,
+    )
+    d, top = _rerank(
+        jnp.asarray(q), v, scores, ids, 10, 40, Metric.L2, interpret=True
+    )
+    _, gt = brute_force_topk(jnp.asarray(q), v, k=10)
+    assert _recall(np.asarray(top), np.asarray(gt)) >= 0.97
+    assert (np.diff(np.asarray(d), axis=1) >= -1e-6).all()
