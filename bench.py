@@ -27,14 +27,15 @@ import time
 
 def _enable_compilation_cache() -> None:
     """Persistent XLA compilation cache: verified to work through the
-    axon tunnel (cross-process compile reuse, ~5x faster warmup). Build
-    timing below is honest either way — the first full run pays the
-    compiles; re-runs measure steady-state."""
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        str(pathlib.Path(__file__).parent / ".jax_cache"),
-    )
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+    axon tunnel (cross-process compile reuse, ~5x faster warmup), plus
+    the shipped pre-warmed entries for the standard geometries so a
+    fresh checkout's first build doesn't pay compile-everything
+    (utils/compile_cache.py). Build timing below is honest either way —
+    the first full run pays whatever compiles remain; re-runs measure
+    steady-state."""
+    from diskrag_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
 
 class _Budget:

@@ -151,6 +151,58 @@ def main() -> None:
     dt, (d, ids) = _measure(lambda: rr(q, v, scores, cids), nq, args.repeats)
     report("rerank_full", dt, np.asarray(ids))
 
+    # matmul-only floor at the hier geometry: same grid/DMA, the fold
+    # replaced by one [QB, NB]-wide accumulate — isolates MXU + input
+    # DMA from VPU fold cost
+    from jax.experimental import pallas as pl
+
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+    except ImportError:
+        pltpu = None
+
+    def _mm_only(q_ref, db_ref, acc_ref):
+        t_idx = pl.program_id(1)
+
+        @pl.when(t_idx == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        cross = jax.lax.dot_general(
+            q_ref[...], db_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc_ref[...] += cross[:, : acc_ref.shape[1]]
+
+    def mm_only(tile, nb_out=512, qb=1024):
+        n = gcodes.shape[0]
+        d = gcodes.shape[1]
+        pad_n = (-n) % tile
+        dbp = jnp.pad(gcodes, ((0, pad_n), (0, 0)))
+        b = gq.shape[0]
+        qb = min(qb, max(128, -(-b // 128) * 128))
+        qp = jnp.pad(gq, ((0, (-b) % qb), (0, 0)))
+        kw = {}
+        if pltpu is not None:
+            kw["compiler_params"] = pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"))
+        return pl.pallas_call(
+            _mm_only,
+            grid=(qp.shape[0] // qb, dbp.shape[0] // tile),
+            in_specs=[
+                pl.BlockSpec((qb, d), lambda i, j: (i, 0)),
+                pl.BlockSpec((tile, d), lambda i, j: (j, 0)),
+            ],
+            out_specs=pl.BlockSpec((qb, nb_out), lambda i, j: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((qp.shape[0], nb_out), jnp.int32),
+            **kw,
+        )(qp, dbp)
+
+    mmj = jax.jit(mm_only, static_argnums=(0,))
+    for tile in (2048, 4096):
+        dt, _ = _measure(lambda: mmj(tile), nq, args.repeats)
+        report(f"scan_mm_only_t{tile}", dt)
+
     # tail decomposition on a hier-width score block (NB=512): the cut
     # (pallas extraction), the candidate gather + exact distances +
     # final top-k, at two rerank widths

@@ -120,29 +120,45 @@ def main():
     print("forward", res["forward_per_subwave_s"], flush=True)
 
     adj2, pruned = state["adj"], state["pruned"]
-    rev_rows = 16_384
-    pruned_big = jnp.tile(pruned, (rev_rows // WC, 1))[:rev_rows]
-    wave_big = jnp.arange(n0, n0 + rev_rows, dtype=jnp.int32) % jnp.int32(
-        n0 + m
+
+    # sweep reverse (rev_rows, chunk) geometries: bigger chunks shrink
+    # the sequential fix_chunk loop (73 iterations at 16k:8192), bigger
+    # slices amortize the grouping prologue over more rows
+    sweep = os.environ.get(
+        "REV_SWEEP", "16384:8192,16384:32768,32768:32768,32768:65536"
     )
+    best = None
+    for spec in sweep.split(","):
+        rev_rows, chunk = (int(x) for x in spec.split(":"))
+        pruned_big = jnp.tile(pruned, (rev_rows // WC + 1, 1))[:rev_rows]
+        wave_big = jnp.arange(
+            n0, n0 + rev_rows, dtype=jnp.int32
+        ) % jnp.int32(n0 + m)
 
-    def reverse():
-        state["adj"] = _reverse_pass(
-            vectors, state["adj"], wave_big, pruned_big, alpha,
-            max_incoming=min(16, R), chunk=min(8192, rev_rows * R),
-            metric="l2",
-        )
-        return state["adj"]
+        def reverse_i8():
+            state["adj"] = _reverse_pass(
+                vectors, state["adj"], wave_big, pruned_big, alpha,
+                max_incoming=min(16, R), chunk=min(chunk, rev_rows * R),
+                metric="l2", codes=vec_scan, code_scales=scan_scales,
+            )
+            return state["adj"]
 
-    res["reverse_per_slice_s"] = timeit(reverse)
-    print("reverse", res["reverse_per_slice_s"], flush=True)
+        t = timeit(reverse_i8)
+        per_row = t / rev_rows
+        print(f"reverse_i8 rows={rev_rows} chunk={chunk}: {t:.3f}s "
+              f"({1e6 * per_row:.1f} us/row)", flush=True)
+        res[f"reverse_i8_{rev_rows}_{chunk}_s"] = t
+        if best is None or per_row < best[2]:
+            best = (rev_rows, chunk, per_row, t)
 
+    res["reverse_per_slice_s"] = best[3]
+    res["reverse_best"] = {"rev_rows": best[0], "chunk": best[1]}
     n_sub = (m + WC - 1) // WC
-    n_slices = (m + rev_rows - 1) // rev_rows
+    n_slices = (m + best[0] - 1) // best[0]
     res["merge_total_est_s"] = (
         res["quantize_s"]
         + n_sub * (res["scan_per_subwave_s"] + res["forward_per_subwave_s"])
-        + n_slices * res["reverse_per_slice_s"]
+        + n_slices * best[3]
     )
     res["ingest_rate_est_per_s"] = m / res["merge_total_est_s"]
     print(json.dumps(res))

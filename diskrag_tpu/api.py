@@ -483,6 +483,11 @@ def create_app(state: Optional[AppState] = None):
 def main(
     host: str = "0.0.0.0", port: int = 8000, config: str = "config.yaml"
 ) -> None:
+    # pre-seeded XLA cache before any jax import: a fresh checkout's
+    # server warms serving compiles from the shipped archive
+    from diskrag_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     # stream + app.log file logging, like the reference (app.py:16-24)
     logging.basicConfig(
         level=logging.INFO,

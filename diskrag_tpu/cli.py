@@ -451,6 +451,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[list[str]] = None) -> int:
+    # must run before the first jax import: a fresh checkout's first
+    # `index` then reuses the shipped pre-compiled programs instead of
+    # paying compile-everything (utils/compile_cache.py)
+    from diskrag_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     logging.basicConfig(
         level=logging.INFO if args.verbose else logging.WARNING,

@@ -61,6 +61,8 @@ def _reverse_edges(
     max_incoming: int,
     chunk: int,
     metric: str,
+    codes: jax.Array | None = None,
+    code_scales: jax.Array | None = None,
 ) -> jax.Array:
     """Insert reverse edges wave -> graph with conditional re-prune.
 
@@ -71,6 +73,13 @@ def _reverse_edges(
     old-union-new exceeds the degree bound, the target is RobustPruned,
     otherwise the plain union is written back (matching the reference's
     add-then-prune-on-overflow semantics, cython_utils.pyx:335-353).
+
+    `codes`/`code_scales` ([N, D] int8 + [N] f32, e.g. the fused scan's
+    quantized copy): when given, the per-target candidate gathers and all
+    prune distances run from the int8 codes instead of f32 rows — the
+    candidate-vector gather is this pass's dominant cost (measured
+    2026-08-20 at a 1M base: 6.5 s per 16k-row slice, ~22 GB of f32
+    row gathers; the alpha rule tolerates int8 rounding).
     """
     n, r = adjacency.shape
     w = wave_ids.shape[0]
@@ -91,19 +100,36 @@ def _reverse_edges(
         [jnp.array([True]), t_s[1:] != t_s[:-1]]
     ) & v_s
     seg_id = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # [E]
-    first_pos = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_first, pos, 0)
-    )
-    rank = pos - first_pos
-    keep = v_s & (rank < max_incoming)
 
-    # incoming-source table: one row per segment (over-allocated to E rows)
-    inc = jnp.full((e, max_incoming), INVALID_ID, jnp.int32)
-    inc = inc.at[
-        jnp.where(keep, seg_id, e), jnp.where(keep, rank, 0)
-    ].set(s_s, mode="drop")
-    uniq_t = jnp.full((e,), INVALID_ID, jnp.int32)
-    uniq_t = uniq_t.at[jnp.where(is_first, seg_id, e)].set(t_s, mode="drop")
+    # Gather-based grouping: device scatters on this platform run ~100x
+    # below bandwidth (a [500k, 48] row scatter measured 2.5 s, a
+    # [786k, 16] table scatter 0.49 s — 2026-08-20; CLAUDE.md's ~10M
+    # scatter cliff starts far lower than 10M here). The ONE remaining
+    # scatter is 1D: segment slot -> first edge position. Everything
+    # else (the incoming-source table, the unique-target list, and the
+    # final adjacency writeback below) becomes contiguous gathers off
+    # the sorted edge array, because a segment's edges are consecutive:
+    # inc[s, k] = s_s[start[s] + k].
+    start = jnp.full((e,), e, jnp.int32)
+    start = start.at[jnp.where(is_first, seg_id, e)].set(pos, mode="drop")
+    n_seg = jnp.sum(is_first.astype(jnp.int32))
+    slot = jnp.arange(e, dtype=jnp.int32)
+    live_slot = slot < n_seg
+    start_c = jnp.clip(start, 0, e - 1)
+    uniq_t = jnp.where(live_slot, t_s[start_c], INVALID_ID)
+    # a slot's edges end where the next live slot's begin; the last
+    # live slot ends at the total valid-edge count
+    seg_end = jnp.where(
+        slot + 1 < n_seg,
+        start[jnp.clip(slot + 1, 0, e - 1)],
+        jnp.sum(v_s.astype(jnp.int32)),
+    )
+    k_iota = jnp.arange(max_incoming, dtype=jnp.int32)[None, :]
+    take_pos = start_c[:, None] + k_iota  # [E, K]
+    in_seg = live_slot[:, None] & (take_pos < seg_end[:, None])
+    inc = jnp.where(
+        in_seg, s_s[jnp.clip(take_pos, 0, e - 1)], INVALID_ID
+    )
 
     # process targets in chunks: union or re-prune
     pad_e = (-e) % chunk
@@ -117,9 +143,21 @@ def _reverse_edges(
         old = adjacency[t_safe]  # [CH, R]
         cands = jnp.concatenate([old, inc_chunk], axis=1)  # [CH, C2]
         cands = jnp.where(t_chunk[:, None] == INVALID_ID, INVALID_ID, cands)
-        cand_vecs = vectors[jnp.clip(cands, 0, n - 1)]  # [CH, C2, D]
-        t_vecs = vectors[t_safe]
-        dists = _gathered_distance(t_vecs, cand_vecs, metric)
+        c_safe = jnp.clip(cands, 0, n - 1)
+        if codes is not None:
+            from diskrag_tpu.graph.prune import gathered_distance_int8
+
+            cand_vecs = codes[c_safe]  # [CH, C2, D] int8
+            cand_sc = code_scales[c_safe]
+            dists = gathered_distance_int8(
+                codes[t_safe], code_scales[t_safe], cand_vecs, cand_sc,
+                metric,
+            )
+        else:
+            cand_vecs = vectors[c_safe]  # [CH, C2, D]
+            cand_sc = None
+            t_vecs = vectors[t_safe]
+            dists = _gathered_distance(t_vecs, cand_vecs, metric)
         dists = jnp.where(cands == INVALID_ID, INF, dists)
         union_ids, union_dists, _ = sort_topk_unique(cands, dists, r)
         # count distinct candidates without a second full-width
@@ -130,7 +168,7 @@ def _reverse_edges(
         overflow = n_unique > r
         pruned_rows = robust_prune_batch(
             t_chunk, cands, cand_vecs, dists, alpha,
-            degree_bound=r, metric=metric,
+            degree_bound=r, metric=metric, cand_scales=cand_sc,
         )
         return jnp.where(overflow[:, None], pruned_rows, union_ids)
 
@@ -159,8 +197,19 @@ def _reverse_edges(
     _, new_rows = jax.lax.while_loop(live, body, (jnp.int32(0), rows0))
     new_rows = new_rows.reshape(-1, r)
 
-    scatter_idx = jnp.where(uniq_t_p == INVALID_ID, n, uniq_t_p)
-    return adjacency.at[scatter_idx].set(new_rows[: e + pad_e], mode="drop")
+    # Writeback as gather + select, not a row scatter: map node -> live
+    # slot with one 1D scatter, then rebuild the full adjacency with a
+    # row gather and a select. A [500k, 48] row scatter measured 2.5 s
+    # on this platform; the [N, R] gather+select rides HBM bandwidth
+    # (~200 MB at 1M x R=48, tens of ms) and reuses the donated buffer.
+    row_slot = jnp.full((n + 1,), -1, jnp.int32)
+    row_slot = row_slot.at[
+        jnp.where(uniq_t == INVALID_ID, n, uniq_t)
+    ].set(slot, mode="drop")
+    row_slot = row_slot[:n]
+    touched = row_slot >= 0
+    gathered = new_rows[jnp.clip(row_slot, 0, new_rows.shape[0] - 1)]
+    return jnp.where(touched[:, None], gathered, adjacency)
 
 
 @functools.partial(

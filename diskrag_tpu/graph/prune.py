@@ -46,6 +46,71 @@ def _pairwise_within(cand_vecs: jax.Array, metric: str) -> jax.Array:
     )
 
 
+def gathered_distance_int8(
+    q_codes: jax.Array,
+    q_scales: jax.Array,
+    codes: jax.Array,
+    scales: jax.Array,
+    metric: str,
+) -> jax.Array:
+    """Distance from int8 queries [W, D] (+[W] scales) to per-row
+    gathered int8 candidates [W, C, D] (+[W, C] scales) — the companion
+    of `search._gathered_distance` for callers holding the scan's
+    quantized copy instead of f32 rows."""
+    m = Metric(metric)
+    cross_i = jnp.einsum(
+        "wd,wcd->wc", q_codes, codes, preferred_element_type=jnp.int32
+    )
+    cross = cross_i.astype(jnp.float32) * q_scales[:, None] * scales
+    if m == Metric.L2:
+        qn = (
+            jnp.sum(jnp.square(q_codes.astype(jnp.float32)), axis=-1)
+            * jnp.square(q_scales)
+        )[:, None]
+        cn = (
+            jnp.sum(jnp.square(codes.astype(jnp.float32)), axis=-1)
+            * jnp.square(scales)
+        )
+        return jnp.maximum(qn + cn - 2.0 * cross, 0.0)
+    if m == Metric.COSINE:
+        qn = jnp.sum(jnp.square(q_codes.astype(jnp.float32)), axis=-1)
+        cn = jnp.sum(jnp.square(codes.astype(jnp.float32)), axis=-1)
+        return 1.0 - cross_i.astype(jnp.float32) * (
+            jax.lax.rsqrt(qn + 1e-12)[:, None] * jax.lax.rsqrt(cn + 1e-12)
+        )
+    return -cross
+
+
+def _pairwise_within_int8(
+    codes: jax.Array, scales: jax.Array, metric: str
+) -> jax.Array:
+    """[W, C, D] int8 codes + [W, C] f32 per-row dequant scales ->
+    [W, C, C] pairwise distances. The cross term runs as an s8 x s8 ->
+    s32 MXU einsum with the scales applied as a rank-1 outer product —
+    the candidate vectors never materialize in f32, so callers gather a
+    quarter of the bytes (the dominant cost of batched pruning at scale;
+    the alpha rule is a heuristic and tolerates int8 rounding)."""
+    m = Metric(metric)
+    cross_i = jnp.einsum(
+        "wcd,wed->wce", codes, codes, preferred_element_type=jnp.int32
+    )
+    ss = scales[:, :, None] * scales[:, None, :]  # [W, C, C]
+    cross = cross_i.astype(jnp.float32) * ss
+    if m == Metric.L2:
+        n = (
+            jnp.sum(jnp.square(codes.astype(jnp.float32)), axis=-1)
+            * jnp.square(scales)
+        )  # [W, C]
+        return jnp.maximum(n[:, :, None] + n[:, None, :] - 2.0 * cross, 0.0)
+    if m == Metric.COSINE:
+        n = jnp.sum(jnp.square(codes.astype(jnp.float32)), axis=-1)
+        inv = jax.lax.rsqrt(n + 1e-12)  # scales cancel in the cosine
+        return 1.0 - cross_i.astype(jnp.float32) * (
+            inv[:, :, None] * inv[:, None, :]
+        )
+    return -cross
+
+
 @functools.partial(
     jax.jit, static_argnames=("degree_bound", "metric", "block_size")
 )
@@ -59,6 +124,7 @@ def robust_prune_batch(
     degree_bound: int,
     metric: str = Metric.L2.value,
     block_size: int = 8,
+    cand_scales: jax.Array | None = None,
 ) -> jax.Array:
     """Prune candidate lists for a wave of points.
 
@@ -66,7 +132,10 @@ def robust_prune_batch(
       point_ids: [W] id of each point being pruned (self-edges removed).
       cand_ids: [W, C] candidate ids, -1 for invalid; duplicates allowed
         (they are masked to keep the best occurrence).
-      cand_vecs: [W, C, D] candidate vectors (garbage rows OK where id=-1).
+      cand_vecs: [W, C, D] candidate vectors (garbage rows OK where
+        id=-1). With `cand_scales` given, these are int8 quantized codes
+        instead and pairwise distances run on the int8 MXU path
+        (`_pairwise_within_int8`) — 4x less gather traffic for callers.
       cand_dists: [W, C] distance from the point to each candidate.
       alpha: pruning relaxation (>= 1.0). Traced — the two build passes
         reuse one compiled program with alpha 1.0 then the user's alpha
@@ -92,7 +161,10 @@ def robust_prune_batch(
     dists = jnp.where(cand_ids == point_ids[:, None], INF, cand_dists)
     dists = mask_duplicates(cand_ids, dists)
 
-    pair = _pairwise_within(cand_vecs, metric)  # [W, C, C]
+    if cand_scales is not None:
+        pair = _pairwise_within_int8(cand_vecs, cand_scales, metric)
+    else:
+        pair = _pairwise_within(cand_vecs, metric)  # [W, C, C]
 
     # Worst case one survivor per round (tight clusters eliminate the other
     # G-1 in-block), so correctness needs up to `degree_bound` rounds; the

@@ -158,31 +158,54 @@ def _knn_forward_rows(
     alpha: jax.Array,
     *,
     metric: str,
+    codes=None,
+    code_scales=None,
 ):
     """Prune one sub-wave's exact-kNN candidate pool and write the
     forward rows. The pool = the flat scan's top candidates (self and
     capacity-pad rows >= n_used masked out here — pads are far under L2
     but all-identical unit vectors under cosine) ++ the rows' current
     links (the random init links, plus any reverse edges received from
-    earlier merges). Returns (adjacency, pruned [W, R])."""
+    earlier merges). Returns (adjacency, pruned [W, R]).
+
+    `codes`/`code_scales`: the merge scan's int8 copy — pool gathers and
+    prune distances then run int8 (quarter the gather bytes; the scan's
+    candidate distances stay exact f32 either way)."""
     n, r = adjacency.shape
-    queries = vectors[wave_ids]
     bad = (cand_ids >= n_used) | (cand_ids == wave_ids[:, None])
     cand_dists = jnp.where(bad, INF, cand_dists)
     cand_ids = jnp.where(bad, INVALID_ID, cand_ids)
     cur = adjacency[wave_ids]
-    cur_vecs = vectors[jnp.clip(cur, 0, n - 1)]
-    cur_d = jnp.where(
-        cur == INVALID_ID,
-        INF,
-        _gathered_distance(queries, cur_vecs, metric),
-    )
     pool_ids = jnp.concatenate([cand_ids, cur], axis=1)
+    safe_pool = jnp.clip(pool_ids, 0, n - 1)
+    if codes is not None:
+        from diskrag_tpu.graph.prune import gathered_distance_int8
+
+        q_codes = codes[wave_ids]
+        q_sc = code_scales[wave_ids]
+        cur_codes = codes[jnp.clip(cur, 0, n - 1)]
+        cur_sc = code_scales[jnp.clip(cur, 0, n - 1)]
+        cur_d = jnp.where(
+            cur == INVALID_ID,
+            INF,
+            gathered_distance_int8(q_codes, q_sc, cur_codes, cur_sc, metric),
+        )
+        pool_vecs = codes[safe_pool]
+        pool_sc = code_scales[safe_pool]
+    else:
+        queries = vectors[wave_ids]
+        cur_vecs = vectors[jnp.clip(cur, 0, n - 1)]
+        cur_d = jnp.where(
+            cur == INVALID_ID,
+            INF,
+            _gathered_distance(queries, cur_vecs, metric),
+        )
+        pool_vecs = vectors[safe_pool]
+        pool_sc = None
     pool_dists = jnp.concatenate([cand_dists, cur_d], axis=1)
-    pool_vecs = vectors[jnp.clip(pool_ids, 0, n - 1)]
     pruned = robust_prune_batch(
         wave_ids, pool_ids, pool_vecs, pool_dists, alpha,
-        degree_bound=r, metric=metric,
+        degree_bound=r, metric=metric, cand_scales=pool_sc,
     )
     return adjacency.at[wave_ids].set(pruned), pruned
 
@@ -194,14 +217,18 @@ def _knn_forward_rows(
 )
 def _reverse_pass(
     vectors, adjacency, wave_ids, pruned, alpha,
-    *, max_incoming, chunk, metric,
+    *, max_incoming, chunk, metric, codes=None, code_scales=None,
 ):
     """Standalone jitted reverse-edge repair (graph/build.py's
     `_reverse_edges`) for the kNN merge: forward rows are written first
-    for ALL sub-waves, then targets are repaired once per merge slice."""
+    for ALL sub-waves, then targets are repaired once per merge slice.
+    `codes`/`code_scales`: the merge scan's int8 copy — the repair's
+    candidate gathers then move a quarter of the bytes (the measured
+    bottleneck of the whole merge at 1M: 6.5 s of 14 s per slice)."""
     return _reverse_edges(
         vectors, adjacency, wave_ids, pruned, alpha,
         max_incoming=max_incoming, chunk=chunk, metric=metric,
+        codes=codes, code_scales=code_scales,
     )
 
 
@@ -669,6 +696,8 @@ class StreamingIndex:
             adjacency, pruned = _knn_forward_rows(
                 vectors, adjacency, wave_ids, ids, d, n_used, alpha,
                 metric=metric,
+                **({} if on_cpu else
+                   {"codes": vec_scan, "code_scales": scan_scales}),
             )
             pruned_slices.append(pruned)
         pruned_all = (
@@ -679,6 +708,10 @@ class StreamingIndex:
         # rows*R elements — 16k rows x R=48 = 786k, well under the
         # platform's ~10M-element sort/scan cliff (CLAUDE.md)
         rev_rows = 16_384
+        rev_kwargs = (
+            {} if on_cpu else
+            {"codes": vec_scan, "code_scales": scan_scales}
+        )
         for lo in range(0, m, rev_rows):
             mm = min(rev_rows, m - lo)
             wave_ids = jnp.arange(n0 + lo, n0 + lo + mm, dtype=jnp.int32)
@@ -686,7 +719,7 @@ class StreamingIndex:
                 vectors, adjacency, wave_ids,
                 jax.lax.dynamic_slice_in_dim(pruned_all, lo, mm),
                 alpha, max_incoming=min(16, r),
-                chunk=min(8192, mm * r), metric=metric,
+                chunk=min(8192, mm * r), metric=metric, **rev_kwargs,
             )
         return adjacency
 

@@ -430,7 +430,7 @@ def scan_bucketed_topk_hier(
     query_block: int = 1024,
     db_tile: int = 2048,
     interpret: bool = False,
-    pipelined: bool = True,
+    pipelined: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused L2 scan with the hierarchical packed fold (see
     `_scan_kernel_hier`). Same contract and quantization inputs as
@@ -442,8 +442,12 @@ def scan_bucketed_topk_hier(
     ids [B, NB], -1 for empty buckets).
 
     `pipelined` uses `_scan_kernel_hier_pipe` (double-buffered raw cross
-    so the MXU matmul of tile j overlaps the VPU fold of tile j-1); the
-    two cross buffers cost extra VMEM, so the tile auto-narrows."""
+    so the MXU matmul of tile j overlaps the VPU fold of tile j-1).
+    MEASURED SLOWER on chip (0.86 vs 0.44-0.69 ms at 200k, 2026-08-20):
+    staging raw cross through scratch VMEM costs two extra [QB, T] i32
+    round-trips per tile, which swamps any issue-order overlap — kept as
+    a documented negative result; default stays on the plain kernel,
+    which lets Mosaic fuse the scored epilogue into the matmul output."""
     b, d = queries_i8.shape
     n = db_i8.shape[0]
     if d > _PACKED_MAX_DIM:

@@ -1,0 +1,107 @@
+"""Persistent-XLA-cache setup + pre-seeded warm cache for cold starts.
+
+The reference's Cython build path has zero warmup cost
+(reference pydiskann/cython_utils.pyx:269-369); ours pays XLA compiles
+on the first build in a fresh checkout (~172 s at 200k measured
+2026-08-19, vs 12 s steady-state). The persistent compilation cache is
+proven to work cross-process through the axon tunnel (CLAUDE.md), so we
+ship the compiled programs for the standard build/serving geometries as
+a compressed archive (`prewarmed_cache.tar.zst` at the repo root,
+produced by `benchmarks/collect_prewarm.py` on the target chip) and
+unpack it into the cache dir the first time a process starts without
+one. A checkout then builds at fresh-process-warm-cache speed (~40 s at
+200k, within the >=4x-over-reference cold target) instead of
+compile-everything speed.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pathlib
+import tarfile
+
+logger = logging.getLogger(__name__)
+
+_REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent.parent
+_ARCHIVE_NAMES = ("prewarmed_cache.tar.zst", "prewarmed_cache.tar.gz")
+
+
+def enable_compilation_cache(seed: bool = True) -> pathlib.Path:
+    """Point JAX's persistent compilation cache at `<repo>/.jax_cache`
+    (honoring a pre-set JAX_COMPILATION_CACHE_DIR) and, once per cache
+    dir, unpack the shipped pre-warmed entries into it. Must run before
+    the first jax compile; safe to call repeatedly."""
+    cache_dir = pathlib.Path(
+        os.environ.setdefault(
+            "JAX_COMPILATION_CACHE_DIR", str(_REPO_ROOT / ".jax_cache")
+        )
+    )
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+    if seed:
+        try:
+            seed_cache(cache_dir)
+        except Exception:  # a corrupt archive must never block serving
+            logger.warning("pre-warmed cache unpack failed", exc_info=True)
+    return cache_dir
+
+
+def _find_archive() -> pathlib.Path | None:
+    for name in _ARCHIVE_NAMES:
+        p = _REPO_ROOT / name
+        if p.exists():
+            return p
+    return None
+
+
+def seed_cache(cache_dir: pathlib.Path) -> int:
+    """Unpack the pre-warmed archive into `cache_dir` (entries that
+    already exist are kept — they may be newer). Returns the number of
+    entries written; no-op without an archive or after the first seed
+    (`.seeded-<archive mtime>` marker)."""
+    archive = _find_archive()
+    if archive is None:
+        return 0
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    marker = cache_dir / f".seeded-{int(archive.stat().st_mtime)}"
+    if marker.exists():
+        return 0
+    if archive.suffix == ".zst":
+        try:
+            import zstandard
+        except ImportError:  # no zstd in the image -> use the .gz twin
+            logger.warning(
+                "%s needs the zstandard module (absent); ship .tar.gz",
+                archive.name,
+            )
+            return 0
+        with archive.open("rb") as fh:
+            stream = zstandard.ZstdDecompressor().stream_reader(fh)
+            n = _extract_missing(tarfile.open(fileobj=stream, mode="r|"),
+                                 cache_dir)
+    else:
+        n = _extract_missing(tarfile.open(archive, mode="r:gz"), cache_dir)
+    marker.write_text("seeded\n")
+    logger.info("pre-warmed XLA cache: %d entries -> %s", n, cache_dir)
+    return n
+
+
+def _extract_missing(tf: tarfile.TarFile, cache_dir: pathlib.Path) -> int:
+    n = 0
+    with tf:
+        for member in tf:
+            if not member.isfile():
+                continue
+            name = pathlib.Path(member.name).name  # flat layout only
+            dest = cache_dir / name
+            if dest.exists():
+                continue
+            src = tf.extractfile(member)
+            if src is None:
+                continue
+            tmp = cache_dir / (name + ".tmp")
+            with tmp.open("wb") as out:
+                out.write(src.read())
+            tmp.replace(dest)
+            n += 1
+    return n

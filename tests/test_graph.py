@@ -326,3 +326,95 @@ def test_approx_knn_ivf_table_recall_clustered():
         for r in sample
     ])
     assert rec >= 0.97, f"ivf-kNN table recall@10 = {rec}"
+
+
+def test_prune_int8_matches_f32_on_separated_data():
+    """int8-codes prune path (robust_prune_batch cand_scales +
+    gathered_distance_int8): on well-separated data the kept sets match
+    the f32 path — the alpha rule must tolerate int8 rounding."""
+    import jax.numpy as jnp
+
+    from diskrag_tpu.graph.prune import (
+        gathered_distance_int8,
+        robust_prune_batch,
+    )
+    from diskrag_tpu.ops.flat_scan_pallas import quantize_int8
+
+    rng = np.random.default_rng(7)
+    w, c, d, r = 16, 24, 32, 8
+    # well-separated clusters so prune decisions have margin
+    centers = rng.normal(size=(c, d)).astype(np.float32) * 10.0
+    cand_vecs = np.stack([
+        centers + rng.normal(size=(c, d)).astype(np.float32) * 0.05
+        for _ in range(w)
+    ])
+    points = rng.normal(size=(w, d)).astype(np.float32)
+    cand_ids = np.tile(np.arange(c, dtype=np.int32)[None], (w, 1)) + 100
+    dists = ((cand_vecs - points[:, None, :]) ** 2).sum(-1)
+
+    f32 = robust_prune_batch(
+        jnp.arange(w, dtype=jnp.int32), jnp.asarray(cand_ids),
+        jnp.asarray(cand_vecs), jnp.asarray(dists), 1.2, degree_bound=r,
+    )
+    codes, scales = quantize_int8(jnp.asarray(cand_vecs))
+    i8 = robust_prune_batch(
+        jnp.arange(w, dtype=jnp.int32), jnp.asarray(cand_ids),
+        codes, jnp.asarray(dists), 1.2, degree_bound=r,
+        cand_scales=scales,
+    )
+    # identical keep-decisions on separated data
+    assert (np.asarray(f32) == np.asarray(i8)).mean() > 0.95
+
+    # gathered_distance_int8 tracks the exact distances closely
+    qc, qs = quantize_int8(jnp.asarray(points))
+    d_i8 = np.asarray(
+        gathered_distance_int8(qc, qs, codes, scales, "l2")
+    )
+    rel = np.abs(d_i8 - dists) / (dists + 1e-6)
+    assert rel.mean() < 0.02, rel.mean()
+
+    # cosine variant sanity
+    d_cos_i8 = np.asarray(
+        gathered_distance_int8(qc, qs, codes, scales, "cosine")
+    )
+    pn = points / np.linalg.norm(points, axis=-1, keepdims=True)
+    cn = cand_vecs / np.linalg.norm(cand_vecs, axis=-1, keepdims=True)
+    d_cos = 1.0 - np.einsum("wd,wcd->wc", pn, cn)
+    assert np.abs(d_cos_i8 - d_cos).mean() < 0.01
+
+
+def test_reverse_edges_int8_path_recall():
+    """_reverse_edges with int8 codes: graph built with the int8 reverse
+    repair must reach the same self-retrieval quality as the f32 path."""
+    import jax.numpy as jnp
+
+    from diskrag_tpu.graph.build import _reverse_edges
+    from diskrag_tpu.graph.prune import robust_prune_batch
+    from diskrag_tpu.ops.flat_scan_pallas import quantize_int8
+
+    rng = np.random.default_rng(11)
+    n, d, r = 600, 32, 12
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    adj = rng.integers(0, n, size=(n, r)).astype(np.int32)
+    wave = jnp.arange(200, 328, dtype=jnp.int32)
+    # forward rows: nearest neighbors by brute force
+    dists = ((vecs[np.asarray(wave)][:, None] - vecs[None]) ** 2).sum(-1)
+    order = np.argsort(dists, axis=1)[:, 1 : r + 1].astype(np.int32)
+    pruned = jnp.asarray(order)
+    codes, scales = quantize_int8(jnp.asarray(vecs))
+    out_f32 = _reverse_edges(
+        jnp.asarray(vecs), jnp.asarray(adj.copy()), wave, pruned,
+        jnp.float32(1.2), max_incoming=8, chunk=512, metric="l2",
+    )
+    out_i8 = _reverse_edges(
+        jnp.asarray(vecs), jnp.asarray(adj.copy()), wave, pruned,
+        jnp.float32(1.2), max_incoming=8, chunk=512, metric="l2",
+        codes=codes, code_scales=scales,
+    )
+    # the wave's targets gained in-edges in both; rows mostly agree
+    f32_rows = np.asarray(out_f32)
+    i8_rows = np.asarray(out_i8)
+    changed = (f32_rows != adj).any(axis=1)
+    assert changed.sum() > 50  # repair actually ran
+    agree = (f32_rows[changed] == i8_rows[changed]).mean()
+    assert agree > 0.9, f"int8 reverse rows diverge: {agree:.3f}"

@@ -258,3 +258,39 @@ def test_doctor_preserves_pq_kind(tmp_path):
     # the repaired artifact set serves the residual path end to end
     eng = SearchEngine("c", base_dir=tmp_path / "collections")
     assert eng.use_pq and eng.pq_cells_j is not None
+
+
+def test_prewarm_cache_seed_roundtrip(tmp_path, monkeypatch):
+    """utils/compile_cache.py: archive entries land in the cache dir
+    once, existing entries are kept, re-seed is a marker no-op."""
+    import tarfile
+
+    import zstandard
+
+    from diskrag_tpu.utils import compile_cache
+
+    # build a fake archive with two entries
+    src = tmp_path / "entries"
+    src.mkdir()
+    (src / "xla_prog_a").write_bytes(b"AAAA")
+    (src / "xla_prog_b").write_bytes(b"BBBB")
+    arch = tmp_path / "prewarmed_cache.tar.zst"
+    cctx = zstandard.ZstdCompressor()
+    with arch.open("wb") as fh, cctx.stream_writer(fh) as zf:
+        with tarfile.open(fileobj=zf, mode="w|") as tf:
+            for p in sorted(src.iterdir()):
+                tf.add(p, arcname=p.name)
+    monkeypatch.setattr(
+        compile_cache, "_find_archive", lambda: arch
+    )
+
+    cache = tmp_path / "cache"
+    # pre-existing entry must NOT be overwritten
+    cache.mkdir()
+    (cache / "xla_prog_a").write_bytes(b"NEWER")
+    n = compile_cache.seed_cache(cache)
+    assert n == 1
+    assert (cache / "xla_prog_a").read_bytes() == b"NEWER"
+    assert (cache / "xla_prog_b").read_bytes() == b"BBBB"
+    # second call: marker short-circuits
+    assert compile_cache.seed_cache(cache) == 0
