@@ -31,7 +31,7 @@ def main() -> None:
     ap.add_argument("--mode", default="bf16", choices=["bf16", "pq", "iq"])
     ap.add_argument(
         "--train-quantizer", default=None,
-        choices=["iq8", "rpq32", "rpq64"],
+        choices=["iq8", "iq4c1024", "rpq32", "rpq64"],
         help="train + persist quantizer artifacts into the index dir "
         "before serving (needed once per index for --mode pq/iq; the "
         "dataset is regenerated if the index was reused)",
@@ -141,10 +141,13 @@ def main() -> None:
                   f"{time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
         kind = args.train_quantizer
-        if kind == "iq8":
+        if kind.startswith("iq"):
             from diskrag_tpu.pq.intq import IntQuantizer
 
-            quant = IntQuantizer(bits=8).fit(pts, seed=0)
+            if kind == "iq8":
+                quant = IntQuantizer(bits=8).fit(pts, seed=0)
+            else:  # iq4c1024 — the <=80 B/pt capacity rung (VERDICT #2)
+                quant = IntQuantizer(bits=4, n_cells=1024).fit(pts, seed=0)
             extra = save_pq_artifacts(
                 store, quant, np.asarray(quant.encode(pts))
             )

@@ -40,13 +40,22 @@ WC = 4096
 R = 48
 
 
+
+def _drain(out):
+    """Execution barrier WITHOUT fetching the payload: slice ONE element
+    on device, fetch 4 bytes (in-order execution makes it a full
+    barrier). np.asarray of a large result costs seconds over this
+    ~50 MB/s tunnel and silently dominated earlier micro numbers."""
+    leaf = jax.tree_util.tree_leaves(out)[-1]
+    np.asarray(leaf[(0,) * leaf.ndim])
+
 def timeit(fn, reps=3):
     out = fn()
-    np.asarray(jax.tree_util.tree_leaves(out)[-1]).ravel()[:1]
+    _drain(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn()
-    np.asarray(jax.tree_util.tree_leaves(out)[-1]).ravel()[:1]
+    _drain(out)
     return (time.perf_counter() - t0) / reps
 
 
