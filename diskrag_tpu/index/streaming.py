@@ -49,6 +49,7 @@ larger merges) at the cost of a wider exact scan per query.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Optional
 
 import jax
@@ -67,6 +68,8 @@ from diskrag_tpu.graph.dynamic import (
 from diskrag_tpu.graph.types import VamanaIndex
 from diskrag_tpu.ops.distance import Metric, pairwise_distance
 from diskrag_tpu.ops.topk import INVALID_ID
+
+logger = logging.getLogger(__name__)
 
 # padding rows: far-but-finite vectors (1e30 would make the squared
 # distance overflow to inf and risk inf-inf = NaN in the masked merges;
@@ -258,8 +261,8 @@ class StreamingIndex:
         self,
         index: VamanaIndex,
         *,
-        buffer_capacity: int = 65_536,
-        merge_insert_max_fraction: float = 0.125,
+        buffer_capacity: int = 32_768,
+        merge_insert_max_fraction: float = 0.25,
         build_width: int = 64,
         alpha: float = 1.2,
         degree_bound: Optional[int] = None,
@@ -272,6 +275,19 @@ class StreamingIndex:
             raise ValueError(f"unknown merge_method {merge_method!r}")
         n = int(index.adjacency.shape[0])
         self.capacity = int(buffer_capacity)
+        # measured operating band (2026-08-20, post reverse-pass fixes):
+        # capacity 32768 / fraction 0.25 sustains 14.1k inserts/s at a
+        # 200k base and 9.2k/s at 1M (recall 0.998+ held); 65536 serves
+        # the same recall ~35% slower, and 16384 fell off an 8x cliff in
+        # the round-2 measurements. Warn rather than refuse — tiny
+        # collections legitimately want small buffers.
+        if n >= 4 * self.capacity and self.capacity < 32_768:
+            logger.warning(
+                "buffer_capacity=%d below the measured efficient band "
+                "(>=32768 at >=200k base): merge fixed costs amortize "
+                "over fewer inserts (an 8x ingest-rate cliff was "
+                "measured at 16384)", self.capacity,
+            )
         # insert headroom kept padded beyond the live rows: a growth
         # event reallocates multi-GB arrays AND changes every jitted
         # shape (merge scan, forward/reverse, merged search), which at
