@@ -721,9 +721,12 @@ class StreamingIndex:
             if len(pruned_slices) > 1 else pruned_slices[0]
         )
         # reverse repair in bounded slices: the grouping argsort is over
-        # rows*R elements — 16k rows x R=48 = 786k, well under the
-        # platform's ~10M-element sort/scan cliff (CLAUDE.md)
-        rev_rows = 16_384
+        # rows*R elements — 32k rows x R=48 = 1.57M, well under the
+        # platform's ~10M-element sort/scan cliff (CLAUDE.md). One 32k
+        # slice per default-capacity merge: measured 36 us/row vs
+        # 53 us/row at 16k slices (clean-drain sweep 2026-08-20 — the
+        # grouping prologue amortizes over more rows)
+        rev_rows = 32_768
         rev_kwargs = (
             {} if on_cpu else
             {"codes": vec_scan, "code_scales": scan_scales}
