@@ -64,6 +64,17 @@ def main():
                        widths=(32, 64), expand_widths=(4,),
                        coarse_ids=np.asarray(cids))
 
+    # VERDICT r2 #8: can residual-PQ clear 0.95 on angular at all?
+    # Bigger sub-vector budget + 4x coarse cells (residuals on a unit
+    # sphere carry most of the signal in the cell assignment) + wider
+    # beams. If this still lands short, the angular recommendation is
+    # scoped to iq tiers and rpq rows document the limitation.
+    rpq64 = ResidualPQ(n_subvectors=64, n_coarse=4096).fit(pts, seed=0)
+    codes64, cids64 = rpq64.encode(pts)
+    points += sweep_pq(index, rpq64, np.asarray(codes64), queries, gt,
+                       k=K, widths=(64, 96), expand_widths=(4,),
+                       coarse_ids=np.asarray(cids64))
+
     out = {
         "config": f"angular-normalized-{N}",
         "build_seconds": round(build_s, 1),
