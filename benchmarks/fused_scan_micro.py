@@ -211,8 +211,15 @@ def main() -> None:
     )
     from diskrag_tpu.ops.distance import rerank_exact_topk
 
-    hs, hi = scan_bucketed_topk_hier(gq, gqs, gcodes, norms, gscale)
-    np.asarray(hi[:1])
+    try:
+        hs, hi = scan_bucketed_topk_hier(gq, gqs, gcodes, norms, gscale)
+        np.asarray(hi[:1])
+    except Exception as e:  # noqa: BLE001 — keep later stages alive
+        print(json.dumps({
+            "stage": "tail_cut_source_hier",
+            "error": f"{type(e).__name__}: {e}"[:200],
+        }))
+        hs, hi = scan_bucketed_topk_packed(gq, gqs, gcodes, norms, gscale)
     for kk in (20, 40):
         dt, _ = _measure(
             lambda: topk_lanes_pallas(hs, kk), nq, args.repeats
@@ -238,6 +245,36 @@ def main() -> None:
         )
         dt, _ = _measure(lambda: g(q, v, cids_kk), nq, args.repeats)
         report(f"tail_gather_exact_kk{kk}", dt)
+
+    # pre-padded table contract (round 3): no per-call db pad copy or
+    # norm-table pipeline — the serving path FlatIndex actually uses
+    from diskrag_tpu.ops.flat_scan_pallas import build_packed_scan_table
+
+    tcodes, tnf, tscale, tn = build_packed_scan_table(v)
+    np.asarray(tnf[0, :1])
+    dt, _ = _measure(
+        lambda: scan_bucketed_topk_packed(
+            gq, gqs, tcodes, tnf, tscale, n_valid=tn
+        ),
+        nq, args.repeats,
+    )
+    report("scan_only_packed_table", dt)
+    dt, _ = _measure(
+        lambda: scan_bucketed_topk_hier(
+            gq, gqs, tcodes, tnf, tscale, n_valid=tn
+        ),
+        nq, args.repeats,
+    )
+    report("scan_only_hier_table", dt)
+    for rw in (None, 20):
+        dt, (d, ids) = _measure(
+            lambda: flat_search_fused(
+                q, tcodes, norms, v, k=args.k, db_scale_global=tscale,
+                db_nf=tnf, n_valid=tn, rerank_width=rw,
+            ),
+            nq, args.repeats,
+        )
+        report(f"fused_full_table_rr{rw or 'def'}", dt, np.asarray(ids))
 
     # no-rerank variant: trust packed kernel scores outright
     def norerank(s, i):

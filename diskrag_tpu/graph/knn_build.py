@@ -89,13 +89,20 @@ def exact_knn(
     # fused-path loop on an HBM-budgeted build
     vec_bf16 = None
     if use_fused:
-        from diskrag_tpu.ops.flat_scan_pallas import quantize_int8
+        from diskrag_tpu.ops.flat_scan_pallas import build_rowscan_table
 
+        # pre-padded scan table built ONCE: the per-block loop below
+        # makes n/query_block fused calls, and the default contract
+        # would re-pad the whole database inside each one
         if metric == Metric.COSINE.value:
             inv = jax.lax.rsqrt(norms + 1e-12)[:, None]
-            vec_scan, scan_scales = quantize_int8(vectors * inv)
+            scan_src = vectors * inv
         else:
-            vec_scan, scan_scales = quantize_int8(vectors)
+            scan_src = vectors
+        vec_scan, scan_block, scan_scales, scan_n = build_rowscan_table(
+            scan_src, metric=metric
+        )
+        del scan_src
     ids_out, dists_out = [], []
     for i in range(0, n, query_block):
         q = vectors[i : i + query_block]
@@ -109,9 +116,10 @@ def exact_knn(
             # buffered inputs stay under the 16 MB scoped-VMEM budget
             # (the serving default qb=1024 only fits NB<=512)
             d, ids = flat_search_fused(
-                q, vec_scan, norms, vectors, k=k + 1, metric=metric,
+                q, vec_scan, scan_block, vectors, k=k + 1, metric=metric,
                 rerank_mult=max(rerank_mult, 4), n_buckets=4096,
                 db_tile=4096, query_block=128, db_scales=scan_scales,
+                n_valid=scan_n,
             )
         else:
             if vec_bf16 is None:

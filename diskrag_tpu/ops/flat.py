@@ -158,6 +158,8 @@ class FlatIndex:
         self._fused_db_scales = None
         self._fused_db_scale_global = None
         self._fused_db_norms = None
+        self._fused_nf = None
+        self._fused_n_valid = None
         if use_fused and fused_precision == "int8_packed" and (
             self.metric == Metric.DOT.value
         ):
@@ -187,24 +189,33 @@ class FlatIndex:
             else:
                 scan_src = self.vectors
             if fused_precision == "int8":
-                from diskrag_tpu.ops.flat_scan_pallas import quantize_int8
+                from diskrag_tpu.ops.flat_scan_pallas import (
+                    build_rowscan_table,
+                )
 
-                self._fused_db, self._fused_db_scales = quantize_int8(scan_src)
+                # pre-padded per-row table (norm block in
+                # _fused_db_norms; see build_rowscan_table)
+                (
+                    self._fused_db,
+                    self._fused_db_norms,
+                    self._fused_db_scales,
+                    self._fused_n_valid,
+                ) = build_rowscan_table(scan_src, metric=self.metric)
             elif fused_precision == "int8_packed":
                 from diskrag_tpu.ops.flat_scan_pallas import (
-                    quantize_int8_global,
+                    build_packed_scan_table,
                 )
 
-                self._fused_db, self._fused_db_scale_global = (
-                    quantize_int8_global(scan_src)
-                )
-                # the packed kernel needs the scan copy's own norms
-                # (ones for cosine), not the raw-vector norms
-                self._fused_db_norms = (
-                    jnp.sum(jnp.square(scan_src), axis=-1)
-                    if self.metric == Metric.COSINE.value
-                    else self.norms_sq
-                )
+                # pre-padded table: skips the per-call full-database pad
+                # copy + norm-table pipeline inside the scan jit (the
+                # nf row carries the scan copy's own norms — ones for
+                # cosine — divided by the global dequant scale)
+                (
+                    self._fused_db,
+                    self._fused_nf,
+                    self._fused_db_scale_global,
+                    self._fused_n_valid,
+                ) = build_packed_scan_table(scan_src)
             else:
                 self._fused_db = scan_src.astype(jnp.bfloat16)
                 if self.metric != Metric.COSINE.value:
@@ -252,6 +263,8 @@ class FlatIndex:
                 db_scales=self._fused_db_scales,
                 db_scale_global=self._fused_db_scale_global,
                 rerank_width=self.rerank_width,
+                db_nf=self._fused_nf,
+                n_valid=self._fused_n_valid,
             )
         if chunk is not None:
             return flat_search(

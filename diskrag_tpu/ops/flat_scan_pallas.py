@@ -106,7 +106,8 @@ def _scan_kernel(q_ref, db_ref, dbn_ref, *args, use_norms, int8):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_buckets", "query_block", "db_tile", "use_norms", "interpret"
+        "n_buckets", "query_block", "db_tile", "use_norms", "interpret",
+        "n_valid",
     ),
 )
 def scan_bucketed_topk(
@@ -121,6 +122,7 @@ def scan_bucketed_topk(
     interpret: bool = False,
     q_scales: jax.Array | None = None,
     db_scales: jax.Array | None = None,
+    n_valid: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused scan: returns (scores [B, NB] desc-unordered, ids [B, NB]).
 
@@ -142,11 +144,18 @@ def scan_bucketed_topk(
     to compile. Expected recall@k before rerank ~ 1 - (k-1)/(2*NB)
     (bucket-collision bound): 0.991 at k=10, NB=512; raise n_buckets
     (dropping query_block to compensate) for tighter recall.
+
+    `n_valid` switches to the PRE-PADDED contract (see
+    `build_rowscan_table`): `db_bf16` rows already padded to the scan
+    granule and `db_norms` is the padded [1 or 2, Npad] norm block
+    (row 0 norms with +inf pads; row 1, int8 only, the PRE-DOUBLED
+    dequant scales for L2) — skips the per-call full-database pad copy
+    + norm-block assembly.
     """
     b, d = queries_bf16.shape
-    n = db_bf16.shape[0]
+    n = n_valid if n_valid is not None else db_bf16.shape[0]
     int8 = queries_bf16.dtype == jnp.int8
-    if int8 and (q_scales is None or db_scales is None):
+    if int8 and (q_scales is None or (db_scales is None and n_valid is None)):
         raise ValueError("int8 scan needs q_scales and db_scales")
     nb = n_buckets
     while nb > 128 and nb > n:
@@ -161,14 +170,27 @@ def scan_bucketed_topk(
     q = jnp.pad(queries_bf16, ((0, pad_q), (0, 0)))
     if use_norms and not int8:
         q = q + q  # fold L2's "2*q.v" into the query copy (exact in bf16)
-    pad_n = (-n) % db_tile
-    db = jnp.pad(db_bf16, ((0, pad_n), (0, 0)))
-    norms = jnp.pad(db_norms, (0, pad_n), constant_values=jnp.inf)[None, :]
-    if int8:
-        scales = db_scales * 2.0 if use_norms else db_scales
-        norms = jnp.concatenate(
-            [norms, jnp.pad(scales, (0, pad_n))[None, :]], axis=0
-        )  # [2, Npad]
+    pad_n = (-db_bf16.shape[0]) % db_tile
+    if n_valid is not None:
+        db = db_bf16
+        norms = db_norms if db_norms.ndim == 2 else db_norms[None, :]
+        if pad_n:  # granule mismatch: top up (rare fallback copy)
+            db = jnp.pad(db_bf16, ((0, pad_n), (0, 0)))
+            # row 0 (norms) pads +inf so pads lose; row 1 (scales, if
+            # present) pads 0 so pad scores stay finite (-inf, not NaN)
+            topup = jnp.zeros((norms.shape[0], pad_n), norms.dtype)
+            topup = topup.at[0, :].set(jnp.inf)
+            norms = jnp.concatenate([norms, topup], axis=1)
+    else:
+        db = jnp.pad(db_bf16, ((0, pad_n), (0, 0)))
+        norms = jnp.pad(
+            db_norms, (0, pad_n), constant_values=jnp.inf
+        )[None, :]
+        if int8:
+            scales = db_scales * 2.0 if use_norms else db_scales
+            norms = jnp.concatenate(
+                [norms, jnp.pad(scales, (0, pad_n))[None, :]], axis=0
+            )  # [2, Npad]
 
     n_q_blocks = q.shape[0] // query_block
     n_tiles = db.shape[0] // db_tile
@@ -213,24 +235,54 @@ def scan_bucketed_topk(
     return vals[:b], ids[:b]
 
 
-def _scan_kernel_packed(q_ref, db_ref, nc_ref, bestp_ref):
+def _norm_seg_row(nf_ref, qs_ref, t_idx, nb, f, sps=None):
+    """Per-tile [1, T] packed norm+segment constant, built IN-KERNEL.
+
+    nc_j = seg_j - clip(round(nf_j / q_scale))*PACK, where nf_j =
+    norms_j / db_scale is STATIC per database (padding columns carry
+    +inf, which clips to the 2^21 max so they only win empty buckets)
+    and 1/q_scale arrives as an SMEM scalar. seg_j = col // NB is
+    constant across each NB-wide segment slice, so it costs f scalar
+    broadcasts, not a per-element division. Building this row in-kernel
+    (one [1, T] pipeline per tile, amortized over QB rows) replaces the
+    round-2 wrapper's per-CALL [N]-element nc pipeline + full-database
+    pad copy — at 1M x 128 those were ~0.5 ms of pure HBM traffic per
+    batch, charged to the scan.
+    """
+    t = nf_ref.shape[1]
+    # NB and F are powers of two (wrappers enforce), so the per-lane
+    # segment comes from shift/mask on a 2D iota — Mosaic cannot lower
+    # a 1D vector concatenate ("Input offsets outside of the first
+    # tile"), and division lowers worse than shifts
+    nb_bits = nb.bit_length() - 1
+    inv_qs = qs_ref[0, 0]
+    nint = jnp.clip(
+        jnp.round(nf_ref[0, :][None, :] * inv_qs), 0.0, float(1 << 21)
+    ).astype(jnp.int32)  # [1, T]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
+    seg = t_idx * f + jax.lax.shift_right_logical(lane, nb_bits)
+    if sps is not None:
+        seg = jax.lax.bitwise_and(seg, sps - 1)  # sps pow2 (wrappers)
+    return seg - nint * _PACK  # [1, T]
+
+
+def _scan_kernel_packed(q_ref, db_ref, nf_ref, qs_ref, bestp_ref):
     """Packed-int32 variant of the fold (int8 L2 only, global scales).
 
     With one dequant scale for the whole database (and one per query
     batch), L2 score order is preserved in the integer domain:
     score_int = 2*cross_i32 - n_int, so value and winning-segment id
     pack into a single int32, p = score_int*PACK + seg. seg = j // NB
-    is a pure function of the global column, so the wrapper pre-folds
-    it into the norm table (nc_j = seg_j - n_int_j*PACK) and the whole
-    fold is 3 VPU ops per score element — mul, add, maximum — with a
-    single [BQ, NB] int32 state array.
-    q_ref [BQ, D] int8, db_ref [T, D] int8, nc_ref [1, T] int32 =
-    seg_j - clip(round(norms/(S*QS)))*PACK (padding columns carry the
-    max clip so they only win empty buckets). Range proof: |cross| <=
-    127*127*D, n_int clipped to 2^21, PACK = 256 → |p| <=
-    512*16129*D + 2^29 + 2^8, inside int32 for D <= 192
-    (`_PACKED_MAX_DIM`; D = 256 would overflow and corrupt winners —
-    the wrapper rejects it).
+    is a pure function of the global column, so it folds into the
+    per-tile norm row (see `_norm_seg_row`) and the whole fold is
+    3 VPU ops per score element — mul, add, maximum — with a single
+    [BQ, NB] int32 state array.
+    q_ref [BQ, D] int8, db_ref [T, D] int8, nf_ref [1, T] f32 =
+    norms/db_scale (+inf at padding), qs_ref [1, 1] f32 = 1/q_scale
+    (SMEM). Range proof: |cross| <= 127*127*D, n_int clipped to 2^21,
+    PACK = 256 → |p| <= 512*16129*D + 2^29 + 2^8, inside int32 for
+    D <= 192 (`_PACKED_MAX_DIM`; D = 256 would overflow and corrupt
+    winners — the wrapper rejects it).
     """
     t_idx = pl.program_id(1)
     bq = q_ref.shape[0]
@@ -242,7 +294,8 @@ def _scan_kernel_packed(q_ref, db_ref, nc_ref, bestp_ref):
         q_ref[...], db_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # [BQ, T]
-    scored = cross * (2 * _PACK) + nc_ref[0, :][None, :]
+    nc = _norm_seg_row(nf_ref, qs_ref, t_idx, nb, f)
+    scored = cross * (2 * _PACK) + nc
 
     @pl.when(t_idx == 0)
     def _init():
@@ -265,7 +318,7 @@ _PACKED_MAX_DIM = 192
 
 
 def _scan_kernel_hier(
-    q_ref, db_ref, nc_ref, bestv_ref, bests_ref, local_ref,
+    q_ref, db_ref, nf_ref, qs_ref, bestv_ref, bests_ref, local_ref,
     *, merge_every, n_tiles
 ):
     """Hierarchical packed fold: small NB at unbounded N.
@@ -284,8 +337,10 @@ def _scan_kernel_hier(
 
     local_ref: [QB, NB] i32 scratch (packed value*PACK + local_seg).
     bestv_ref/bests_ref: [QB, NB] i32 running (score_int, global seg).
-    nc_ref: [1, T] i32 = local_seg_j - n_int_j*PACK (local_seg_j =
-    (j // NB) % (merge_every * F)).
+    nf_ref [1, T] f32 = norms/db_scale (+inf at padding) and qs_ref
+    [1, 1] f32 = 1/q_scale; the packed norm+segment row is built
+    in-kernel per tile with local_seg_j = (j // NB) % (merge_every * F)
+    (see `_norm_seg_row`).
     """
     t_idx = pl.program_id(1)
     bq = q_ref.shape[0]
@@ -310,7 +365,8 @@ def _scan_kernel_hier(
         q_ref[...], db_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # [BQ, T]
-    scored = cross * (2 * _PACK) + nc_ref[0, :][None, :]
+    nc = _norm_seg_row(nf_ref, qs_ref, t_idx, nb, f, sps=segs_per_super)
+    scored = cross * (2 * _PACK) + nc
     lp = local_ref[...]
     for fi in range(f):
         lp = jnp.maximum(lp, scored[:, fi * nb : (fi + 1) * nb])
@@ -331,8 +387,8 @@ def _scan_kernel_hier(
 
 
 def _scan_kernel_hier_pipe(
-    q_ref, db_ref, nc_ref, bestv_ref, bests_ref, local_ref, b0_ref, b1_ref,
-    *, merge_every, n_tiles
+    q_ref, db_ref, nf_ref, qs_ref, bestv_ref, bests_ref, local_ref,
+    b0_ref, b1_ref, *, merge_every, n_tiles
 ):
     """Software-pipelined hierarchical fold: MXU/VPU overlap.
 
@@ -344,8 +400,9 @@ def _scan_kernel_hier_pipe(
     between them, so the in-order instruction stream lets the MXU crunch
     tile j while the VPU folds tile j-1. Steady state = max(matmul,
     fold) per tile. The grid runs one epilogue step (j == n_tiles) to
-    fold the final tile; nc blocks are host-shifted one tile right so
-    block j carries tile j-1's norm constants.
+    fold the final tile; nf blocks are host-shifted one tile right so
+    block j carries tile j-1's norm row (the packed norm+segment
+    constant is built in-kernel, see `_norm_seg_row`).
     """
     j = pl.program_id(1)
     bq = q_ref.shape[0]
@@ -384,9 +441,12 @@ def _scan_kernel_hier_pipe(
             local_ref[...] = jnp.full((bq, nb), int_min, jnp.int32)
 
         lp0 = local_ref[...]
+        nc = _norm_seg_row(
+            nf_ref, qs_ref, prev, nb, f, sps=segs_per_super
+        )
 
         def fold_from(buf):
-            scored = buf * (2 * _PACK) + nc_ref[0, :][None, :]
+            scored = buf * (2 * _PACK) + nc
             lp = lp0
             for fi in range(f):
                 lp = jnp.maximum(lp, scored[:, fi * nb : (fi + 1) * nb])
@@ -416,7 +476,8 @@ def _scan_kernel_hier_pipe(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_buckets", "query_block", "db_tile", "interpret", "pipelined"
+        "n_buckets", "query_block", "db_tile", "interpret", "pipelined",
+        "n_valid",
     ),
 )
 def scan_bucketed_topk_hier(
@@ -431,6 +492,7 @@ def scan_bucketed_topk_hier(
     db_tile: int = 2048,
     interpret: bool = False,
     pipelined: bool = False,
+    n_valid: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused L2 scan with the hierarchical packed fold (see
     `_scan_kernel_hier`). Same contract and quantization inputs as
@@ -447,15 +509,23 @@ def scan_bucketed_topk_hier(
     staging raw cross through scratch VMEM costs two extra [QB, T] i32
     round-trips per tile, which swamps any issue-order overlap — kept as
     a documented negative result; default stays on the plain kernel,
-    which lets Mosaic fuse the scored epilogue into the matmul output."""
+    which lets Mosaic fuse the scored epilogue into the matmul output.
+
+    `n_valid` switches to the PRE-PADDED contract (see
+    `build_packed_scan_table`): `db_i8` rows are already a multiple of
+    the scan granule and `db_norms` is the padded nf = norms/db_scale
+    row (+inf at pads). This skips the full-database pad copy the
+    default contract pays inside the jit on every call — at 1M x 128
+    that copy alone is ~256 MB of HBM traffic per batch."""
     b, d = queries_i8.shape
-    n = db_i8.shape[0]
+    n = n_valid if n_valid is not None else db_i8.shape[0]
     if d > _PACKED_MAX_DIM:
         raise ValueError(
             f"packed folds cap D at {_PACKED_MAX_DIM} (int32 range "
             f"proof); got D={d} — use the per-row int8 scan instead"
         )
-    nb = n_buckets
+    # NB and F = T/NB must be powers of two (shift/mask segment row)
+    nb = 1 << max(7, (n_buckets - 1).bit_length())
     while nb > 128 and nb > n:
         nb //= 2
     if pipelined:
@@ -465,9 +535,10 @@ def scan_bucketed_topk_hier(
     db_tile = max(nb, (min(db_tile, 1 << 20) // nb) * nb)
     # local segment ids must stay < PACK even within ONE tile
     db_tile = min(db_tile, nb * _PACK)
+    db_tile = nb * (1 << (max(1, db_tile // nb).bit_length() - 1))
     f = db_tile // nb
     merge_every = max(1, _PACK // f)
-    pad_n = (-n) % db_tile
+    pad_n = (-db_i8.shape[0]) % db_tile
     # VMEM fit: [QB,T] score (plain) or 2x[QB,T] cross buffers
     # (pipelined) + 2 output arrays (state_bytes=8, double-buffered when
     # the batch spans blocks) + the [QB,NB] i32 local scratch
@@ -486,14 +557,21 @@ def scan_bucketed_topk_hier(
 
     pad_q = (-b) % query_block
     q = jnp.pad(queries_i8, ((0, pad_q), (0, 0)))
-    db = jnp.pad(db_i8, ((0, pad_n), (0, 0)))
-    nc = jnp.clip(
-        jnp.round(db_norms / (db_scale * q_scale)), 0, 1 << 21
-    ).astype(jnp.int32)
-    nc = jnp.pad(nc, (0, pad_n), constant_values=1 << 21)
-    col = jnp.arange(n + pad_n, dtype=jnp.int32)
-    local_seg = (col // nb) % (merge_every * f)
-    nc = (local_seg - nc * _PACK)[None, :]
+    if n_valid is not None:
+        # pre-padded contract: db_norms IS nf = norms/db_scale (+inf pads)
+        nf = db_norms[None, :] if db_norms.ndim == 1 else db_norms
+        db = db_i8
+        if pad_n:  # granule mismatch: top up (rare fallback copy)
+            db = jnp.pad(db_i8, ((0, pad_n), (0, 0)))
+            nf = jnp.pad(
+                nf, ((0, 0), (0, pad_n)), constant_values=jnp.inf
+            )
+    else:
+        db = jnp.pad(db_i8, ((0, pad_n), (0, 0)))
+        nf = jnp.pad(
+            db_norms / db_scale, (0, pad_n), constant_values=jnp.inf
+        )[None, :]
+    inv_qs = (1.0 / q_scale).astype(jnp.float32).reshape(1, 1)
 
     n_q_blocks = q.shape[0] // query_block
     n_tiles = db.shape[0] // db_tile
@@ -505,11 +583,15 @@ def scan_bucketed_topk_hier(
         kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         )
+    qs_spec = pl.BlockSpec(
+        (1, 1), lambda i, j: (0, 0),
+        **({} if interpret else {"memory_space": pltpu.SMEM}),
+    )
     scratch = [pltpu.VMEM((query_block, nb), jnp.int32)]
     if pipelined:
-        # one epilogue grid step folds the final tile; nc blocks are
-        # shifted one tile right so block j carries tile j-1's constants
-        nc = jnp.pad(nc, ((0, 0), (db_tile, 0)))
+        # one epilogue grid step folds the final tile; nf blocks are
+        # shifted one tile right so block j carries tile j-1's norm row
+        nf = jnp.pad(nf, ((0, 0), (db_tile, 0)))
         last = n_tiles - 1
         kernel = functools.partial(
             _scan_kernel_hier_pipe, merge_every=merge_every,
@@ -536,6 +618,7 @@ def scan_bucketed_topk_hier(
             pl.BlockSpec((query_block, d), lambda i, j: (i, 0)),
             db_spec,
             pl.BlockSpec((1, db_tile), lambda i, j: (0, j)),
+            qs_spec,
         ],
         out_specs=[
             pl.BlockSpec((query_block, nb), lambda i, j: (i, 0)),
@@ -548,7 +631,7 @@ def scan_bucketed_topk_hier(
         scratch_shapes=scratch,
         interpret=interpret,
         **kwargs,
-    )(q, db, nc)
+    )(q, db, nf, inv_qs)
     ids = segs * nb + jnp.arange(nb, dtype=jnp.int32)[None, :]
     ids = jnp.where((segs < 0) | (ids >= n), -1, ids)
     scores = jnp.where(segs < 0, NEG_INF, vals.astype(jnp.float32))
@@ -620,14 +703,17 @@ def _packed_layout(
     where the caller's QB=1024 would need 32 MB and fail the 16 MB
     limit). query_block 0 signals "does not fit at any QB" — callers
     must route to a non-packed path."""
-    nb = n_buckets
+    # NB and the fold factor F = T/NB must be powers of two: the
+    # in-kernel segment row is built with shift/mask (_norm_seg_row)
+    nb = 1 << max(7, (n_buckets - 1).bit_length())
     while nb > 128 and nb > n:
         nb //= 2  # degenerate tiny databases
     db_tile = max(nb, (min(db_tile, 1 << 20) // nb) * nb)
+    db_tile = nb * (1 << (max(1, db_tile // nb).bit_length() - 1))
     pad_n = (-n) % db_tile
     while (n + pad_n) > _PACK * nb:  # keep global segment ids < PACK
         nb *= 2
-        db_tile = max(nb, (db_tile // nb) * nb)
+        db_tile = nb * (1 << (max(1, db_tile // nb).bit_length() - 1))
         pad_n = (-n) % db_tile
     query_block = _fit_query_block(
         query_block, db_tile, nb, d, state_bytes=4, itemsize=1,
@@ -638,7 +724,9 @@ def _packed_layout(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_buckets", "query_block", "db_tile", "interpret"),
+    static_argnames=(
+        "n_buckets", "query_block", "db_tile", "interpret", "n_valid"
+    ),
 )
 def scan_bucketed_topk_packed(
     queries_i8: jax.Array,
@@ -651,6 +739,7 @@ def scan_bucketed_topk_packed(
     query_block: int = 1024,
     db_tile: int = 2048,
     interpret: bool = False,
+    n_valid: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused L2 scan with the packed-int32 fold (see _scan_kernel_packed).
 
@@ -664,9 +753,14 @@ def scan_bucketed_topk_packed(
     widened tiles inside VMEM (see `_packed_layout`); wider NB also
     tightens the collision bound, and the single int32 state keeps the
     VMEM cost half the generic kernel's.
+
+    `n_valid` switches to the PRE-PADDED contract (see
+    `build_packed_scan_table`): `db_i8` rows already padded to the scan
+    granule, `db_norms` = the padded nf = norms/db_scale row (+inf at
+    pads) — skips the per-call full-database pad copy.
     """
     b, d = queries_i8.shape
-    n = db_i8.shape[0]
+    n = db_i8.shape[0]  # PHYSICAL rows: segment ids must cover pads too
     if d > _PACKED_MAX_DIM:
         raise ValueError(
             f"packed scan caps D at {_PACKED_MAX_DIM} (int32 range proof); "
@@ -686,19 +780,24 @@ def scan_bucketed_topk_packed(
 
     pad_q = (-b) % query_block
     q = jnp.pad(queries_i8, ((0, pad_q), (0, 0)))
-    db = jnp.pad(db_i8, ((0, pad_n), (0, 0)))
-    # integer norm table, rebuilt per batch (q_scale is per-batch):
-    # n_int = round(n / (S*QS)) clipped into the packing range proof,
-    # with each column's segment id folded in (see _scan_kernel_packed)
-    # clip in FLOAT first: f32->s32 of values past 2^31 is
-    # implementation-defined (can wrap to INT_MIN, which a post-cast
-    # clip would map to 0 — inflating a far point's score by ~2^29)
-    nc = jnp.clip(
-        jnp.round(db_norms / (db_scale * q_scale)), 0, 1 << 21
-    ).astype(jnp.int32)
-    nc = jnp.pad(nc, (0, pad_n), constant_values=1 << 21)
-    seg_of_col = jnp.arange(n + pad_n, dtype=jnp.int32) // nb
-    nc = (seg_of_col - nc * _PACK)[None, :]
+    # the norm+segment constant is built IN-KERNEL per [1, T] tile from
+    # the static nf = norms/db_scale row and the SMEM scalar 1/q_scale
+    # (see _norm_seg_row) — the clip happens there in FLOAT first
+    # (f32->s32 of values past 2^31 is implementation-defined)
+    if n_valid is not None:
+        nf = db_norms[None, :] if db_norms.ndim == 1 else db_norms
+        db = db_i8
+        if pad_n:  # granule mismatch: top up (rare fallback copy)
+            db = jnp.pad(db_i8, ((0, pad_n), (0, 0)))
+            nf = jnp.pad(
+                nf, ((0, 0), (0, pad_n)), constant_values=jnp.inf
+            )
+    else:
+        db = jnp.pad(db_i8, ((0, pad_n), (0, 0)))
+        nf = jnp.pad(
+            db_norms / db_scale, (0, pad_n), constant_values=jnp.inf
+        )[None, :]
+    inv_qs = (1.0 / q_scale).astype(jnp.float32).reshape(1, 1)
 
     n_q_blocks = q.shape[0] // query_block
     n_tiles = db.shape[0] // db_tile
@@ -710,6 +809,11 @@ def scan_bucketed_topk_packed(
         kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         )
+    qs_spec = pl.BlockSpec(
+        (1, 1), lambda i, j: (0, 0),
+        **({} if interpret or pltpu is None
+           else {"memory_space": pltpu.SMEM}),
+    )
     packed = pl.pallas_call(
         kernel,
         grid=grid,
@@ -717,16 +821,18 @@ def scan_bucketed_topk_packed(
             pl.BlockSpec((query_block, d), lambda i, j: (i, 0)),
             pl.BlockSpec((db_tile, d), lambda i, j: (j, 0)),
             pl.BlockSpec((1, db_tile), lambda i, j: (0, j)),
+            qs_spec,
         ],
         out_specs=pl.BlockSpec((query_block, nb), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((q.shape[0], nb), jnp.int32),
         interpret=interpret,
         **kwargs,
-    )(q, db, nc)
+    )(q, db, nf, inv_qs)
+    n_logical = n_valid if n_valid is not None else n
     empty = packed == jnp.iinfo(jnp.int32).min
     seg = jnp.mod(packed, _PACK)
     ids = seg * nb + jnp.arange(nb, dtype=jnp.int32)[None, :]
-    ids = jnp.where(empty | (ids >= n), -1, ids)
+    ids = jnp.where(empty | (ids >= n_logical), -1, ids)
     scores = jnp.where(empty, NEG_INF, packed.astype(jnp.float32))
     return scores[:b], ids[:b]
 
@@ -742,6 +848,58 @@ def quantize_int8_global(x) -> tuple:
     s = xp.where(s > 0, s, 1.0)
     codes = xp.clip(xp.round(x / s), -127, 127).astype(xp.int8)
     return codes, s
+
+
+def build_packed_scan_table(
+    scan_src: jax.Array, *, granule: int = 4096
+) -> tuple[jax.Array, jax.Array, jax.Array, int]:
+    """Pre-padded packed-scan database table.
+
+    Returns (codes [Npad, D] int8, nf [1, Npad] f32 = norms/scale with
+    +inf at pads, scale scalar f32, n logical rows), padded to a
+    `granule` multiple (4096 covers every db_tile the packed/hier
+    layouts pick up to NB=4096; a mismatch degrades to a per-call
+    top-up pad, never to a wrong result). Build ONCE per database and
+    serve via `flat_search_fused(..., db_nf=nf, n_valid=n)` — the
+    default contract re-pads the whole database and rebuilds the norm
+    table inside the jit on EVERY call (~0.5 ms/batch of pure HBM
+    traffic at 1M x 128, charged to the scan).
+    """
+    n = scan_src.shape[0]
+    codes, scale = quantize_int8_global(scan_src)
+    norms = jnp.sum(jnp.square(scan_src.astype(jnp.float32)), axis=-1)
+    pad = (-n) % granule
+    codes = jnp.pad(codes, ((0, pad), (0, 0)))
+    nf = jnp.pad(norms / scale, (0, pad), constant_values=jnp.inf)[None, :]
+    return codes, nf, scale, n
+
+
+def build_rowscan_table(
+    scan_src: jax.Array, *, metric: str = "l2", granule: int = 4096
+) -> tuple[jax.Array, jax.Array, jax.Array, int]:
+    """Pre-padded PER-ROW-int8 scan table for `scan_bucketed_topk`.
+
+    Returns (codes [Npad, D] int8, norm block [2, Npad] f32, scales [N]
+    f32, n logical rows). Norm-block row 0 = squared norms of scan_src
+    (+inf at pads, the kernel's padding mask); row 1 = per-row dequant
+    scales, PRE-DOUBLED for L2 (the kernel folds the 2*q.v factor
+    through them), 0 at pads. For cosine pass the NORMALIZED scan copy.
+    Serve via `scan_bucketed_topk(..., n_valid=n)` /
+    `flat_search_fused(..., n_valid=n)` with the norm block in the
+    db_norms/norms_sq position — skips the per-call full-database pad
+    copy + norm-block assembly.
+    """
+    from diskrag_tpu.ops.distance import Metric as _M
+
+    l2 = _M(metric) == _M.L2
+    n = scan_src.shape[0]
+    codes, scales = quantize_int8(scan_src)
+    norms = jnp.sum(jnp.square(scan_src.astype(jnp.float32)), axis=-1)
+    pad = (-n) % granule
+    codes = jnp.pad(codes, ((0, pad), (0, 0)))
+    row0 = jnp.pad(norms, (0, pad), constant_values=jnp.inf)
+    row1 = jnp.pad(scales * 2.0 if l2 else scales, (0, pad))
+    return codes, jnp.stack([row0, row1]), scales, n
 
 
 def quantize_int8(x) -> tuple:
@@ -763,7 +921,7 @@ def quantize_int8(x) -> tuple:
     jax.jit,
     static_argnames=(
         "k", "metric", "n_buckets", "interpret", "rerank_mult", "db_tile",
-        "query_block", "rerank_width",
+        "query_block", "rerank_width", "n_valid",
     ),
 )
 def flat_search_fused(
@@ -782,6 +940,8 @@ def flat_search_fused(
     db_scales: jax.Array | None = None,
     db_scale_global: jax.Array | None = None,
     rerank_width: int | None = None,
+    db_nf: jax.Array | None = None,
+    n_valid: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exhaustive top-k via the fused Pallas scan + exact f32 rerank.
 
@@ -812,11 +972,24 @@ def flat_search_fused(
 
     m = Metric(metric)
     b, d = queries.shape
-    n = vectors_bf16.shape[0]
+    n_phys = vectors_bf16.shape[0]
+    n = n_valid if n_valid is not None else n_phys
     int8 = vectors_bf16.dtype == jnp.int8
     packed = db_scale_global is not None
     if packed and m == Metric.DOT:
         raise ValueError("the packed-int32 scan supports l2/cosine only")
+    if n_valid is not None:
+        if packed and db_nf is None:
+            raise ValueError(
+                "n_valid with the packed path needs db_nf from "
+                "build_packed_scan_table"
+            )
+        if not packed and (not int8 or norms_sq.ndim != 2):
+            raise ValueError(
+                "n_valid with the per-row path needs int8 codes plus "
+                "the [2, Npad] norm block from build_rowscan_table in "
+                "the norms_sq position"
+            )
 
     while n_buckets < min(50 * (k - 1), 1 << 15):
         n_buckets *= 2
@@ -880,16 +1053,18 @@ def flat_search_fused(
         # (0.374 vs 0.442 ms), and the mild NB widening only tightens the
         # bucket-collision bound.
         nb_flat, dt_flat, qb_flat, _ = _packed_layout(
-            n, d, n_buckets, query_block, db_tile, batch=b
+            n_phys, d, n_buckets, query_block, db_tile, batch=b
         )
         use_hier = qb_flat == 0 or qb_flat < min(b, query_block)
+        norms_arg = db_nf if n_valid is not None else norms_sq
         if use_hier:
             try:
                 scores, ids = scan_bucketed_topk_hier(
-                    q_i8, q_scale, vectors_bf16, norms_sq, db_scale_global,
+                    q_i8, q_scale, vectors_bf16, norms_arg,
+                    db_scale_global,
                     n_buckets=n_buckets, query_block=query_block,
                     db_tile=min(db_tile, 4 * n_buckets),
-                    interpret=interpret,
+                    interpret=interpret, n_valid=n_valid,
                 )
             except ValueError:
                 from diskrag_tpu.ops.distance import brute_force_topk
@@ -897,9 +1072,9 @@ def flat_search_fused(
                 return brute_force_topk(queries, vectors_f32, k, metric)
         else:
             scores, ids = scan_bucketed_topk_packed(
-                q_i8, q_scale, vectors_bf16, norms_sq, db_scale_global,
+                q_i8, q_scale, vectors_bf16, norms_arg, db_scale_global,
                 n_buckets=n_buckets, query_block=query_block,
-                db_tile=db_tile, interpret=interpret,
+                db_tile=db_tile, interpret=interpret, n_valid=n_valid,
             )
         return _rerank(queries, vectors_f32, scores, ids, k, kk, m, interpret)
     if m == Metric.COSINE:
@@ -917,6 +1092,7 @@ def flat_search_fused(
         qb, vectors_bf16, norms_sq, n_buckets=n_buckets,
         use_norms=use_norms, interpret=interpret, db_tile=db_tile,
         query_block=query_block, q_scales=q_scales, db_scales=db_scales,
+        n_valid=n_valid,
     )
     return _rerank(queries, vectors_f32, scores, ids, k, kk, m, interpret)
 

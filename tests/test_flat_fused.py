@@ -544,3 +544,65 @@ def test_hier_scan_end_to_end_recall():
     _, gt = brute_force_topk(jnp.asarray(q), v, k=10)
     assert _recall(np.asarray(top), np.asarray(gt)) >= 0.97
     assert (np.diff(np.asarray(d), axis=1) >= -1e-6).all()
+
+
+def test_prepadded_table_matches_unpadded():
+    """The pre-padded table contract (build_packed_scan_table + n_valid)
+    must return exactly what the default (pad-per-call) contract does,
+    for both the flat packed and hierarchical folds, and through
+    flat_search_fused. N is chosen NOT to be a granule multiple so the
+    pads are real."""
+    from diskrag_tpu.ops.flat_scan_pallas import (
+        build_packed_scan_table,
+        flat_search_fused,
+        quantize_int8_global,
+        scan_bucketed_topk_hier,
+        scan_bucketed_topk_packed,
+    )
+
+    pts, q = make_dataset(5000, 48, 32)
+    v = jnp.asarray(pts)
+    norms = jnp.sum(jnp.square(v), -1)
+    gcodes, gscale = quantize_int8_global(v)
+    gq, gqs = quantize_int8_global(jnp.asarray(q))
+    tcodes, nf, tscale, n = build_packed_scan_table(v, granule=4096)
+    assert n == 5000 and tcodes.shape[0] == 8192
+    assert np.asarray(tscale) == np.asarray(gscale)
+    assert (np.asarray(tcodes[:n]) == np.asarray(gcodes)).all()
+    assert np.isinf(np.asarray(nf[0, n:])).all()
+
+    for fn in (scan_bucketed_topk_packed, scan_bucketed_topk_hier):
+        s_ref, i_ref = fn(
+            gq, gqs, gcodes, norms, gscale, n_buckets=512, interpret=True
+        )
+        s_tab, i_tab = fn(
+            gq, gqs, tcodes, nf, tscale, n_buckets=512, interpret=True,
+            n_valid=n,
+        )
+        assert (np.asarray(i_ref) == np.asarray(i_tab)).all(), fn.__name__
+        assert (np.asarray(s_ref) == np.asarray(s_tab)).all(), fn.__name__
+
+    d_ref, i_ref = flat_search_fused(
+        jnp.asarray(q), gcodes, norms, v, k=10, db_scale_global=gscale,
+        interpret=True,
+    )
+    d_tab, i_tab = flat_search_fused(
+        jnp.asarray(q), tcodes, norms, v, k=10, db_scale_global=tscale,
+        db_nf=nf, n_valid=n, interpret=True,
+    )
+    assert (np.asarray(i_ref) == np.asarray(i_tab)).all()
+    np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_tab))
+
+    # FlatIndex packed mode serves through the table and stays exact
+    from diskrag_tpu.ops.flat import FlatIndex
+
+    idx = FlatIndex(pts, use_fused=True, fused_precision="int8_packed")
+    assert idx._fused_n_valid == 5000
+    # the CPU backend can't execute the fused route un-interpreted, so
+    # drive flat_search_fused directly through the index's stored table
+    d_f, i_f = flat_search_fused(
+        jnp.asarray(q), idx._fused_db, idx.norms_sq, idx.vectors, k=10,
+        db_scale_global=idx._fused_db_scale_global,
+        db_nf=idx._fused_nf, n_valid=idx._fused_n_valid, interpret=True,
+    )
+    assert (np.asarray(i_f) == np.asarray(i_tab)).all()
