@@ -266,7 +266,64 @@ def _norm_seg_row(nf_ref, qs_ref, t_idx, nb, f, sps=None):
     return seg - nint * _PACK  # [1, T]
 
 
-def _scan_kernel_packed(q_ref, db_ref, nf_ref, qs_ref, bestp_ref):
+def _epilogue_cut_ids(ids_ref, state_ref, nb, kk, empty, gseg_ref=None):
+    """In-kernel top-kk extraction from the final [QB, NB] fold state.
+
+    Runs once, on the LAST db tile, while the state is still in VMEM —
+    replacing the separate cut kernel (extra dispatch + [QB, NB] HBM
+    round-trip) and the wrapper's id-reconstruction glue. Same
+    iterative max-extraction as `_cut_kernel` (~5 VPU passes/round);
+    element ids are rebuilt in place: winner segment = packed value &
+    (PACK-1) (flat packed state, gseg_ref None) or a masked lane-select
+    from `gseg_ref` (hier state), id = seg * NB + lane. Emits -1 for
+    exhausted rows; the wrapper still masks ids >= n_valid.
+
+    Processes ROW CHUNKS sliced off the state ref, with the kk rounds
+    as a `lax.fori_loop`: a full-QB working copy + iota would add
+    2 x [QB, NB] i32 live temporaries (8 MB at QB=1024/NB=1024), and a
+    statically-unrolled round loop stack-allocates every round's
+    [rows, NB] temporaries at once — both measured to blow the 16 MB
+    scoped-VMEM stack (19.4 MB / 20.9 MB compile OOMs, 2026-08-21).
+    Chunked rows + a rolled loop bound the live set to one round of
+    one chunk (~1 MB).
+    """
+    qb = state_ref.shape[0]
+    kkpad = ids_ref.shape[1]
+    row_chunk = min(qb, max(128, (1 << 19) // (nb * 4)))
+    for c0 in range(0, qb, row_chunk):
+        rows = min(row_chunk, qb - c0)
+        s0 = state_ref[c0 : c0 + rows, :]
+        gs = None if gseg_ref is None else gseg_ref[c0 : c0 + rows, :]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (rows, nb), 1)
+        out_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, kkpad), 1)
+        acc0 = jnp.full((rows, kkpad), -1, jnp.int32)
+
+        def _round(r, carry):
+            s, acc = carry
+            m = jnp.max(s, axis=1, keepdims=True)  # [rows, 1]
+            valid = m != empty
+            lane = jnp.min(
+                jnp.where((s == m) & valid, iota, nb),
+                axis=1, keepdims=True,
+            )
+            if gs is None:
+                seg = jax.lax.bitwise_and(m, _PACK - 1)
+            else:
+                seg = jnp.max(
+                    jnp.where(iota == lane, gs, -1), axis=1, keepdims=True
+                )
+            cid = seg * nb + lane
+            cid = jnp.where(valid & (lane < nb), cid, -1)
+            acc = jnp.where(out_iota == r, cid, acc)
+            s = jnp.where(iota == lane, empty, s)
+            return s, acc
+
+        _, acc = jax.lax.fori_loop(0, kk, _round, (s0, acc0))
+        ids_ref[c0 : c0 + rows, :] = acc
+
+
+def _scan_kernel_packed(q_ref, db_ref, nf_ref, qs_ref, bestp_ref, *opt,
+                        cut_kk=None):
     """Packed-int32 variant of the fold (int8 L2 only, global scales).
 
     With one dequant scale for the whole database (and one per query
@@ -283,6 +340,9 @@ def _scan_kernel_packed(q_ref, db_ref, nf_ref, qs_ref, bestp_ref):
     PACK = 256 → |p| <= 512*16129*D + 2^29 + 2^8, inside int32 for
     D <= 192 (`_PACKED_MAX_DIM`; D = 256 would overflow and corrupt
     winners — the wrapper rejects it).
+
+    `cut_kk` adds an ids_ref output and runs `_epilogue_cut_ids` on the
+    last tile — the fused scan->candidate-ids path.
     """
     t_idx = pl.program_id(1)
     bq = q_ref.shape[0]
@@ -306,6 +366,13 @@ def _scan_kernel_packed(q_ref, db_ref, nf_ref, qs_ref, bestp_ref):
         best_p = jnp.maximum(best_p, scored[:, fi * nb : (fi + 1) * nb])
     bestp_ref[...] = best_p
 
+    if cut_kk:
+        @pl.when(t_idx == pl.num_programs(1) - 1)
+        def _cut():
+            _epilogue_cut_ids(
+                opt[0], bestp_ref, nb, cut_kk, jnp.iinfo(jnp.int32).min
+            )
+
 
 _PACK = 256  # segment-id bits per packed int32 (max 256 segments)
 _PACK_BITS = 8  # log2(_PACK)
@@ -318,8 +385,8 @@ _PACKED_MAX_DIM = 192
 
 
 def _scan_kernel_hier(
-    q_ref, db_ref, nf_ref, qs_ref, bestv_ref, bests_ref, local_ref,
-    *, merge_every, n_tiles
+    q_ref, db_ref, nf_ref, qs_ref, bestv_ref, bests_ref, *opt,
+    merge_every, n_tiles, cut_kk=None
 ):
     """Hierarchical packed fold: small NB at unbounded N.
 
@@ -342,6 +409,10 @@ def _scan_kernel_hier(
     in-kernel per tile with local_seg_j = (j // NB) % (merge_every * F)
     (see `_norm_seg_row`).
     """
+    if cut_kk:
+        ids_ref, local_ref = opt
+    else:
+        (local_ref,) = opt
     t_idx = pl.program_id(1)
     bq = q_ref.shape[0]
     t = db_ref.shape[0]
@@ -384,6 +455,14 @@ def _scan_kernel_hier(
         upd = (val > bv) & (p != int_min)
         bestv_ref[...] = jnp.where(upd, val, bv)
         bests_ref[...] = jnp.where(upd, gseg, bests_ref[...])
+
+    if cut_kk:
+        @pl.when(t_idx == n_tiles - 1)
+        def _cut():
+            _epilogue_cut_ids(
+                ids_ref, bestv_ref, nb, cut_kk, int_min >> _PACK_BITS,
+                gseg_ref=bests_ref,
+            )
 
 
 def _scan_kernel_hier_pipe(
@@ -477,7 +556,7 @@ def _scan_kernel_hier_pipe(
     jax.jit,
     static_argnames=(
         "n_buckets", "query_block", "db_tile", "interpret", "pipelined",
-        "n_valid",
+        "n_valid", "cut_kk",
     ),
 )
 def scan_bucketed_topk_hier(
@@ -493,7 +572,8 @@ def scan_bucketed_topk_hier(
     interpret: bool = False,
     pipelined: bool = False,
     n_valid: int | None = None,
-) -> tuple[jax.Array, jax.Array]:
+    cut_kk: int | None = None,
+) -> tuple[jax.Array | None, jax.Array]:
     """Fused L2 scan with the hierarchical packed fold (see
     `_scan_kernel_hier`). Same contract and quantization inputs as
     `scan_bucketed_topk_packed`; NB stays at the requested width at any
@@ -542,7 +622,11 @@ def scan_bucketed_topk_hier(
     # VMEM fit: [QB,T] score (plain) or 2x[QB,T] cross buffers
     # (pipelined) + 2 output arrays (state_bytes=8, double-buffered when
     # the batch spans blocks) + the [QB,NB] i32 local scratch
+    if pipelined and cut_kk is not None:
+        raise ValueError("cut_kk is not supported on the pipelined variant")
     scratch_rb = nb * 4 + (2 * db_tile * 4 if pipelined else 0)
+    if cut_kk is not None:
+        scratch_rb += max(128, -(-cut_kk // 128) * 128) * 4
     query_block = _fit_query_block(
         query_block, db_tile, nb, d, state_bytes=8, itemsize=1,
         batch=b, scratch_row_bytes=scratch_rb,
@@ -607,11 +691,28 @@ def scan_bucketed_topk_hier(
         ]
     else:
         kernel = functools.partial(
-            _scan_kernel_hier, merge_every=merge_every, n_tiles=n_tiles
+            _scan_kernel_hier, merge_every=merge_every, n_tiles=n_tiles,
+            cut_kk=cut_kk,
         )
         grid = (n_q_blocks, n_tiles)
         db_spec = pl.BlockSpec((db_tile, d), lambda i, j: (j, 0))
-    vals, segs = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((query_block, nb), lambda i, j: (i, 0)),
+        pl.BlockSpec((query_block, nb), lambda i, j: (i, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((q.shape[0], nb), jnp.int32),
+        jax.ShapeDtypeStruct((q.shape[0], nb), jnp.int32),
+    ]
+    if cut_kk is not None:
+        kkpad = max(128, -(-cut_kk // 128) * 128)
+        out_specs.append(
+            pl.BlockSpec((query_block, kkpad), lambda i, j: (i, 0))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((q.shape[0], kkpad), jnp.int32)
+        )
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -620,18 +721,17 @@ def scan_bucketed_topk_hier(
             pl.BlockSpec((1, db_tile), lambda i, j: (0, j)),
             qs_spec,
         ],
-        out_specs=[
-            pl.BlockSpec((query_block, nb), lambda i, j: (i, 0)),
-            pl.BlockSpec((query_block, nb), lambda i, j: (i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((q.shape[0], nb), jnp.int32),
-            jax.ShapeDtypeStruct((q.shape[0], nb), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
         **kwargs,
     )(q, db, nf, inv_qs)
+    if cut_kk is not None:
+        ids = out[2]
+        ids = jnp.where((ids < 0) | (ids >= n), -1, ids)
+        return None, ids[:b, :cut_kk]
+    vals, segs = out
     ids = segs * nb + jnp.arange(nb, dtype=jnp.int32)[None, :]
     ids = jnp.where((segs < 0) | (ids >= n), -1, ids)
     scores = jnp.where(segs < 0, NEG_INF, vals.astype(jnp.float32))
@@ -692,7 +792,7 @@ def _rebalance_query_block(qb: int, b: int, align: int = 32) -> int:
 
 def _packed_layout(
     n: int, d: int, n_buckets: int, query_block: int, db_tile: int,
-    batch: int | None = None,
+    batch: int | None = None, scratch_row_bytes: int = 0,
 ) -> tuple[int, int, int, int]:
     """Static geometry for the packed scan: (nb, db_tile, query_block,
     pad_n). Widens NB until global segment ids fit the PACK budget, then
@@ -717,7 +817,7 @@ def _packed_layout(
         pad_n = (-n) % db_tile
     query_block = _fit_query_block(
         query_block, db_tile, nb, d, state_bytes=4, itemsize=1,
-        batch=batch,
+        batch=batch, scratch_row_bytes=scratch_row_bytes,
     )
     return nb, db_tile, query_block, pad_n
 
@@ -725,7 +825,8 @@ def _packed_layout(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_buckets", "query_block", "db_tile", "interpret", "n_valid"
+        "n_buckets", "query_block", "db_tile", "interpret", "n_valid",
+        "cut_kk",
     ),
 )
 def scan_bucketed_topk_packed(
@@ -740,7 +841,8 @@ def scan_bucketed_topk_packed(
     db_tile: int = 2048,
     interpret: bool = False,
     n_valid: int | None = None,
-) -> tuple[jax.Array, jax.Array]:
+    cut_kk: int | None = None,
+) -> tuple[jax.Array | None, jax.Array]:
     """Fused L2 scan with the packed-int32 fold (see _scan_kernel_packed).
 
     queries_i8 [B, D] + q_scale (scalar f32, one per batch), db_i8
@@ -758,6 +860,10 @@ def scan_bucketed_topk_packed(
     `build_packed_scan_table`): `db_i8` rows already padded to the scan
     granule, `db_norms` = the padded nf = norms/db_scale row (+inf at
     pads) — skips the per-call full-database pad copy.
+
+    `cut_kk` fuses the top-kk extraction into the kernel's last tile
+    (`_epilogue_cut_ids`) and returns (None, ids [B, cut_kk]) — element
+    ids directly, no [B, NB] state round-trip or separate cut kernel.
     """
     b, d = queries_i8.shape
     n = db_i8.shape[0]  # PHYSICAL rows: segment ids must cover pads too
@@ -766,8 +872,10 @@ def scan_bucketed_topk_packed(
             f"packed scan caps D at {_PACKED_MAX_DIM} (int32 range proof); "
             f"got D={d} — use the per-row int8 scan instead"
         )
+    kkpad = 0 if cut_kk is None else max(128, -(-cut_kk // 128) * 128)
     nb, db_tile, query_block, pad_n = _packed_layout(
-        n, d, n_buckets, query_block, db_tile, batch=b
+        n, d, n_buckets, query_block, db_tile, batch=b,
+        scratch_row_bytes=kkpad * 4,
     )
     if query_block == 0:
         raise ValueError(
@@ -802,7 +910,7 @@ def scan_bucketed_topk_packed(
     n_q_blocks = q.shape[0] // query_block
     n_tiles = db.shape[0] // db_tile
 
-    kernel = _scan_kernel_packed
+    kernel = functools.partial(_scan_kernel_packed, cut_kk=cut_kk)
     grid = (n_q_blocks, n_tiles)
     kwargs = {}
     if pltpu is not None and not interpret:
@@ -814,7 +922,16 @@ def scan_bucketed_topk_packed(
         **({} if interpret or pltpu is None
            else {"memory_space": pltpu.SMEM}),
     )
-    packed = pl.pallas_call(
+    out_specs = [pl.BlockSpec((query_block, nb), lambda i, j: (i, 0))]
+    out_shape = [jax.ShapeDtypeStruct((q.shape[0], nb), jnp.int32)]
+    if cut_kk is not None:
+        out_specs.append(
+            pl.BlockSpec((query_block, kkpad), lambda i, j: (i, 0))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((q.shape[0], kkpad), jnp.int32)
+        )
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -823,12 +940,17 @@ def scan_bucketed_topk_packed(
             pl.BlockSpec((1, db_tile), lambda i, j: (0, j)),
             qs_spec,
         ],
-        out_specs=pl.BlockSpec((query_block, nb), lambda i, j: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((q.shape[0], nb), jnp.int32),
+        out_specs=out_specs if cut_kk is not None else out_specs[0],
+        out_shape=out_shape if cut_kk is not None else out_shape[0],
         interpret=interpret,
         **kwargs,
     )(q, db, nf, inv_qs)
     n_logical = n_valid if n_valid is not None else n
+    if cut_kk is not None:
+        ids = out[1]
+        ids = jnp.where((ids < 0) | (ids >= n_logical), -1, ids)
+        return None, ids[:b, :cut_kk]
+    packed = out
     empty = packed == jnp.iinfo(jnp.int32).min
     seg = jnp.mod(packed, _PACK)
     ids = seg * nb + jnp.arange(nb, dtype=jnp.int32)[None, :]
@@ -1057,6 +1179,11 @@ def flat_search_fused(
         )
         use_hier = qb_flat == 0 or qb_flat < min(b, query_block)
         norms_arg = db_nf if n_valid is not None else norms_sq
+        # fuse the candidate cut into the scan's last tile whenever the
+        # extraction unroll is affordable — skips the separate cut
+        # kernel (dispatch + [B, NB] state HBM round-trip) and the id
+        # reconstruction glue; wide cuts keep the two-stage path
+        cut = kk if kk <= 64 else None
         if use_hier:
             try:
                 scores, ids = scan_bucketed_topk_hier(
@@ -1064,7 +1191,7 @@ def flat_search_fused(
                     db_scale_global,
                     n_buckets=n_buckets, query_block=query_block,
                     db_tile=min(db_tile, 4 * n_buckets),
-                    interpret=interpret, n_valid=n_valid,
+                    interpret=interpret, n_valid=n_valid, cut_kk=cut,
                 )
             except ValueError:
                 from diskrag_tpu.ops.distance import brute_force_topk
@@ -1075,7 +1202,12 @@ def flat_search_fused(
                 q_i8, q_scale, vectors_bf16, norms_arg, db_scale_global,
                 n_buckets=n_buckets, query_block=query_block,
                 db_tile=db_tile, interpret=interpret, n_valid=n_valid,
+                cut_kk=cut,
             )
+        if cut is not None:
+            from diskrag_tpu.ops.distance import rerank_exact_topk
+
+            return rerank_exact_topk(queries, vectors_f32, ids, k, m)
         return _rerank(queries, vectors_f32, scores, ids, k, kk, m, interpret)
     if m == Metric.COSINE:
         qn = jnp.sqrt(jnp.sum(jnp.square(queries), -1, keepdims=True)) + 1e-12

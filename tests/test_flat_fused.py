@@ -606,3 +606,37 @@ def test_prepadded_table_matches_unpadded():
         db_nf=idx._fused_nf, n_valid=idx._fused_n_valid, interpret=True,
     )
     assert (np.asarray(i_f) == np.asarray(i_tab)).all()
+
+
+def test_epilogue_cut_matches_two_stage():
+    """cut_kk (in-kernel top-kk extraction on the last tile) must select
+    exactly the ids the two-stage path (scan state -> topk_lanes_pallas)
+    selects, for both packed folds, including tie/exhaustion handling."""
+    from diskrag_tpu.ops.flat_scan_pallas import (
+        quantize_int8_global,
+        scan_bucketed_topk_hier,
+        scan_bucketed_topk_packed,
+        topk_lanes_pallas,
+    )
+
+    pts, q = make_dataset(6000, 32, 24)
+    v = jnp.asarray(pts)
+    norms = jnp.sum(jnp.square(v), -1)
+    gcodes, gscale = quantize_int8_global(v)
+    gq, gqs = quantize_int8_global(jnp.asarray(q))
+    for fn in (scan_bucketed_topk_packed, scan_bucketed_topk_hier):
+        scores, ids = fn(
+            gq, gqs, gcodes, norms, gscale, n_buckets=256, interpret=True
+        )
+        take = topk_lanes_pallas(scores, 20, interpret=True)
+        dead = take >= scores.shape[1]
+        ref = np.asarray(jnp.where(
+            dead, -1,
+            jnp.take_along_axis(ids, jnp.where(dead, 0, take), axis=1),
+        ))
+        _, cut_ids = fn(
+            gq, gqs, gcodes, norms, gscale, n_buckets=256, interpret=True,
+            cut_kk=20,
+        )
+        assert cut_ids.shape == (24, 20)
+        assert (np.asarray(cut_ids) == ref).all(), fn.__name__
