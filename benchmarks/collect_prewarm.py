@@ -21,17 +21,26 @@ Options (env):
 import os
 import pathlib
 import shutil
+import sys
 import tarfile
 import time
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 SCRATCH = pathlib.Path(os.environ.get("PREWARM_DIR", "/tmp/prewarm_cache"))
 
-if SCRATCH.exists():
-    shutil.rmtree(SCRATCH)
-SCRATCH.mkdir(parents=True)
-os.environ["JAX_COMPILATION_CACHE_DIR"] = str(SCRATCH)
-os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "2"
+# The cache-dir env var MUST be set before the interpreter starts: the
+# axon sitecustomize imports jax at startup, freezing the config —
+# setting os.environ here is silently ignored (measured 2026-08-21: a
+# full 893 s cold build captured ZERO entries). Re-exec with the env in
+# place instead of trusting a post-import assignment.
+if os.environ.get("JAX_COMPILATION_CACHE_DIR") != str(SCRATCH):
+    if SCRATCH.exists():
+        shutil.rmtree(SCRATCH)
+    SCRATCH.mkdir(parents=True)
+    env = dict(os.environ)
+    env["JAX_COMPILATION_CACHE_DIR"] = str(SCRATCH)
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "2"
+    os.execve(sys.executable, [sys.executable, "-u", __file__], env)
 
 
 def main() -> None:
