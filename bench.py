@@ -7,11 +7,19 @@ the reference CPU implementation measured on this machine with the same
 protocol (see benchmarks/reference_baseline.py; value stored in
 benchmarks/baseline_measured.json).
 
+Stage order (VERDICT r3 #1 — the 1M stage is the north star and must
+never be starved by optional garnish):
+  1. 200k core: flat sweep (incl. adaptive width) + graph build + exact
+  2. 1M compact stage: flat (adaptive width re-selected at 1M) + graph
+  3. 200k extras: ivf + iq8 + iq4 + rpq — each budget-gated
+  4. engine serving stage (no HTTP in the driver line; the standalone
+     benchmarks/serving_bench.py keeps the HTTP row)
+A cold build that overruns its estimate skips the warm rebuild, and the
+budget gates drop the extras before they can ever drop the 1M stage.
+
 Wall budget: the driver cap is ~30 min and the shared tunnel has real
-outage windows (a 20-min stall was observed 2026-08-19). Every stage
-past the core 200k flat+graph sweep is gated on remaining budget and
-wrapped so a failure records an error field instead of killing the run —
-the JSON line is emitted no matter which stages were skipped.
+outage windows (a 20-min stall was observed 2026-08-19). The JSON line
+is emitted no matter which stages were skipped.
 
 Env knobs: BENCH_N (default 200000), BENCH_QUERIES (1000), BENCH_DIM
 (128), BENCH_BUDGET_S (default 1560 = 26 min), BENCH_1M (default 1),
@@ -30,11 +38,14 @@ def _enable_compilation_cache() -> None:
     axon tunnel (cross-process compile reuse, ~5x faster warmup), plus
     the shipped pre-warmed entries for the standard geometries so a
     fresh checkout's first build doesn't pay compile-everything
-    (utils/compile_cache.py). Build timing below is honest either way —
-    the first full run pays whatever compiles remain; re-runs measure
-    steady-state."""
-    from diskrag_tpu.utils.compile_cache import enable_compilation_cache
+    (utils/compile_cache.py). Hit/miss counters are installed so the
+    bench line itself shows whether seeding worked (VERDICT r3 #4)."""
+    from diskrag_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+        install_cache_metrics,
+    )
 
+    install_cache_metrics()
     enable_compilation_cache()
 
 
@@ -65,53 +76,43 @@ class _Budget:
         return True
 
 
-def _sweep_scale(
+def _core_scale(
     n: int, dim: int, n_queries: int, k: int, *, compact: bool, bud: _Budget
 ):
-    """Full sweep at one dataset scale. `compact` trims to the cheap
-    flagship points (used for the secondary 1M stage so total bench wall
-    time stays under the ~30 min cap)."""
-    import numpy as np
-
+    """The metric-of-record sweep at one scale: flat MXU scan (default +
+    packed + adaptive-width points) and the Vamana graph (kNN fast-path
+    build + exact traversal). Returns (points, timings, artifacts)."""
     from diskrag_tpu.benchmark import (
         ground_truth,
         make_dataset,
         sweep_exact,
         sweep_flat,
-        sweep_iq,
-        sweep_ivf,
-        sweep_pq,
     )
     from diskrag_tpu.graph.knn_build import build_vamana_knn
-    from diskrag_tpu.pq import IntQuantizer, ResidualPQ
 
-    tag = f"{n // 1000}k"
     pts, queries = make_dataset(n, dim, n_queries)
     gt = ground_truth(pts, queries, k)
     timings = {}
 
-    # MXU-native in-HBM modes first (flat scan + IVF tiles)
     points = sweep_flat(pts, queries, gt, k=k)
-    if not compact and bud.allow(f"ivf_{tag}", 150):
-        ivf_points, (ivf_cold, ivf_warm) = sweep_ivf(pts, queries, gt, k=k)
-        points += ivf_points
-        timings["ivf_build_seconds_cold"] = round(ivf_cold, 1)
-        timings["ivf_build_seconds"] = round(ivf_warm, 1)
 
-    # graph modes (the beyond-HBM engine, benched in-HBM for parity).
-    # Built with the kNN-based fast path (exact-kNN MXU scans + global
-    # alpha-prune + reverse pass + k-means entry points). Built twice:
-    # the first build pays one-time process costs (XLA compiles unless
+    # graph build — the beyond-HBM engine, benched in-HBM for parity.
+    # The first build pays one-time process costs (XLA compiles unless
     # the persistent cache is warm, plus the dataset upload over the
     # tunnel); the second measures the steady-state build the CPU
     # baseline number is comparable to (the C++ baseline has no compile
-    # step to amortize). Both are reported.
+    # step to amortize). The warm rebuild is SKIPPED when the cold build
+    # overran its warm estimate (degraded-tunnel day): the 1M stage
+    # outranks a second build (VERDICT r3 #1).
     t0 = time.perf_counter()
     index = build_vamana_knn(pts, degree_bound=48, alpha=1.2, seed=0)
-    timings["build_seconds_cold"] = round(time.perf_counter() - t0, 1)
-    t0 = time.perf_counter()
-    index = build_vamana_knn(pts, degree_bound=48, alpha=1.2, seed=0)
-    timings["build_seconds"] = round(time.perf_counter() - t0, 1)
+    cold = time.perf_counter() - t0
+    timings["build_seconds_cold"] = round(cold, 1)
+    warm_estimate = 60 if compact else 150
+    if cold <= warm_estimate and bud.allow(f"warm_build_{n//1000}k", 120):
+        t0 = time.perf_counter()
+        index = build_vamana_knn(pts, degree_bound=48, alpha=1.2, seed=0)
+        timings["build_seconds"] = round(time.perf_counter() - t0, 1)
     # post-frontier-dedup-fix operating points: each L explores strictly
     # more, so the efficient configs are narrower beams + wider expansion
     points += sweep_exact(
@@ -119,13 +120,27 @@ def _sweep_scale(
         widths=(16,) if compact else (16, 24),
         expand_widths=(12,) if compact else (8, 12),
     )
+    return points, timings, (pts, queries, gt, index)
 
-    # compressed-traversal tiers (the reference's PQ-accelerated serving
-    # mode, search_engine.py:381-506, split TPU-first into a speed tier
-    # and a max-compression tier — measured 2026-08 at 200k):
-    #   iq8   (intq rows, MXU-scored):  L=16/E=8  0.995 @ 58k QPS
-    #   iq4c  (68 B/pt):                L=32/E=8  0.992 @ 25k QPS
-    #   rpq32 (residual PQ, ~38 B/pt):  L=64/E=4  0.991 @ 3.2k QPS
+
+def _extras_scale(
+    pts, queries, gt, index, k: int, *, tag: str, compact: bool, bud: _Budget
+):
+    """Optional tiers at an already-built scale: IVF tiles + compressed
+    traversal (iq8 speed tier, iq4 capacity tier, rpq32 max-compression
+    tier — measured 2026-08 at 200k: iq8 L=16/E=8 0.995 @ 58k, iq4c
+    L=32/E=8 0.992 @ 25k, rpq32 L=64/E=4 0.991 @ 3.2k)."""
+    import numpy as np
+
+    from diskrag_tpu.benchmark import sweep_iq, sweep_ivf, sweep_pq
+    from diskrag_tpu.pq import IntQuantizer, ResidualPQ
+
+    points, timings = [], {}
+    if not compact and bud.allow(f"ivf_{tag}", 150):
+        ivf_points, (ivf_cold, ivf_warm) = sweep_ivf(pts, queries, gt, k=k)
+        points += ivf_points
+        timings["ivf_build_seconds_cold"] = round(ivf_cold, 1)
+        timings["ivf_build_seconds"] = round(ivf_warm, 1)
     if bud.allow(f"iq8_{tag}", 120):
         iq8 = IntQuantizer(bits=8).fit(pts, seed=0)
         points += sweep_iq(
@@ -147,7 +162,7 @@ def _sweep_scale(
                 widths=(32, 64), expand_widths=(4,),
                 coarse_ids=np.asarray(cids),
             )
-    return points, timings, (pts, queries, index)
+    return points, timings
 
 
 def main() -> None:
@@ -179,7 +194,7 @@ def main() -> None:
         "vs_baseline": None,
     }
     try:
-        points, timings, (pts, queries, index) = _sweep_scale(
+        points, timings, (pts, queries, gt, index) = _core_scale(
             n, dim, n_queries, k, compact=False, bud=bud
         )
         best = best_qps_at_recall(points, 0.95)
@@ -212,43 +227,28 @@ def main() -> None:
         print(json.dumps(record))
         raise SystemExit(1)
 
-    # engine + HTTP serving throughput (VERDICT r2 #6): the number a
-    # user actually gets — search_many / POST /search-batch at B=512,
-    # including the packed result fetch and JSON assembly
-    if os.environ.get("BENCH_SERVING", "1") == "1" and bud.allow(
-        "serving", 300
-    ):
-        try:
-            import numpy as np
-
-            sys.path.insert(0, str(pathlib.Path(__file__).parent))
-            from benchmarks.serving_bench import measure_serving
-
-            serving = measure_serving(
-                pts, np.asarray(queries), index=index, batches=(512,),
-                k=k, repeats=5,
-            )
-            record["serving_qps_b512"] = {
-                m: round(rows[0]["qps"], 1)
-                for m, rows in serving.items()
-                if isinstance(rows, list)
-            }
-            record["serving"] = serving
-        except Exception as e:  # noqa: BLE001
-            record["serving_error"] = f"{type(e).__name__}: {e}"
-
     # secondary 1M stage (VERDICT r1 #9: the north-star names SIFT1M) —
-    # a compact sweep so the driver record tracks the million-point
-    # operating points every round. Disable with BENCH_1M=0.
+    # runs BEFORE every optional stage so a degraded-tunnel day drops
+    # the garnish, not the entrée (VERDICT r3 #1). The adaptive
+    # rerank-width point is re-selected at 1M inside sweep_flat.
+    # Disable with BENCH_1M=0.
     if (
         n == 200_000
         and os.environ.get("BENCH_1M", "1") == "1"
-        and bud.allow("1m_stage", 600)
+        and bud.allow("1m_stage", 480)
     ):
         try:
-            points_1m, timings_1m, _ = _sweep_scale(
+            points_1m, timings_1m, (pts1, q1, gt1, index1) = _core_scale(
                 1_000_000, dim, n_queries, k, compact=True, bud=bud
             )
+            if bud.allow("1m_extras", 130):
+                extra_pts, extra_t = _extras_scale(
+                    pts1, q1, gt1, index1, k, tag="1000k", compact=True,
+                    bud=bud,
+                )
+                points_1m += extra_pts
+                timings_1m.update(extra_t)
+            del pts1, q1, gt1, index1
             best_1m = best_qps_at_recall(points_1m, 0.95)
             record["1m"] = {
                 "qps_at_recall0.95": (
@@ -262,6 +262,62 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             record["1m_error"] = f"{type(e).__name__}: {e}"
 
+    # 200k optional tiers (ivf / iq8 / iq4 / rpq)
+    try:
+        extra_pts, extra_t = _extras_scale(
+            pts, queries, gt, index, k, tag=f"{n//1000}k", compact=False,
+            bud=bud,
+        )
+        points += extra_pts
+        record["sweep"] = fmt(points)
+        record.update(**extra_t)
+        best2 = best_qps_at_recall(points, 0.95)
+        if best2 is not None and best2.qps > record["value"]:
+            record.update(
+                value=round(best2.qps, 1),
+                recall=round(best2.recall, 4),
+                search_width=best2.search_width,
+                mode=best2.mode,
+                vs_baseline=(
+                    round(best2.qps / (best.qps / vs_baseline), 2)
+                    if vs_baseline else None
+                ),
+            )
+    except Exception as e:  # noqa: BLE001
+        record["extras_error"] = f"{type(e).__name__}: {e}"
+
+    # engine serving throughput (VERDICT r2 #6 / r3 #2): the number a
+    # user actually gets — search_many + the pipelined stream at B=512,
+    # including the packed result fetch and text join. HTTP lives in the
+    # standalone benchmarks/serving_bench.py record only (VERDICT r3 #9).
+    if os.environ.get("BENCH_SERVING", "1") == "1" and bud.allow(
+        "serving", 150
+    ):
+        try:
+            import numpy as np
+
+            sys.path.insert(0, str(pathlib.Path(__file__).parent))
+            from benchmarks.serving_bench import measure_serving
+
+            serving = measure_serving(
+                pts, np.asarray(queries), index=index, batches=(512,),
+                k=k, repeats=5, http=False,
+            )
+            record["serving_qps_b512"] = {
+                m: round(rows[0]["qps"], 1)
+                for m, rows in serving.items()
+                if isinstance(rows, list)
+            }
+            record["serving"] = serving
+        except Exception as e:  # noqa: BLE001
+            record["serving_error"] = f"{type(e).__name__}: {e}"
+
+    try:
+        from diskrag_tpu.utils.compile_cache import cache_metrics
+
+        record["prewarm"] = cache_metrics()
+    except Exception:  # noqa: BLE001
+        pass
     if bud.skipped:
         record["budget_skipped"] = bud.skipped
     record["bench_wall_seconds"] = round(bud.elapsed, 1)

@@ -71,7 +71,9 @@ def measure_engine_qps(
     l_search: int | None = None,
 ) -> dict:
     """search_many QPS at one batch size (mock embedder = dict lookup,
-    so embedding cost is the Python-side floor, not OpenAI)."""
+    so embedding cost is the Python-side floor, not OpenAI). Includes a
+    per-stage breakdown (embed / device+fetch / fetch RPC / text join)
+    so the engine-vs-kernel residual is attributable (VERDICT r3 #2)."""
     qtexts = [f"q{i}" for i in range(batch)]
     lut = {f"q{i}": queries[i % len(queries)] for i in range(batch)}
     out = {}
@@ -87,7 +89,44 @@ def measure_engine_qps(
     out["batch"] = batch
     out["latency_ms"] = dt * 1e3
     out["search_type"] = res["stats"]["search_type"]
+    t = res["timing"]
+    out["stage_ms"] = {
+        "embed": round(t["embedding_time"] * 1e3, 2),
+        "search": round(t["search_time"] * 1e3, 2),
+        "fetch_rpc": round(res["stats"].get("fetch_time", 0.0) * 1e3, 2),
+        "text_join": round(
+            (t["total_time"] - t["embedding_time"] - t["search_time"]) * 1e3,
+            2,
+        ),
+    }
     return out
+
+
+def measure_pipelined_qps(
+    engine, queries, *, batch: int, n_batches: int = 8, k: int = 10,
+    repeats: int = 3, l_search: int | None = None, max_in_flight: int = 2,
+) -> dict:
+    """Sustained throughput via engine.search_pipelined: n_batches
+    batches per call with overlapped drain RPCs — the serving number a
+    throughput-oriented caller gets, vs search_many's per-call latency
+    which pays the full ~30-40 ms tunnel fetch RPC serially per batch."""
+    batches = [[f"q{i}" for i in range(batch)] for _ in range(n_batches)]
+    lut = {f"q{i}": queries[i % len(queries)] for i in range(batch)}
+
+    def call(bs):
+        return engine.search_pipelined(
+            bs, k=k, embedding_fn=lut.__getitem__, l_search=l_search,
+            max_in_flight=max_in_flight,
+        )
+
+    dt = _time_calls(call, (batches,), (batches,), repeats)
+    return {
+        "qps": batch * n_batches / dt,
+        "batch": batch,
+        "n_batches": n_batches,
+        "max_in_flight": max_in_flight,
+        "latency_ms_per_batch": dt / n_batches * 1e3,
+    }
 
 
 def measure_http_qps(
@@ -163,6 +202,12 @@ def measure_serving(
             out["flat"] = [
                 measure_engine_qps(
                     eng, queries, batch=b, k=k, repeats=repeats
+                )
+                for b in batches
+            ]
+            out["flat_pipelined"] = [
+                measure_pipelined_qps(
+                    eng, queries, batch=b, k=k, repeats=max(2, repeats - 2)
                 )
                 for b in batches
             ]

@@ -26,6 +26,44 @@ logger = logging.getLogger(__name__)
 _REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent.parent
 _ARCHIVE_NAMES = ("prewarmed_cache.tar.zst", "prewarmed_cache.tar.gz")
 
+# observability for the driver bench (VERDICT r3 #4): how many entries
+# the shipped archive actually contributed this process, and live
+# hit/miss counters from jax's monitoring events, so a slow cold build
+# is attributable (cache never seeded? entries stale? tunnel slow?)
+_METRICS = {"seeded_entries": 0, "cache_hits": 0, "cache_misses": 0}
+_LISTENERS_INSTALLED = False
+
+
+def install_cache_metrics() -> None:
+    """Count persistent-cache hits/misses via jax.monitoring (events
+    `/jax/compilation_cache/cache_hits` / `cache_misses`, both plain
+    record_event in jax 0.9). Idempotent; must run before the first
+    compile to see everything."""
+    global _LISTENERS_INSTALLED
+    if _LISTENERS_INSTALLED:
+        return
+    from jax._src import monitoring
+
+    def _on_event(event: str, *a, **k) -> None:
+        if event.endswith("/cache_hits"):
+            _METRICS["cache_hits"] += 1
+        elif event.endswith("/cache_misses"):
+            _METRICS["cache_misses"] += 1
+
+    monitoring.register_event_listener(_on_event)
+    _LISTENERS_INSTALLED = True
+
+
+def cache_metrics() -> dict:
+    out = dict(_METRICS)
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if cache_dir and pathlib.Path(cache_dir).is_dir():
+        out["cache_dir_entries"] = sum(
+            1 for p in pathlib.Path(cache_dir).iterdir()
+            if p.is_file() and not p.name.startswith(".")
+        )
+    return out
+
 
 def enable_compilation_cache(seed: bool = True) -> pathlib.Path:
     """Point JAX's persistent compilation cache at `<repo>/.jax_cache`
@@ -46,44 +84,44 @@ def enable_compilation_cache(seed: bool = True) -> pathlib.Path:
     return cache_dir
 
 
-def _find_archive() -> pathlib.Path | None:
-    for name in _ARCHIVE_NAMES:
-        p = _REPO_ROOT / name
-        if p.exists():
-            return p
-    return None
-
-
 def seed_cache(cache_dir: pathlib.Path) -> int:
     """Unpack the pre-warmed archive into `cache_dir` (entries that
-    already exist are kept — they may be newer). Returns the number of
-    entries written; no-op without an archive or after the first seed
+    already exist are kept — they may be newer). Tries every archive
+    name in order, so a missing decompressor for one format falls
+    through to the next instead of silently disabling the feature
+    (VERDICT r3 #4). Returns the number of entries written; no-op
+    without an archive or after the first seed
     (`.seeded-<archive mtime>` marker)."""
-    archive = _find_archive()
-    if archive is None:
-        return 0
-    cache_dir.mkdir(parents=True, exist_ok=True)
-    marker = cache_dir / f".seeded-{int(archive.stat().st_mtime)}"
-    if marker.exists():
-        return 0
-    if archive.suffix == ".zst":
-        try:
-            import zstandard
-        except ImportError:  # no zstd in the image -> use the .gz twin
-            logger.warning(
-                "%s needs the zstandard module (absent); ship .tar.gz",
-                archive.name,
-            )
+    for name in _ARCHIVE_NAMES:
+        archive = _REPO_ROOT / name
+        if not archive.exists():
+            continue
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        marker = cache_dir / f".seeded-{int(archive.stat().st_mtime)}"
+        if marker.exists():
             return 0
-        with archive.open("rb") as fh:
-            stream = zstandard.ZstdDecompressor().stream_reader(fh)
-            n = _extract_missing(tarfile.open(fileobj=stream, mode="r|"),
+        if archive.suffix == ".zst":
+            try:
+                import zstandard
+            except ImportError:  # no zstd -> try the .gz twin
+                logger.warning(
+                    "%s needs the zstandard module (absent); trying the "
+                    "next archive format", archive.name,
+                )
+                continue
+            with archive.open("rb") as fh:
+                stream = zstandard.ZstdDecompressor().stream_reader(fh)
+                n = _extract_missing(
+                    tarfile.open(fileobj=stream, mode="r|"), cache_dir
+                )
+        else:
+            n = _extract_missing(tarfile.open(archive, mode="r:gz"),
                                  cache_dir)
-    else:
-        n = _extract_missing(tarfile.open(archive, mode="r:gz"), cache_dir)
-    marker.write_text("seeded\n")
-    logger.info("pre-warmed XLA cache: %d entries -> %s", n, cache_dir)
-    return n
+        marker.write_text("seeded\n")
+        _METRICS["seeded_entries"] += n
+        logger.info("pre-warmed XLA cache: %d entries -> %s", n, cache_dir)
+        return n
+    return 0
 
 
 def _extract_missing(tf: tarfile.TarFile, cache_dir: pathlib.Path) -> int:

@@ -245,6 +245,36 @@ def test_faq_metadata_numpy_scalars_json_safe(tmp_path):
     assert meta["source_page"] == 1  # plain int survived the JSON round-trip
 
 
+def test_column_store_lookup_semantics(tmp_path):
+    """The vector_index column store must match the old pandas path:
+    out-of-range/absent ids -> None, cached metadata is mutation-safe,
+    and an update_collection invalidates the cache."""
+    import numpy as np
+
+    from diskrag_tpu.data import CollectionManager
+
+    mgr = CollectionManager(tmp_path / "collections")
+    mgr.create_collection("cs", dimension=4)
+    rng = np.random.default_rng(1)
+    mgr.update_collection(
+        "cs", rng.normal(size=(3, 4)).astype(np.float32),
+        ["t0", "t1", "t2"], [{"i": 0}, {"i": 1}, {"i": 2}],
+    )
+    got = mgr.get_texts_by_indices("cs", [2, 0, 99, -1, 1])
+    assert [g[0] if g else None for g in got] == ["t2", "t0", None, None, "t1"]
+    assert got[0][1]["i"] == 2 and got[0][1]["vector_index"] == 2
+    # caller mutation must not leak into the memoized decode
+    got[0][1]["i"] = 999
+    again = mgr.get_texts_by_indices("cs", [2])[0]
+    assert again[1]["i"] == 2
+    # appended rows are visible (cache invalidated by the parquet rewrite)
+    mgr.update_collection(
+        "cs", rng.normal(size=(1, 4)).astype(np.float32), ["t3"], [{"i": 3}]
+    )
+    assert mgr.get_texts_by_indices("cs", [3])[0][0] == "t3"
+    assert mgr.get_text_by_index("cs", 3)[0] == "t3"
+
+
 def test_update_collection_recovers_orphan_vectors(tmp_path):
     """Regression: orphan vectors.npy rows from an interrupted update
     (vectors committed, metadata not) must not shift later rows'

@@ -146,6 +146,33 @@ def test_engine_batch_search(faq_collection):
     assert (dists[:, 0] < 0.05).all()  # each query finds its own text
 
 
+def test_engine_search_pipelined_matches_search_many(faq_collection):
+    """The overlapped-fetch stream path must return exactly what N
+    sequential search_many calls return, in order."""
+    eng = SearchEngine("faq", base_dir=faq_collection / "collections")
+    emb = _embed(faq_collection)
+    batches = [
+        [f"如何使用功能{i}?" for i in (0, 1, 2)],
+        [f"如何使用功能{i}?" for i in (3, 4)],
+        [f"如何使用功能{i}?" for i in (5, 6, 7, 8)],
+    ]
+    piped = eng.search_pipelined(batches, k=3, embedding_fn=emb)
+    assert len(piped) == len(batches)
+    for texts, got in zip(batches, piped):
+        ref = eng.search_many(texts, k=3, embedding_fn=emb)
+        assert len(got["results"]) == len(texts)
+        for g_row, r_row in zip(got["results"], ref["results"]):
+            assert [r["text"] for r in g_row] == [r["text"] for r in r_row]
+            np.testing.assert_allclose(
+                [r["distance"] for r in g_row],
+                [r["distance"] for r in r_row],
+                rtol=1e-5, atol=1e-6,
+            )
+        assert got["stats"]["search_type"] == ref["stats"]["search_type"]
+    with pytest.raises(ValueError):
+        eng.search_pipelined([["q"], []], k=3, embedding_fn=emb)
+
+
 def test_engine_flat_and_ivf_index_types(tmp_path):
     """Engine serves flat and ivf index types transparently."""
     from diskrag_tpu.build_index import build_index_from_vectors

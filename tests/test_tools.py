@@ -280,9 +280,7 @@ def test_prewarm_cache_seed_roundtrip(tmp_path, monkeypatch):
         with tarfile.open(fileobj=zf, mode="w|") as tf:
             for p in sorted(src.iterdir()):
                 tf.add(p, arcname=p.name)
-    monkeypatch.setattr(
-        compile_cache, "_find_archive", lambda: arch
-    )
+    monkeypatch.setattr(compile_cache, "_REPO_ROOT", tmp_path)
 
     cache = tmp_path / "cache"
     # pre-existing entry must NOT be overwritten
@@ -294,3 +292,32 @@ def test_prewarm_cache_seed_roundtrip(tmp_path, monkeypatch):
     assert (cache / "xla_prog_b").read_bytes() == b"BBBB"
     # second call: marker short-circuits
     assert compile_cache.seed_cache(cache) == 0
+
+
+def test_prewarm_cache_gz_fallback(tmp_path, monkeypatch):
+    """A .zst archive with no zstandard module must fall through to the
+    .tar.gz twin instead of silently disabling seeding (VERDICT r3 #4)."""
+    import builtins
+    import tarfile
+
+    from diskrag_tpu.utils import compile_cache
+
+    src = tmp_path / "entries"
+    src.mkdir()
+    (src / "xla_prog_c").write_bytes(b"CCCC")
+    (tmp_path / "prewarmed_cache.tar.zst").write_bytes(b"not-used")
+    with tarfile.open(tmp_path / "prewarmed_cache.tar.gz", "w:gz") as tf:
+        tf.add(src / "xla_prog_c", arcname="xla_prog_c")
+    monkeypatch.setattr(compile_cache, "_REPO_ROOT", tmp_path)
+
+    real_import = builtins.__import__
+
+    def no_zstd(name, *a, **k):
+        if name == "zstandard":
+            raise ImportError("simulated absent zstandard")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_zstd)
+    cache = tmp_path / "cache"
+    assert compile_cache.seed_cache(cache) == 1
+    assert (cache / "xla_prog_c").read_bytes() == b"CCCC"
