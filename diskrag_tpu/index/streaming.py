@@ -244,6 +244,22 @@ def _place_rows(vectors, adjacency, n0, vecs, rand_links):
     return vectors, adjacency
 
 
+def auto_buffer_capacity(n: int) -> int:
+    """Default side-buffer capacity for a base of `n` rows, from the
+    measured merge-cost model (2026-08-20, post reverse-pass fixes):
+    capacity 32768 / fraction 0.25 sustains 14.1k inserts/s at a 200k
+    base and 9.2k/s at 1M (recall 0.998+ held); 65536 serves the same
+    recall ~35% slower (per-merge prune intermediates scale with
+    capacity), and 16384 fell off an 8x cliff at 200k (merge fixed
+    costs — compile reuse, reverse pass — amortize over half the
+    inserts). 32768 is the optimum across the whole measured range, so
+    auto picks it for any base that can absorb it and only shrinks for
+    small collections where a 32k buffer would rival the base itself
+    (reference scaling counterpart: vamana_graph.py:58-114 sizes its
+    insert path off the live graph, no knob)."""
+    return min(32_768, max(4_096, -(-(n // 4) // 4_096) * 4_096))
+
+
 class StreamingIndex:
     """Mutable serving tier: static Vamana graph + exact device buffer.
 
@@ -261,7 +277,7 @@ class StreamingIndex:
         self,
         index: VamanaIndex,
         *,
-        buffer_capacity: int = 32_768,
+        buffer_capacity: Optional[int] = None,
         merge_insert_max_fraction: float = 0.25,
         build_width: int = 64,
         alpha: float = 1.2,
@@ -274,20 +290,17 @@ class StreamingIndex:
         if merge_method not in ("knn", "wave"):
             raise ValueError(f"unknown merge_method {merge_method!r}")
         n = int(index.adjacency.shape[0])
-        self.capacity = int(buffer_capacity)
-        # measured operating band (2026-08-20, post reverse-pass fixes):
-        # capacity 32768 / fraction 0.25 sustains 14.1k inserts/s at a
-        # 200k base and 9.2k/s at 1M (recall 0.998+ held); 65536 serves
-        # the same recall ~35% slower, and 16384 fell off an 8x cliff in
-        # the round-2 measurements. Warn rather than refuse — tiny
-        # collections legitimately want small buffers.
-        if n >= 4 * self.capacity and self.capacity < 32_768:
+        if buffer_capacity is None:
+            buffer_capacity = auto_buffer_capacity(n)
+        elif n >= 4 * int(buffer_capacity) and int(buffer_capacity) < 32_768:
+            # explicit override below the measured efficient band
             logger.warning(
                 "buffer_capacity=%d below the measured efficient band "
                 "(>=32768 at >=200k base): merge fixed costs amortize "
                 "over fewer inserts (an 8x ingest-rate cliff was "
-                "measured at 16384)", self.capacity,
+                "measured at 16384)", int(buffer_capacity),
             )
+        self.capacity = int(buffer_capacity)
         # insert headroom kept padded beyond the live rows: a growth
         # event reallocates multi-GB arrays AND changes every jitted
         # shape (merge scan, forward/reverse, merged search), which at

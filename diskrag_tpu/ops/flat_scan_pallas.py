@@ -1174,16 +1174,22 @@ def flat_search_fused(
         # single-state fold measures faster than hier's three arrays
         # (0.374 vs 0.442 ms), and the mild NB widening only tightens the
         # bucket-collision bound.
-        nb_flat, dt_flat, qb_flat, _ = _packed_layout(
-            n_phys, d, n_buckets, query_block, db_tile, batch=b
-        )
-        use_hier = qb_flat == 0 or qb_flat < min(b, query_block)
-        norms_arg = db_nf if n_valid is not None else norms_sq
         # fuse the candidate cut into the scan's last tile whenever the
         # extraction unroll is affordable — skips the separate cut
         # kernel (dispatch + [B, NB] state HBM round-trip) and the id
         # reconstruction glue; wide cuts keep the two-stage path
         cut = kk if kk <= 64 else None
+        # route with the SAME scratch charge the packed fold will pay
+        # (cut_kk adds a [QB, kkpad] i32 scratch row) — otherwise the
+        # routing can pick the flat fold on an optimistic VMEM fit that
+        # the real call then refits down to a starved query block
+        cut_rb = 0 if cut is None else max(128, -(-cut // 128) * 128) * 4
+        nb_flat, dt_flat, qb_flat, _ = _packed_layout(
+            n_phys, d, n_buckets, query_block, db_tile, batch=b,
+            scratch_row_bytes=cut_rb,
+        )
+        use_hier = qb_flat == 0 or qb_flat < min(b, query_block)
+        norms_arg = db_nf if n_valid is not None else norms_sq
         if use_hier:
             try:
                 scores, ids = scan_bucketed_topk_hier(
@@ -1198,12 +1204,18 @@ def flat_search_fused(
 
                 return brute_force_topk(queries, vectors_f32, k, metric)
         else:
-            scores, ids = scan_bucketed_topk_packed(
-                q_i8, q_scale, vectors_bf16, norms_arg, db_scale_global,
-                n_buckets=n_buckets, query_block=query_block,
-                db_tile=db_tile, interpret=interpret, n_valid=n_valid,
-                cut_kk=cut,
-            )
+            try:
+                scores, ids = scan_bucketed_topk_packed(
+                    q_i8, q_scale, vectors_bf16, norms_arg,
+                    db_scale_global,
+                    n_buckets=n_buckets, query_block=query_block,
+                    db_tile=db_tile, interpret=interpret, n_valid=n_valid,
+                    cut_kk=cut,
+                )
+            except ValueError:  # internal refit found no viable block
+                from diskrag_tpu.ops.distance import brute_force_topk
+
+                return brute_force_topk(queries, vectors_f32, k, metric)
         if cut is not None:
             from diskrag_tpu.ops.distance import rerank_exact_topk
 

@@ -639,4 +639,17 @@ def test_epilogue_cut_matches_two_stage():
             cut_kk=20,
         )
         assert cut_ids.shape == (24, 20)
-        assert (np.asarray(cut_ids) == ref).all(), fn.__name__
+        # the two-stage reference ranks f32-CAST packed values (lossy
+        # above 2^24) while cut_kk extracts on exact int32, so two
+        # packed values that collide after the cast may be ordered
+        # either way: any id divergence must pair up id-for-id with an
+        # exactly-equal f32 lane score (a cast collision or true tie)
+        cut_np = np.asarray(cut_ids)
+        scores_np = np.asarray(scores)
+        nb = scores_np.shape[1]
+        for b in range(cut_np.shape[0]):
+            c, r = set(cut_np[b].tolist()), set(ref[b].tolist())
+            assert (-1 in c) == (-1 in r), fn.__name__
+            sc = sorted(scores_np[b, i % nb] for i in c - r if i >= 0)
+            sr = sorted(scores_np[b, i % nb] for i in r - c if i >= 0)
+            assert sc == sr, (fn.__name__, b, c - r, r - c)
