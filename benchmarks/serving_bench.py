@@ -41,6 +41,9 @@ def make_collection(base_dir, pts, name: str = "bench"):
     from diskrag_tpu.data.collection import CollectionManager
 
     mgr = CollectionManager(base_dir)
+    info = mgr.get_collection_info(name)
+    if info is not None and info.num_vectors == len(pts):
+        return mgr  # reuse across runs (tmp_dir callers iterate on this)
     mgr.create_collection(name, int(pts.shape[1]))
     chunk = 100_000
     for lo in range(0, len(pts), chunk):
@@ -55,15 +58,21 @@ def make_collection(base_dir, pts, name: str = "bench"):
 
 
 def _time_calls(fn, warm_args, timed_args, repeats: int) -> float:
-    """Wall-time `repeats` calls after one full-shape warmup (warming
+    """Best-of-`repeats` wall time after one full-shape warmup (warming
     with a different shape leaves the real shape's compile inside the
     timed region — CLAUDE.md). Engine calls fetch results to host, so
-    wall clock is an honest barrier here (unlike raw device dispatch)."""
+    wall clock is an honest barrier here (unlike raw device dispatch).
+    Min, not mean: the shared tunnel's per-RPC latency swings 28-60 ms
+    between calls (±30% run-to-run measured 2026-08-21), and the mean
+    folds those stalls into what is meant to be a capability number —
+    same convention as host_tier_bench's min(times)."""
     fn(*warm_args)
-    t0 = time.perf_counter()
+    best = float("inf")
     for _ in range(repeats):
+        t0 = time.perf_counter()
         fn(*timed_args)
-    return (time.perf_counter() - t0) / repeats
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def measure_engine_qps(
@@ -103,8 +112,8 @@ def measure_engine_qps(
 
 
 def measure_pipelined_qps(
-    engine, queries, *, batch: int, n_batches: int = 8, k: int = 10,
-    repeats: int = 3, l_search: int | None = None, max_in_flight: int = 2,
+    engine, queries, *, batch: int, n_batches: int = 16, k: int = 10,
+    repeats: int = 3, l_search: int | None = None, max_in_flight: int = 8,
 ) -> dict:
     """Sustained throughput via engine.search_pipelined: n_batches
     batches per call with overlapped drain RPCs — the serving number a
@@ -257,7 +266,12 @@ def main() -> None:
     pts, queries = make_dataset(n, dim, 1024)
     t0 = time.perf_counter()
     out = measure_serving(
-        pts, np.asarray(queries), batches=(64, 512, 1024), repeats=5
+        pts, np.asarray(queries), batches=(64, 512, 1024), repeats=5,
+        # stable scratch: the 200k collection build (~4 min of parquet
+        # appends) is reused across standalone runs
+        tmp_dir=os.environ.get(
+            "SERVING_TMP", f"/tmp/diskrag_serving_persist_{n}"
+        ),
     )
     record = {
         "n": n,

@@ -59,8 +59,11 @@ def main():
     results = []
     merge_method = os.environ.get("MERGE_METHOD", "knn")
     for capacity, frac in configs:
+        # capacity 0 = the auto-sized default (VERDICT r3 #5 done
+        # criterion: default-constructed streaming within 10% of the
+        # hand-tuned rate)
         idx = StreamingIndex(
-            index, buffer_capacity=capacity,
+            index, buffer_capacity=capacity or None,
             merge_insert_max_fraction=frac,
             merge_method=merge_method,
             # preallocate the run's ingest (what a long-running service
@@ -78,6 +81,7 @@ def main():
         # first timed config eats every compile and the next config
         # inherits them warm (measured 2026-08-19: 619/s vs 5,650/s for
         # two configs whose steady-state rates are ~2.8k and ~7k)
+        capacity = idx.capacity  # resolved (auto or explicit)
         warm_n = capacity
         for off in range(0, warm_n, BATCH):
             idx.insert(stream[off : off + BATCH])

@@ -49,7 +49,9 @@ class _ColumnStore:
     so serving-path lookups are plain array gathers. Metadata JSON is
     decoded lazily on first access and memoized per row; lookups return
     a shallow copy so callers can add keys without corrupting the cache
-    (nested values are shared — treat them as read-only)."""
+    (nested values are shared — treat them as read-only). Concurrent
+    lookups (engine.search_pipelined joins on worker threads) race only
+    on the memoization slot, and both racers write equal values."""
 
     def __init__(self, df: pd.DataFrame):
         idx = df["vector_index"].to_numpy(np.int64)
@@ -64,12 +66,22 @@ class _ColumnStore:
         self._decoded = np.full(len(idx), None, dtype=object)
 
     def lookup(self, indices) -> list[Optional[tuple[str, dict]]]:
-        pos, decoded = self._pos, self._decoded
-        n = len(pos)
+        decoded = self._decoded
+        n = len(self._pos)
+        arr = np.asarray(indices, dtype=np.int64).ravel()
+        if arr.size and n:
+            # one vectorized position gather instead of a numpy scalar
+            # index per id (each ~100 ns — milliseconds at batch 512)
+            pos = np.where(
+                (arr >= 0) & (arr < n),
+                self._pos[np.clip(arr, 0, n - 1)],
+                -1,
+            ).tolist()
+        else:
+            pos = [-1] * arr.size
         out: list[Optional[tuple[str, dict]]] = []
-        for raw in indices:
-            i = int(raw)
-            p = pos[i] if 0 <= i < n else -1
+        texts = self._texts
+        for i, p in zip(arr.tolist(), pos):
             if p < 0:
                 out.append(None)
                 continue
@@ -79,7 +91,7 @@ class _ColumnStore:
                     self._metas_raw[p], None, i
                 )
                 decoded[p] = meta
-            out.append((self._texts[p], dict(meta)))
+            out.append((texts[p], dict(meta)))
         return out
 
 

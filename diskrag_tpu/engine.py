@@ -46,13 +46,7 @@ class ServingConfigError(RuntimeError):
 _PACK_FN = None
 
 
-def _fetch_packed(dists, ids, n_expanded):
-    """Fetch (dists, ids, total_expanded) from the device in ONE host
-    transfer: ids (int32), the f32 dists bitcast to int32, and the
-    summed expansion counter ride a single [B, 2k+1] int32 array. Every
-    host fetch on the tunneled TPU costs a fixed ~30-40 ms RPC
-    (CLAUDE.md), so three separate np.asarray calls would triple the
-    per-request latency floor."""
+def _get_pack_fn():
     global _PACK_FN
     if _PACK_FN is None:
         import jax
@@ -73,9 +67,30 @@ def _fetch_packed(dists, ids, n_expanded):
             )
 
         _PACK_FN = pack
+    return _PACK_FN
 
+
+def _fetch_packed(dists, ids, n_expanded):
+    """Fetch (dists, ids, total_expanded) from the device in ONE host
+    transfer: ids (int32), the f32 dists bitcast to int32, and the
+    summed expansion counter ride a single [B, 2k+1] int32 array. Every
+    host fetch on the tunneled TPU costs a fixed ~30-40 ms RPC
+    (CLAUDE.md), so three separate np.asarray calls would triple the
+    per-request latency floor."""
     k = ids.shape[1]
-    buf = np.asarray(_PACK_FN(dists, ids, n_expanded))
+    return _decode_packed(np.asarray(_enqueue_packed(dists, ids, n_expanded)), k)
+
+
+def _enqueue_packed(dists, ids, n_expanded):
+    """Enqueue the pack program WITHOUT draining: returns the device
+    [B, 2k+1] buffer. Split from _fetch_packed so search_pipelined can
+    enqueue every batch's pack at dispatch time (main thread) and leave
+    worker threads nothing but the blocking np.asarray — jit dispatch
+    from workers contends on the GIL with the main loop's dispatches."""
+    return _get_pack_fn()(dists, ids, n_expanded)
+
+
+def _decode_packed(buf: np.ndarray, k: int):
     ids_np = buf[:, :k]
     dists_np = (
         np.ascontiguousarray(buf[:, k : 2 * k]).view(np.float32)
@@ -867,13 +882,26 @@ class SearchEngine:
         self, q, b: int, k: int, l_search: int, use_pq_search: bool
     ):
         """Branch dispatch WITHOUT the result fetch. Returns
-        (dists, ids, n_expanded, meta): dists/ids may still be device
-        arrays (the device program is enqueued, not drained — JAX async
-        dispatch), n_expanded is a device counter or None, and
-        meta["counts"](fetched_counter) computes the (nodes_visited,
-        n_exact, n_pq) stats triple. Split from _finish_search so
-        search_pipelined can enqueue batch i+1's program while batch i's
-        fixed ~30-40 ms fetch RPC is in flight."""
+        ("packed", device_buf, k, meta) for device results — the search
+        AND pack programs are enqueued (JAX async dispatch), nothing
+        drained — or ("host", (dists, ids), None, meta) for host-side
+        paths. meta["counts"](fetched_counter) computes the
+        (nodes_visited, n_exact, n_pq) stats triple. Split from
+        _finish_search so search_pipelined can enqueue batch i+1's
+        programs while batch i's fixed ~30-40 ms fetch RPC is in
+        flight, leaving worker threads a pure np.asarray."""
+        dists, ids, n_expanded, meta = self._dispatch_branches(
+            q, b, k, l_search, use_pq_search
+        )
+        if isinstance(ids, np.ndarray):
+            return "host", (dists, ids), None, meta
+        if n_expanded is None:
+            n_expanded = jnp.zeros((), jnp.int32)
+        return "packed", _enqueue_packed(dists, ids, n_expanded), ids.shape[1], meta
+
+    def _dispatch_branches(
+        self, q, b: int, k: int, l_search: int, use_pq_search: bool
+    ):
         if self.brute_force_mode:
             dists, ids = self._bf_flat.search(q, k=k)
             nv = self._bf_flat.n_points * b
@@ -1024,13 +1052,12 @@ class SearchEngine:
         results (fixed ~30-40 ms RPC each — CLAUDE.md), sqrt at the API
         edge, stats accounting. Thread-safe (stats go through the engine
         lock) so search_pipelined can drain on a background thread."""
-        dists, ids, n_expanded, meta = disp
+        kind, payload, kk, meta = disp
         t_fetch = time.perf_counter()
-        if not isinstance(ids, np.ndarray):
-            if n_expanded is None:
-                n_expanded = jnp.zeros((), jnp.int32)
-            dists, ids, counter = _fetch_packed(dists, ids, n_expanded)
+        if kind == "packed":
+            dists, ids, counter = _decode_packed(np.asarray(payload), kk)
         else:
+            dists, ids = payload
             ids = np.asarray(ids)
             dists = np.asarray(dists, np.float64)
             counter = 0
@@ -1123,7 +1150,7 @@ class SearchEngine:
         embedding_fn: Optional[Callable[[str], np.ndarray]] = None,
         l_search: Optional[int] = None,
         use_pq_search: bool = True,
-        max_in_flight: int = 2,
+        max_in_flight: int = 8,
     ) -> list[dict[str, Any]]:
         """Sustained-throughput serving over a stream of query batches.
 
@@ -1147,12 +1174,16 @@ class SearchEngine:
             raise ValueError("query_batches must be non-empty batches")
         out: list[Any] = [None] * len(query_batches)
 
-        def collect(item) -> None:
-            bi, fut, t_start, t_emb = item
-            dists, ids, stats = fut.result()
-            results = self._attach_texts_batch(ids, dists)
-            out[bi] = {
-                "results": results,
+        def finish_and_join(disp, b, ls, t_start, t_emb):
+            # worker-side: blocking fetch RPC (releases the GIL during
+            # the transfer, so up to max_in_flight RPCs overlap —
+            # measured 4x on the tunnel) + the text join, which rides
+            # the same worker so it overlaps other batches' RPC waits
+            dists, ids, stats = self._finish_search(
+                disp, b=b, k=k, l_search=ls, t0=t_start
+            )
+            return {
+                "results": self._attach_texts_batch(ids, dists),
                 "timing": {
                     "embedding_time": t_emb,
                     "search_time": stats["search_time"],
@@ -1180,17 +1211,14 @@ class SearchEngine:
                 disp = self._dispatch_search(q, b, k, ls, use_pq_search)
                 pending.append((
                     bi,
-                    ex.submit(
-                        self._finish_search, disp,
-                        b=b, k=k, l_search=ls, t0=t_start,
-                    ),
-                    t_start,
-                    t_emb,
+                    ex.submit(finish_and_join, disp, b, ls, t_start, t_emb),
                 ))
                 while len(pending) > max_in_flight:
-                    collect(pending.popleft())
+                    bj, fut = pending.popleft()
+                    out[bj] = fut.result()
             while pending:
-                collect(pending.popleft())
+                bj, fut = pending.popleft()
+                out[bj] = fut.result()
         return out
 
     def search_with_debug(
@@ -1291,17 +1319,21 @@ class SearchEngine:
         per query; the batched gather is the engine-serving hot path —
         VERDICT r3 Missing #4)."""
         ids = np.asarray(ids)
-        dists = np.asarray(dists)
-        valid = ids >= 0
         found = self.manager.get_texts_by_indices(
-            self.collection_name, ids[valid].tolist()
+            self.collection_name, ids[ids >= 0].tolist()
         )
+        # plain-Python loop over tolist() rows: per-element numpy scalar
+        # indexing (ids[b, i] / float(dists[b, i])) costs ~100-150 ns
+        # each, which at B=512 x k=10 is real milliseconds on the
+        # pipelined serving path
         results: list[list[dict]] = []
         j = 0
-        for b in range(ids.shape[0]):
+        for id_row, dist_row in zip(
+            ids.tolist(), np.asarray(dists, np.float64).tolist()
+        ):
             row: list[dict] = []
-            for i in range(ids.shape[1]):
-                if not valid[b, i]:
+            for idx, dist in zip(id_row, dist_row):
+                if idx < 0:
                     continue
                 item = found[j]
                 j += 1
@@ -1309,13 +1341,9 @@ class SearchEngine:
                     continue
                 text, metadata = item
                 if not isinstance(metadata, dict):
-                    metadata = {"id": int(ids[b, i]), "text": text}
+                    metadata = {"id": idx, "text": text}
                 row.append(
-                    {
-                        "text": text,
-                        "distance": float(dists[b, i]),
-                        "metadata": metadata,
-                    }
+                    {"text": text, "distance": dist, "metadata": metadata}
                 )
             results.append(row)
         return results

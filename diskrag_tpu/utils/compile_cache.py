@@ -12,6 +12,14 @@ unpack it into the cache dir the first time a process starts without
 one. A checkout then builds at fresh-process-warm-cache speed (~40 s at
 200k, within the >=4x-over-reference cold target) instead of
 compile-everything speed.
+
+Staleness: cache keys cover the full XLA program, so any kernel-source
+or jax/libtpu change silently invalidates entries — they stop hitting,
+nothing breaks. After kernel changes, regenerate on the target chip
+(`benchmarks/collect_prewarm.py`) or delete the archive; the
+`cache_hits`/`cache_misses` counters exported by `cache_metrics()`
+(emitted in bench.py's `prewarm` field) are the check that the shipped
+entries still match.
 """
 
 from __future__ import annotations
