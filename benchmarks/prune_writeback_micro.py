@@ -24,6 +24,16 @@ os.environ.setdefault(
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
+# env vars alone are ignored when sitecustomize already imported jax
+# (CLAUDE.md 2026-08-21); bind the live config too
+try:
+    import sys as _sys
+    _sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    from diskrag_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache(seed=False)
+except Exception:
+    pass
+
 
 
 import jax

@@ -26,11 +26,14 @@ import time
 
 
 def _enable_compilation_cache() -> None:
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        str(pathlib.Path(__file__).parent.parent / ".jax_cache"),
-    )
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+    # env vars alone are ignored when sitecustomize already imported jax
+    # (CLAUDE.md 2026-08-21); the shared helper binds the live config
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    from diskrag_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache(seed=False)
 
 
 def make_collection(base_dir, pts, name: str = "bench"):

@@ -77,13 +77,31 @@ def enable_compilation_cache(seed: bool = True) -> pathlib.Path:
     """Point JAX's persistent compilation cache at `<repo>/.jax_cache`
     (honoring a pre-set JAX_COMPILATION_CACHE_DIR) and, once per cache
     dir, unpack the shipped pre-warmed entries into it. Must run before
-    the first jax compile; safe to call repeatedly."""
+    the first jax compile; safe to call repeatedly.
+
+    Setting the env vars is NOT enough under the axon sitecustomize:
+    jax is imported (and its config flags bound from the environment)
+    before any user code runs, so a post-import `os.environ[...]` is
+    silently ignored — a full 893 s cold build captured ZERO cache
+    entries that way (2026-08-21; CLAUDE.md). `jax.config.update` works
+    after import, so this sets BOTH: the env for any child process that
+    starts fresh, and the live config for this one."""
     cache_dir = pathlib.Path(
         os.environ.setdefault(
             "JAX_COMPILATION_CACHE_DIR", str(_REPO_ROOT / ".jax_cache")
         )
     )
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            float(os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"]),
+        )
+    except Exception:  # pre-import call sites still get the env vars
+        logger.debug("jax.config.update for the cache failed", exc_info=True)
     if seed:
         try:
             seed_cache(cache_dir)
