@@ -280,9 +280,25 @@ class IntQuantizer:
         return self
 
     # --- encoding -----------------------------------------------------------
-    def encode(self, vectors: np.ndarray | jax.Array) -> np.ndarray:
-        """vectors [N, D] -> int8 rows [N, row_width]."""
+    def encode(
+        self, vectors: np.ndarray | jax.Array, chunk: int = 2_000_000
+    ) -> np.ndarray:
+        """vectors [N, D] -> int8 rows [N, row_width].
+
+        Chunked above `chunk` rows: the un-chunked body materializes
+        v/z/xhat f32+i32 device intermediates (~1.5 GB per 1M x 128
+        rows), which exhausted the 16 GB chip at 10M (2026-08-21 host
+        tier run). Chunks share compiled shapes except the tail."""
         self._check_fitted()
+        n = int(vectors.shape[0])
+        if n > chunk:
+            return np.concatenate(
+                [
+                    self.encode(vectors[i : i + chunk])
+                    for i in range(0, n, chunk)
+                ],
+                axis=0,
+            )
         v = jnp.asarray(vectors, jnp.float32)
         if self.n_cells > 0:
             cid = _coarse_assign_impl(self.cell_centroids, v)

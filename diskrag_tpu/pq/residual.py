@@ -208,10 +208,25 @@ class ResidualPQ:
         )
 
     def encode(
-        self, vectors: np.ndarray | jax.Array
+        self, vectors: np.ndarray | jax.Array, chunk: int = 2_000_000
     ) -> tuple[jax.Array, jax.Array]:
-        """vectors [N, D] -> (codes uint8 [N, m], coarse_ids int32 [N])."""
+        """vectors [N, D] -> (codes uint8 [N, m], coarse_ids int32 [N]).
+
+        Chunked above `chunk` rows: v + residuals are [N, D] f32 device
+        intermediates (~1 GB per 1M x 128 each), which at 10M would
+        exhaust the 16 GB chip (same failure mode as IntQuantizer.encode,
+        2026-08-21). The concatenated outputs are small (m+4 bytes/row)."""
         self._check_fitted()
+        n = int(vectors.shape[0])
+        if n > chunk:
+            parts = [
+                self.encode(vectors[i : i + chunk])
+                for i in range(0, n, chunk)
+            ]
+            return (
+                jnp.concatenate([p[0] for p in parts], axis=0),
+                jnp.concatenate([p[1] for p in parts], axis=0),
+            )
         v = jnp.asarray(vectors, jnp.float32)
         cid = _coarse_assign_impl(self.coarse_centroids, v)
         residuals = v - self.coarse_centroids[cid]
