@@ -108,6 +108,12 @@ def main() -> None:
     ap.add_argument("--knn-probe", type=int, default=8)
     ap.add_argument("--extra-entry-points", type=int, default=0)
     ap.add_argument("--scratch", default="/tmp/diskrag_host_tier")
+    ap.add_argument(
+        "--reuse-quantizer", default="",
+        help="comma list of tags whose artifacts are ALREADY persisted "
+             "in the index dir meta (skips the train+persist step — the "
+             "operator asserts the on-disk artifacts are that tag's)",
+    )
     args = ap.parse_args()
 
     from diskrag_tpu.benchmark import ground_truth, make_dataset, recall_at_k
@@ -133,7 +139,17 @@ def main() -> None:
     q_path.parent.mkdir(parents=True, exist_ok=True)
     np.save(q_path, queries)
 
+    out_path = (
+        pathlib.Path(__file__).resolve().parent
+        / f"last_host_tier_multi_{args.n}.json"
+    )
+    # merge-append into an existing same-shape record: a crash mid-run
+    # (or a follow-up sweep) must not discard rows already measured
     results = {"n": args.n, "dim": args.dim, "runs": []}
+    if out_path.exists():
+        prev = json.loads(out_path.read_text())
+        if prev.get("n") == args.n and prev.get("dim") == args.dim:
+            results = prev
     if not index_ready:
         from diskrag_tpu.graph.knn_build import build_vamana_knn
         from diskrag_tpu.index.persist import save_index
@@ -165,9 +181,14 @@ def main() -> None:
         mode, widths = QUANT_SPECS[tag]
         if args.widths:
             widths = tuple(int(w) for w in args.widths.split(","))
-        train_s = train_quantizer(tag, pts, store, meta_p)
-        print(f"quantizer {tag}: trained+persisted in {train_s:.1f}s",
-              flush=True)
+        if tag in args.reuse_quantizer.split(","):
+            train_s = 0.0
+            print(f"quantizer {tag}: reusing persisted artifacts",
+                  flush=True)
+        else:
+            train_s = train_quantizer(tag, pts, store, meta_p)
+            print(f"quantizer {tag}: trained+persisted in {train_s:.1f}s",
+                  flush=True)
         ht = HostTierIndex.from_store(index_dir, mode=mode)
         if args.extra_entry_points:
             import jax.numpy as jnp
@@ -220,15 +241,10 @@ def main() -> None:
             }
             print(json.dumps(line), flush=True)
             results["runs"].append(line)
+            results["measured"] = time.strftime("%Y-%m-%d")
+            out_path.write_text(json.dumps(results, indent=1))
         del ht
-
-    out = (
-        pathlib.Path(__file__).resolve().parent
-        / f"last_host_tier_multi_{args.n}.json"
-    )
-    results["measured"] = time.strftime("%Y-%m-%d")
-    out.write_text(json.dumps(results, indent=1))
-    print(f"wrote {out}")
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

@@ -496,13 +496,28 @@ def beam_search_pq(
             ) + point_bias[safe]
         return d
 
-    def seed_expand(seeds):
+    def _seed_scores(seeds):
         from diskrag_tpu.pq.product_quantizer import adc_lookup
 
         d = adc_lookup(tables, codes[seeds])  # one shared code gather
         if residual:
             d = d + cell_tables[:, point_cell[seeds]] + point_bias[seeds][None, :]
         return d
+
+    def seed_expand(seeds):
+        # the ADC lookup materializes [B, S, m] f32; at 10M the k-means
+        # entry set is S=65k, which with B=1000/m=64 is a 16.8 GB fusion
+        # (exceeded the 16 GB chip, 2026-08-21). Chunk over S: each tile
+        # is a [B, CH, m] transient, summed down to [B, CH] before the
+        # next tile runs (lax.map is sequential).
+        s = seeds.shape[0]
+        ch = 4096
+        if s <= ch:
+            return _seed_scores(seeds)
+        pad = (-s) % ch
+        tiles = jnp.pad(seeds, (0, pad)).reshape(-1, ch)
+        d = jax.lax.map(_seed_scores, tiles)  # [T, B, CH]
+        return jnp.moveaxis(d, 0, 1).reshape(b, -1)[:, :s]
 
     res = _frontier_search(
         adjacency, medoid, expand, b,

@@ -307,6 +307,44 @@ def test_residual_pq_serving_decomposition(rng):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
 
 
+def test_beam_search_pq_chunked_seed_scoring(clustered_data):
+    """With more entry points than the 4096 seed-scoring chunk, the
+    chunked lax.map path must score every seed (regression for the 10M
+    16.8 GB seed-fusion OOM, 2026-08-21): seeding ALL nodes as entries
+    and reranking exactly must recover brute-force top-k."""
+    from diskrag_tpu.graph.search import beam_search_pq
+    from diskrag_tpu.graph.knn_build import build_vamana_knn
+    from diskrag_tpu.ops.distance import brute_force_topk
+    from diskrag_tpu.pq import ResidualPQ
+
+    rng_l = np.random.default_rng(3)
+    pts = np.concatenate([clustered_data] * 3)  # 6000 rows > 4096 chunk
+    pts = pts + rng_l.normal(size=pts.shape).astype(np.float32) * 0.01
+    index = build_vamana_knn(pts, degree_bound=16, alpha=1.2, seed=0)
+    queries = pts[rng_l.integers(0, len(pts), size=8)] + 0.05 * rng_l.normal(
+        size=(8, pts.shape[1])
+    ).astype(np.float32)
+    _, gt = brute_force_topk(jnp.asarray(queries), jnp.asarray(pts), k=5)
+
+    rpq = ResidualPQ(n_subvectors=8, n_coarse=64).fit(pts, seed=0)
+    codes, cids = rpq.encode(pts)
+    all_entries = jnp.arange(len(pts), dtype=jnp.int32)
+    res = beam_search_pq(
+        codes, rpq.inner_tables(queries), index.adjacency, index.medoid,
+        search_width=64, k=5, rerank=True,
+        vectors=index.vectors, queries=jnp.asarray(queries),
+        entry_points=all_entries,
+        point_cell=jnp.asarray(cids), point_bias=rpq.point_bias(codes, cids),
+        cell_tables=rpq.cell_tables(queries),
+    )
+    got = np.asarray(res.ids)
+    gt = np.asarray(gt)
+    rec = np.mean(
+        [len(set(got[i]) & set(gt[i])) / 5 for i in range(len(gt))]
+    )
+    assert rec >= 0.9, f"chunked-seed recall {rec:.3f}"
+
+
 def test_beam_search_residual_pq_traversal(clustered_data):
     """PQ-guided graph traversal with the residual aux operands: on
     clustered data the residual-guided traversal (exact rerank on top)
