@@ -40,6 +40,14 @@ N_QUERIES = 1000
 K = 10
 
 
+def _dump(points):
+    print(json.dumps([
+        {"mode": p.mode, "L": p.search_width, "E": p.expand_width,
+         "recall": round(p.recall, 4), "qps": round(p.qps, 1)}
+        for p in points
+    ]), flush=True)
+
+
 def main():
     from diskrag_tpu.benchmark import (
         ground_truth,
@@ -63,23 +71,29 @@ def main():
 
     points = sweep_exact(index, queries, gt, k=K, widths=(16, 32),
                          expand_widths=(8,))
+    _dump(points)
 
     iq8 = IntQuantizer(bits=8).fit(pts, seed=0)
     points += sweep_iq(index, iq8, iq8.encode(pts), queries, gt, k=K,
                        widths=(16, 32), expand_widths=(8,))
+    _dump(points)
 
     rpq = ResidualPQ(n_subvectors=32).fit(pts, seed=0)
     codes, cids = rpq.encode(pts)
     points += sweep_pq(index, rpq, np.asarray(codes), queries, gt, k=K,
                        widths=(32, 64), expand_widths=(4,),
                        coarse_ids=np.asarray(cids))
+    _dump(points)
 
     # VERDICT r2 #8: can residual-PQ clear 0.95 on angular at all?
     # Bigger sub-vector budget + 4x coarse cells (residuals on a unit
     # sphere carry most of the signal in the cell assignment) + wider
     # beams. If this still lands short, the angular recommendation is
     # scoped to iq tiers and rpq rows document the limitation.
-    rpq64 = ResidualPQ(n_subvectors=64, n_coarse=4096).fit(pts, seed=0)
+    # n_coarse=2048, not 4096: k=4096 k-means at d=128/train=262k hits
+    # an XLA TPU compiler CHECK-crash (fusion_util TransformWindow, probed
+    # 2026-08-21 — fails at any chunk size; 2048 compiles fine)
+    rpq64 = ResidualPQ(n_subvectors=64, n_coarse=2048).fit(pts, seed=0)
     codes64, cids64 = rpq64.encode(pts)
     points += sweep_pq(index, rpq64, np.asarray(codes64), queries, gt,
                        k=K, widths=(64, 96), expand_widths=(4,),
@@ -88,6 +102,7 @@ def main():
     out = {
         "config": f"angular-normalized-{N}",
         "build_seconds": round(build_s, 1),
+        "measured": time.strftime("%Y-%m-%d"),
         "sweep": [
             {"mode": p.mode, "L": p.search_width, "E": p.expand_width,
              "recall": round(p.recall, 4), "qps": round(p.qps, 1)}
@@ -95,6 +110,8 @@ def main():
         ],
     }
     print(json.dumps(out))
+    path = pathlib.Path(__file__).resolve().parent / "last_angular_tpu.json"
+    path.write_text(json.dumps(out, indent=1))
 
 
 if __name__ == "__main__":
