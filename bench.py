@@ -11,11 +11,19 @@ Stage order (VERDICT r3 #1 — the 1M stage is the north star and must
 never be starved by optional garnish):
   1. 200k core: flat sweep (incl. adaptive width) + graph build + exact
   2. 1M compact stage: flat (adaptive width re-selected at 1M) + graph
-  3. 200k extras: ivf + iq8 + iq4 + rpq — each budget-gated
-  4. engine serving stage (no HTTP in the driver line; the standalone
+  3. 1M host tier: iq8 compressed traversal + host rerank through the
+     ENGINE path (the beyond-HBM tier, VERDICT r4 #2)
+  4. 200k extras: ivf + iq8 + iq4 + rpq — each budget-gated
+  5. engine serving stage (no HTTP in the driver line; the standalone
      benchmarks/serving_bench.py keeps the HTTP row)
 A cold build that overruns its estimate skips the warm rebuild, and the
 budget gates drop the extras before they can ever drop the 1M stage.
+
+Output contract: ONE JSON line, detail keys first and the compact
+headline group (metric/value/vs_baseline/1m/host_tier/...) LAST, so the
+driver's last-2000-chars stdout capture always contains the metric of
+record (VERDICT r4 #1 — rounds 2-4 lost it). The full record is also
+written to benchmarks/last_bench_tpu.json.
 
 Wall budget: the driver cap is ~30 min and the shared tunnel has real
 outage windows (a 20-min stall was observed 2026-08-19). The JSON line
@@ -23,7 +31,9 @@ is emitted no matter which stages were skipped.
 
 Env knobs: BENCH_N (default 200000), BENCH_QUERIES (1000), BENCH_DIM
 (128), BENCH_BUDGET_S (default 1560 = 26 min), BENCH_1M (default 1),
-BENCH_SERVING (default 1).
+BENCH_1M_N (default 1000000 — shrink for CPU pipeline smoke tests),
+BENCH_HOST_TIER (default 1), BENCH_HT_DIR (scratch for the host-tier
+artifacts), BENCH_SERVING (default 1).
 """
 
 import json
@@ -165,6 +175,123 @@ def _extras_scale(
     return points, timings
 
 
+def _host_tier_stage(pts, queries, gt, index, k: int) -> dict:
+    """Beyond-HBM tier in the driver line (VERDICT r4 #2): persist the
+    already-built 1M index with the packed record file + IntQuantizer
+    int8 artifacts, then serve through the ENGINE host_tier path — int8
+    compressed traversal in HBM, exact rerank against host-resident f32
+    vectors via the native record reader. This is the tier that replaces
+    the reference's disk-resident serving
+    (io/diskann_persist.py:209-235 + vamana_graph.py:719-760), measured
+    through SearchEngine rather than a standalone script."""
+    import numpy as np
+
+    from diskrag_tpu.benchmark import recall_at_k
+    from diskrag_tpu.data.collection import CollectionManager
+    from diskrag_tpu.engine import SearchEngine
+    from diskrag_tpu.index.persist import save_index
+    from diskrag_tpu.pq.intq import IntQuantizer
+
+    base = os.environ.get("BENCH_HT_DIR", "/tmp/diskrag_bench_host_tier")
+    name = "bench1m"
+    mgr = CollectionManager(base)
+    if mgr.get_collection_info(name) is None:
+        mgr.create_collection(name, int(pts.shape[1]))
+    index_dir = mgr.get_index_dir(name)
+
+    t0 = time.perf_counter()
+    iq8 = IntQuantizer(bits=8).fit(pts, seed=0)
+    codes = np.asarray(iq8.encode(pts))
+    # operating points measured 2026-08 (last_host_tier_multi_1000000):
+    # L=32/E=8 0.9916 @ 7.5k, L=48 0.994 @ 5.1k — persist them so the
+    # engine serves the tuned config by default
+    save_index(
+        index_dir, index, pq=iq8, pq_codes=codes,
+        meta_extra={
+            "recommended_search_L": 32,
+            "recommended_expand_width": 8,
+        },
+        write_compat=True, host_vectors=pts,
+    )
+    prep_s = time.perf_counter() - t0
+
+    eng = SearchEngine(
+        name, base_dir=base, serving_mode="host_tier",
+        run_diagnostics=False,
+    )
+    out: dict = {
+        "quantizer": "iq8", "prep_seconds": round(prep_s, 1), "points": [],
+    }
+    q = np.asarray(queries, np.float32)
+    for l_search in (32, 48):
+        eng.search_batch(q, k=k, l_search=l_search)  # full-shape warmup
+        best, ids, stats = float("inf"), None, None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, ids, stats = eng.search_batch(q, k=k, l_search=l_search)
+            best = min(best, time.perf_counter() - t0)
+        out["points"].append({
+            "L": l_search,
+            "E": 8,
+            "recall": round(recall_at_k(ids, gt, k), 4),
+            "qps": round(len(q) / best, 1),
+            "search_type": stats["search_type"],
+        })
+        out["stage_ms"] = {
+            kk: round(vv, 1)
+            for kk, vv in (stats.get("stage_ms") or {}).items()
+        }
+    return out
+
+
+# Keys the judge/driver must be able to read from the LAST ~2000 chars
+# of stdout, emitted in this order at the END of the JSON line.
+_HEADLINE_KEYS = (
+    "metric", "value", "unit", "vs_baseline", "recall", "search_width",
+    "mode", "build_seconds_cold", "build_seconds",
+    "ivf_build_seconds_cold", "ivf_build_seconds",
+    "error", "extras_error", "1m_error", "host_tier_error", "serving_error",
+    "1m", "host_tier", "serving_qps_b512", "prewarm", "budget_skipped",
+    "bench_wall_seconds",
+)
+
+# head members droppable (biggest first) if the headline group itself
+# ever outgrows the driver tail — belt and braces, normally unused
+_HEADLINE_DROPPABLE = ("serving_qps_b512", "prewarm", "host_tier", "1m")
+
+
+def _emit(record: dict) -> None:
+    """Print the single driver JSON line with the headline keys LAST.
+
+    The driver keeps only the last 2000 characters of stdout; rounds
+    2-4 all recorded parsed:null because the sweeps pushed
+    `metric`/`value` out of that tail (VERDICT r4 #1). json.dumps
+    preserves insertion order, so the detail keys (full sweeps, serving
+    stage breakdowns) go FIRST and the compact headline group LAST,
+    with `"metric"` leading the group — if it is inside the tail,
+    everything after it is too. A guard drops optional head members if
+    the group ever exceeds the tail budget."""
+    detail = {k: v for k, v in record.items() if k not in _HEADLINE_KEYS}
+    head = {k: record[k] for k in _HEADLINE_KEYS if k in record}
+    for k in _HEADLINE_DROPPABLE:
+        if len(json.dumps(head)) <= 1800:
+            break
+        head.pop(k, None)
+    full = {**detail, **head}
+    if "sift-like-200k" in str(record.get("metric", "")):
+        # official-protocol runs refresh the record file; smoke-scale
+        # runs (BENCH_N overridden) must not clobber it
+        try:
+            out_path = (
+                pathlib.Path(__file__).parent / "benchmarks" /
+                "last_bench_tpu.json"
+            )
+            out_path.write_text(json.dumps(full, indent=1))
+        except OSError:
+            pass
+    print(json.dumps(full))
+
+
 def main() -> None:
     _enable_compilation_cache()
     n = int(os.environ.get("BENCH_N", "200000"))
@@ -224,7 +351,7 @@ def main() -> None:
         record["sweep"] = fmt(points)
     except Exception as e:  # noqa: BLE001 — the line must still print
         record["error"] = f"{type(e).__name__}: {e}"
-        print(json.dumps(record))
+        _emit(record)
         raise SystemExit(1)
 
     # secondary 1M stage (VERDICT r1 #9: the north-star names SIFT1M) —
@@ -232,14 +359,17 @@ def main() -> None:
     # the garnish, not the entrée (VERDICT r3 #1). The adaptive
     # rerank-width point is re-selected at 1M inside sweep_flat.
     # Disable with BENCH_1M=0.
+    # BENCH_1M_N shrinks the stage for CPU smoke-validation of the full
+    # driver pipeline; the driver always runs the 1M default
+    n_1m = int(os.environ.get("BENCH_1M_N", "1000000"))
     if (
-        n == 200_000
+        n_1m > n
         and os.environ.get("BENCH_1M", "1") == "1"
         and bud.allow("1m_stage", 480)
     ):
         try:
             points_1m, timings_1m, (pts1, q1, gt1, index1) = _core_scale(
-                1_000_000, dim, n_queries, k, compact=True, bud=bud
+                n_1m, dim, n_queries, k, compact=True, bud=bud
             )
             if bud.allow("1m_extras", 130):
                 extra_pts, extra_t = _extras_scale(
@@ -248,8 +378,11 @@ def main() -> None:
                 )
                 points_1m += extra_pts
                 timings_1m.update(extra_t)
-            del pts1, q1, gt1, index1
             best_1m = best_qps_at_recall(points_1m, 0.95)
+            # the full 1M sweep is a detail key (printed early in the
+            # line); the "1m" headline stays compact so it survives the
+            # driver's 2000-char stdout tail (_emit)
+            record["sweep_1m"] = fmt(points_1m)
             record["1m"] = {
                 "qps_at_recall0.95": (
                     round(best_1m.qps, 1) if best_1m else None
@@ -257,8 +390,19 @@ def main() -> None:
                 "recall": round(best_1m.recall, 4) if best_1m else None,
                 "mode": best_1m.mode if best_1m else None,
                 **timings_1m,
-                "sweep": fmt(points_1m),
             }
+            # beyond-HBM tier through the engine path (VERDICT r4 #2) —
+            # reuses the already-built 1M index + dataset
+            if os.environ.get("BENCH_HOST_TIER", "1") == "1" and bud.allow(
+                "host_tier", 420
+            ):
+                try:
+                    record["host_tier"] = _host_tier_stage(
+                        pts1, q1, gt1, index1, k
+                    )
+                except Exception as e:  # noqa: BLE001
+                    record["host_tier_error"] = f"{type(e).__name__}: {e}"
+            del pts1, q1, gt1, index1
         except Exception as e:  # noqa: BLE001
             record["1m_error"] = f"{type(e).__name__}: {e}"
 
@@ -321,7 +465,7 @@ def main() -> None:
     if bud.skipped:
         record["budget_skipped"] = bud.skipped
     record["bench_wall_seconds"] = round(bud.elapsed, 1)
-    print(json.dumps(record))
+    _emit(record)
 
 
 if __name__ == "__main__":

@@ -937,8 +937,14 @@ class SearchEngine:
             if hasattr(self, "mesh"):
                 n_data = self.mesh.shape.get("data", 1)
                 chunk = -(-chunk // n_data) * n_data
+            # expand width comes from the index meta when the build tuned
+            # one (wider expansion = fewer sequential frontier rounds —
+            # the only lever against the ~1 ms/round HBM-latency floor on
+            # compressed traversals; see docs/PERFORMANCE.md host tier)
+            e = int(self.meta.get("recommended_expand_width", 0) or 4)
             dists, ids, ht_stats = self.host_tier.search_pipelined(
                 np.asarray(q), search_width=l_search, k=k, chunk=chunk,
+                expand_width=e,
             )
             # the sharded tier's merged shard_map path has no per-shard
             # expansion counters (and no PQ mode)
@@ -951,6 +957,10 @@ class SearchEngine:
             return dists, np.asarray(ids), None, {
                 "search_type": ht_stats.get("search_type", "host_tier"),
                 "counts": lambda c, nv=nv, ne=ne, npq=npq: (nv, ne, npq),
+                # per-stage attribution (traverse vs host rerank) rides
+                # through to the caller's stats — serving benchmarks
+                # report it (VERDICT r4 #2: stage_ms via the engine path)
+                "stage_ms": ht_stats.get("stage_ms"),
             }
         if self.serving_mode == "sharded_flat":
             from diskrag_tpu.parallel import sharded_flat_search
@@ -1085,6 +1095,8 @@ class SearchEngine:
             "k": k,
             "L_search": l_search,
         }
+        if meta.get("stage_ms"):
+            stats["stage_ms"] = meta["stage_ms"]
         return dists, ids, stats
 
     # --- public text API (reference search_engine.py:530-614) ------------
