@@ -435,7 +435,7 @@ def main() -> None:
     # including the packed result fetch and text join. HTTP lives in the
     # standalone benchmarks/serving_bench.py record only (VERDICT r3 #9).
     if os.environ.get("BENCH_SERVING", "1") == "1" and bud.allow(
-        "serving", 150
+        "serving", 240
     ):
         try:
             import numpy as np
@@ -446,6 +446,11 @@ def main() -> None:
             serving = measure_serving(
                 pts, np.asarray(queries), index=index, batches=(512,),
                 k=k, repeats=5, http=False,
+                # all four explicit engine serving modes (VERDICT r4 #4b
+                # — the flat-tier 869-QPS surprise of round 3 hid in an
+                # unmeasured engine path; don't leave the mutable and
+                # beyond-HBM tiers unmeasured the same way)
+                modes=("flat", "vamana", "streaming", "host_tier"),
             )
             record["serving_qps_b512"] = {
                 m: round(rows[0]["qps"], 1)
