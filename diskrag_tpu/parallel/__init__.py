@@ -10,9 +10,14 @@ TPU-native equivalents designed here:
   - per-shard independent builds (embarrassingly parallel wave steps);
   - sharded host-offload tier: per-shard bf16 traversal in HBM, pools
     all-gathered over ICI, one exact host rerank against the f32 record
-    file (BASELINE configs 4+5 combined).
+    file (BASELINE configs 4+5 combined);
+  - multi-host (DCN) tier: per-host ingest + local shard builds, one
+    global mesh via jax.distributed, search merges riding ICI within a
+    host and DCN across hosts (`parallel/multihost.py`, DESIGN.md
+    "ICI vs DCN").
 """
 
+from diskrag_tpu.parallel import multihost
 from diskrag_tpu.parallel.host_tier import ShardedHostTier
 from diskrag_tpu.parallel.mesh import make_mesh
 from diskrag_tpu.parallel.sharded import (
@@ -27,6 +32,7 @@ from diskrag_tpu.parallel.sharded import (
 )
 
 __all__ = [
+    "multihost",
     "ShardedHostTier",
     "make_mesh",
     "ShardedIndex",
