@@ -4,7 +4,7 @@ PY ?= python
 TEST_ENV = PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
 
 .PHONY: install native test test-quick test-full bench baseline demo \
-        process-faq search-faq run-api verify clean
+        process-faq search-faq run-api verify clean prewarm
 
 # usage: make process-faq COLLECTION=my_faq CSV=examples/faq_data.csv
 process-faq:
@@ -35,6 +35,14 @@ test-quick: native
 
 bench:
 	$(PY) bench.py
+
+# regenerate prewarmed_cache.tar.zst ON THE TARGET CHIP. Policy
+# (ADVICE r3 #4 / VERDICT r4 #9): rerun whenever the driver line's
+# prewarm.cache_misses climbs past ~10 — kernel changes stale the
+# packed programs silently; the hit/miss counters in every bench line
+# are the staleness signal. INCLUDE_1M=1 adds the 1M build geometry.
+prewarm:
+	INCLUDE_1M=1 $(PY) benchmarks/collect_prewarm.py
 
 baseline:
 	$(PY) benchmarks/measure_baseline.py

@@ -15,11 +15,19 @@ compile-everything speed.
 
 Staleness: cache keys cover the full XLA program, so any kernel-source
 or jax/libtpu change silently invalidates entries — they stop hitting,
-nothing breaks. After kernel changes, regenerate on the target chip
-(`benchmarks/collect_prewarm.py`) or delete the archive; the
-`cache_hits`/`cache_misses` counters exported by `cache_metrics()`
-(emitted in bench.py's `prewarm` field) are the check that the shipped
-entries still match.
+nothing breaks. The `cache_hits`/`cache_misses` counters exported by
+`cache_metrics()` (emitted in bench.py's `prewarm` field) are the
+check that the shipped entries still match.
+
+Regeneration POLICY (ADVICE r3 #4 / VERDICT r4 #9): the archive stays
+tracked in git — it is the cold-start story a fresh checkout gets and
+what the driver's `build_seconds_cold` protocol exercises — and is
+regenerated on the target chip with `make prewarm` (INCLUDE_1M=1
+collect_prewarm run) whenever a bench line reports
+`prewarm.cache_misses` above ~10, i.e. after any round that touched
+kernel/traced code. One archive generation per such round, at
+round end once kernels have settled; the counters in the next driver
+line verify the refresh took.
 """
 
 from __future__ import annotations
