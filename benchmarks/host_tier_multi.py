@@ -102,7 +102,12 @@ def main() -> None:
     ap.add_argument("--quantizers", default="iq8,iq4c1024,rpq64")
     ap.add_argument("--widths", default=None,
                     help="override width grid for ALL modes, e.g. 32,64")
-    ap.add_argument("--expand", type=int, default=8)
+    ap.add_argument(
+        "--expand", default="8",
+        help="comma list of expand widths to sweep (wider expansion = "
+             "fewer sequential frontier rounds — the only lever against "
+             "the ~1 ms/round HBM-latency floor; VERDICT r4 #3)",
+    )
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--R", type=int, default=32)
     ap.add_argument("--knn-probe", type=int, default=8)
@@ -212,37 +217,40 @@ def main() -> None:
             bpp = int(ht.codes.shape[1]) + (
                 8 if ht.pq_cells is not None else 0
             )
+        expands = tuple(int(e) for e in str(args.expand).split(","))
         for w in widths:
-            ht.search(queries, search_width=w, k=args.k,
-                      expand_width=args.expand)
-            times, stats = [], None
-            for _ in range(args.repeats):
-                t0 = time.perf_counter()
-                dists, ids, stats = ht.search(
-                    queries, search_width=w, k=args.k,
-                    expand_width=args.expand,
-                )
-                times.append(time.perf_counter() - t0)
-            dt = min(times)
-            rec = recall_at_k(ids[: args.queries], gt, args.k)
-            line = {
-                "quantizer": tag,
-                "mode": mode,
-                "bytes_per_point": bpp,
-                "L": w,
-                "E": args.expand,
-                "recall": round(rec, 4),
-                "qps": round(args.queries / dt, 1),
-                "batch_ms": round(dt * 1e3, 1),
-                "train_s": round(train_s, 1),
-                "stage_ms": {
-                    k: round(v, 1) for k, v in stats["stage_ms"].items()
-                },
-            }
-            print(json.dumps(line), flush=True)
-            results["runs"].append(line)
-            results["measured"] = time.strftime("%Y-%m-%d")
-            out_path.write_text(json.dumps(results, indent=1))
+            for e in expands:
+                ht.search(queries, search_width=w, k=args.k,
+                          expand_width=e)
+                times, stats = [], None
+                for _ in range(args.repeats):
+                    t0 = time.perf_counter()
+                    dists, ids, stats = ht.search(
+                        queries, search_width=w, k=args.k,
+                        expand_width=e,
+                    )
+                    times.append(time.perf_counter() - t0)
+                dt = min(times)
+                rec = recall_at_k(ids[: args.queries], gt, args.k)
+                line = {
+                    "quantizer": tag,
+                    "mode": mode,
+                    "bytes_per_point": bpp,
+                    "L": w,
+                    "E": e,
+                    "entry_extra": args.extra_entry_points,
+                    "recall": round(rec, 4),
+                    "qps": round(args.queries / dt, 1),
+                    "batch_ms": round(dt * 1e3, 1),
+                    "train_s": round(train_s, 1),
+                    "stage_ms": {
+                        k: round(v, 1) for k, v in stats["stage_ms"].items()
+                    },
+                }
+                print(json.dumps(line), flush=True)
+                results["runs"].append(line)
+                results["measured"] = time.strftime("%Y-%m-%d")
+                out_path.write_text(json.dumps(results, indent=1))
         del ht
     print(f"wrote {out_path}")
 
