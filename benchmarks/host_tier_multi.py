@@ -112,6 +112,10 @@ def main() -> None:
     ap.add_argument("--R", type=int, default=32)
     ap.add_argument("--knn-probe", type=int, default=8)
     ap.add_argument("--extra-entry-points", type=int, default=0)
+    ap.add_argument(
+        "--no-gather-pad", action="store_true",
+        help="disable the 256 B iq row gather pad (A/B control)",
+    )
     ap.add_argument("--scratch", default="/tmp/diskrag_host_tier")
     ap.add_argument(
         "--reuse-quantizer", default="",
@@ -194,7 +198,9 @@ def main() -> None:
             train_s = train_quantizer(tag, pts, store, meta_p)
             print(f"quantizer {tag}: trained+persisted in {train_s:.1f}s",
                   flush=True)
-        ht = HostTierIndex.from_store(index_dir, mode=mode)
+        ht = HostTierIndex.from_store(
+            index_dir, mode=mode, gather_pad=not args.no_gather_pad
+        )
         if args.extra_entry_points:
             import jax.numpy as jnp
 
@@ -212,7 +218,8 @@ def main() -> None:
             )
         bpp = None
         if mode == "iq":
-            bpp = int(ht.codes.shape[1]) if ht.codes is not None else None
+            # true payload width, not the 256 B gather pad
+            bpp = int(ht.pq.row_width) if ht.pq is not None else None
         elif mode == "pq":
             bpp = int(ht.codes.shape[1]) + (
                 8 if ht.pq_cells is not None else 0
@@ -239,6 +246,7 @@ def main() -> None:
                     "L": w,
                     "E": e,
                     "entry_extra": args.extra_entry_points,
+                    "gather_pad": not args.no_gather_pad,
                     "recall": round(rec, 4),
                     "qps": round(args.queries / dt, 1),
                     "batch_ms": round(dt * 1e3, 1),

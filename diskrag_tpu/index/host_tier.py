@@ -122,7 +122,8 @@ class HostTierIndex:
 
     @classmethod
     def from_store(
-        cls, index_dir, cache_capacity: int = 65_536, mode: str | None = None
+        cls, index_dir, cache_capacity: int = 65_536,
+        mode: str | None = None, gather_pad: bool = True,
     ) -> "HostTierIndex":
         """Open from a persisted index directory containing the packed
         record file (index.dat). mode None auto-picks: "iq" for
@@ -185,7 +186,15 @@ class HostTierIndex:
 
             with np.load(store.pq_model_path) as z:
                 pq = pq_from_arrays(dict(z))
-            codes = jnp.asarray(np.load(store.pq_codes_path))
+            codes_np = np.load(store.pq_codes_path)
+            if mode == "iq" and gather_pad:
+                # round-latency lever: >=256 B rows gather ~3x faster
+                # on this chip (pq/intq.py pad_rows_for_gather); the
+                # trailing zero lanes are ignored by the scorer
+                from diskrag_tpu.pq.intq import pad_rows_for_gather
+
+                codes_np = pad_rows_for_gather(codes_np)
+            codes = jnp.asarray(codes_np)
             if isinstance(pq, ResidualPQ):
                 from diskrag_tpu.index.persist import load_pq_aux
 

@@ -103,6 +103,25 @@ def _unpack_rows(rows: jax.Array, dim: int, bits: int, n_cells: int):
     return z.astype(jnp.float32), cid, bias_q
 
 
+def pad_rows_for_gather(rows: np.ndarray, min_bytes: int = 256) -> np.ndarray:
+    """Pad int8 code rows with trailing zero lanes up to >=`min_bytes`.
+
+    HBM row gathers on this TPU run ~3x faster once the row is >=256 B
+    (probed 2026-08-20 on i32 tables, CLAUDE.md "pad row width to
+    >=256 B for hot gather tables"): narrower rows waste the gather
+    engine's minimum transfer. Scoring ignores trailing lanes
+    (_unpack_rows slices by absolute position), so the pad is
+    correctness-free and costs only HBM capacity (130 -> 256 B/pt at
+    D=128 bits=8; a 10M-point host tier pays 2.56 GB of 16 GB). The
+    traversal loop is round-LATENCY-bound, so faster gathers shorten
+    every sequential frontier round."""
+    w = int(rows.shape[-1])
+    if w >= min_bytes:
+        return np.asarray(rows)
+    return np.pad(np.asarray(rows), [(0, 0)] * (rows.ndim - 1)
+                  + [(0, min_bytes - w)])
+
+
 def _cell_term(cell_t: jax.Array, cid: jax.Array, onehot: bool) -> jax.Array:
     """cell_t [B, C], cid int32 [B, Cand] -> [B, Cand].
 

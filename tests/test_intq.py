@@ -144,3 +144,25 @@ def test_traversal_recall(bits, n_cells):
         [len(set(got[i]) & set(gt[i])) / 10 for i in range(len(q))]
     )
     assert recall >= 0.9, f"iq{bits}/cells={n_cells} recall {recall}"
+
+
+@pytest.mark.parametrize("bits,n_cells", [(8, 0), (4, 64)])
+def test_gather_pad_scores_identical(bits, n_cells):
+    """256 B gather padding (pad_rows_for_gather) must be a pure layout
+    change: scores over padded rows are bit-identical to unpadded
+    (the unpacker slices lanes by absolute position)."""
+    from diskrag_tpu.pq.intq import pad_rows_for_gather
+
+    pts, q = _data(n=1024, dim=32, nq=8, seed=5)
+    iq = IntQuantizer(bits=bits, n_cells=n_cells).fit(pts, seed=0)
+    rows = np.asarray(iq.encode(pts))
+    padded = pad_rows_for_gather(rows)
+    assert padded.shape[1] == 256 and rows.shape[1] < 256
+    t = iq.query_tables(q)
+    s0 = np.asarray(iq_score_shared(
+        t, jnp.asarray(rows), dim=iq.dim, bits=iq.bits, n_cells=iq.n_cells
+    ))
+    s1 = np.asarray(iq_score_shared(
+        t, jnp.asarray(padded), dim=iq.dim, bits=iq.bits, n_cells=iq.n_cells
+    ))
+    np.testing.assert_array_equal(s0, s1)
