@@ -368,6 +368,11 @@ class ShardedHostTier:
                 shard_rows[pad_mask] = np.asarray(
                     pq.encode(np.asarray(index.vectors[ps, pr]))
                 )
+            from diskrag_tpu.pq.intq import pad_rows_for_gather
+
+            # 256 B gather pad — same round-latency lever as the
+            # single-chip tier (index/host_tier.py from_store)
+            shard_rows = pad_rows_for_gather(shard_rows)
             return cls(
                 vectors_bf16=None,
                 mode="iq",
