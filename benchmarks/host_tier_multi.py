@@ -116,6 +116,19 @@ def main() -> None:
         "--no-gather-pad", action="store_true",
         help="disable the 256 B iq row gather pad (A/B control)",
     )
+    ap.add_argument(
+        "--pipeline", type=int, default=0, metavar="CHUNK",
+        help="measure via search_pipelined with this query chunk "
+             "(device traverses chunk i+1 while the host reranks chunk "
+             "i — the serving engine's path); 0 = plain search()",
+    )
+    ap.add_argument(
+        "--rerank-pool", type=int, default=0,
+        help="truncate the host rerank to the best-ordered POOL ids per "
+             "query (iq8 traversal ordering is near-exact, so a short "
+             "pool keeps recall while cutting host gather+BLAS); 0 = "
+             "full beam+visited pool",
+    )
     ap.add_argument("--scratch", default="/tmp/diskrag_host_tier")
     ap.add_argument(
         "--reuse-quantizer", default="",
@@ -225,17 +238,27 @@ def main() -> None:
                 8 if ht.pq_cells is not None else 0
             )
         expands = tuple(int(e) for e in str(args.expand).split(","))
+
+        rp = args.rerank_pool or None
+
+        def call(w, e):
+            if args.pipeline:
+                return ht.search_pipelined(
+                    queries, search_width=w, k=args.k, expand_width=e,
+                    chunk=args.pipeline, rerank_pool=rp,
+                )
+            return ht.search(
+                queries, search_width=w, k=args.k, expand_width=e,
+                rerank_pool=rp,
+            )
+
         for w in widths:
             for e in expands:
-                ht.search(queries, search_width=w, k=args.k,
-                          expand_width=e)
+                call(w, e)
                 times, stats = [], None
                 for _ in range(args.repeats):
                     t0 = time.perf_counter()
-                    dists, ids, stats = ht.search(
-                        queries, search_width=w, k=args.k,
-                        expand_width=e,
-                    )
+                    dists, ids, stats = call(w, e)
                     times.append(time.perf_counter() - t0)
                 dt = min(times)
                 rec = recall_at_k(ids[: args.queries], gt, args.k)
@@ -247,6 +270,8 @@ def main() -> None:
                     "E": e,
                     "entry_extra": args.extra_entry_points,
                     "gather_pad": not args.no_gather_pad,
+                    "pipeline_chunk": args.pipeline or None,
+                    "rerank_pool": rp,
                     "recall": round(rec, 4),
                     "qps": round(args.queries / dt, 1),
                     "batch_ms": round(dt * 1e3, 1),

@@ -937,14 +937,21 @@ class SearchEngine:
             if hasattr(self, "mesh"):
                 n_data = self.mesh.shape.get("data", 1)
                 chunk = -(-chunk // n_data) * n_data
-            # expand width comes from the index meta when the build tuned
-            # one (wider expansion = fewer sequential frontier rounds —
-            # the only lever against the ~1 ms/round HBM-latency floor on
-            # compressed traversals; see docs/PERFORMANCE.md host tier)
+            # expand width + rerank-pool truncation come from the index
+            # meta when the build tuned them (round-cutting and
+            # host-rerank levers — docs/PERFORMANCE.md "Round-cutting
+            # levers"; rerank_pool=112 at 10M holds recall bit-identical
+            # while cutting the host stage ~30%)
             e = int(self.meta.get("recommended_expand_width", 0) or 4)
+            kwargs = {}
+            rp = int(self.meta.get("recommended_rerank_pool", 0) or 0)
+            if rp and not hasattr(self, "mesh"):
+                # the sharded tier's pool is already all-gather-merged
+                # per shard and has no truncation knob
+                kwargs["rerank_pool"] = rp
             dists, ids, ht_stats = self.host_tier.search_pipelined(
                 np.asarray(q), search_width=l_search, k=k, chunk=chunk,
-                expand_width=e,
+                expand_width=e, **kwargs,
             )
             # the sharded tier's merged shard_map path has no per-shard
             # expansion counters (and no PQ mode)
