@@ -104,7 +104,11 @@ def _core_scale(
     gt = ground_truth(pts, queries, k)
     timings = {}
 
-    points = sweep_flat(pts, queries, gt, k=k)
+    # the 200k stage adds a B=2048 packed point (amortizes the measured
+    # ~0.38 ms per-dispatch floor — VERDICT r4 #6); the 1M kernel is
+    # bandwidth-bound, bigger batches win nothing there
+    points = sweep_flat(pts, queries, gt, k=k,
+                        big_batch=0 if compact else 2048)
 
     # graph build — the beyond-HBM engine, benched in-HBM for parity.
     # The first build pays one-time process costs (XLA compiles unless

@@ -263,10 +263,19 @@ def sweep_pq(
 def sweep_flat(
     pts: np.ndarray, queries: np.ndarray, gt: np.ndarray, *, k: int,
     metric: str = "l2", repeats: int = 3, adaptive_target: float = 0.96,
+    big_batch: int = 0,
 ) -> list[SweepPoint]:
     """Exhaustive MXU-scan mode: the default per-row-int8 fused scan,
     plus (on TPU) the packed-int32-fold variant as its own point, plus a
-    recall-targeted adaptive rerank-width point (the headline candidate)."""
+    recall-targeted adaptive rerank-width point (the headline candidate).
+
+    `big_batch` > 0 adds a packed point at that query-batch size (the
+    protocol queries tiled): at 200k the B=1000 batch pays a measured
+    ~0.38 ms fixed per-dispatch cost — 53% of the 0.72 ms batch — and
+    B=2048 amortizes it to +37% QPS (last_dispatch_floor.json, VERDICT
+    r4 #6). Recall is gated on the leading len(queries) rows. At 1M the
+    kernel is bandwidth-bound and bigger batches win nothing, so the
+    compact stage leaves it off."""
     from diskrag_tpu.ops.flat import FlatIndex
 
     idx = FlatIndex(pts, metric=metric)
@@ -307,6 +316,19 @@ def sweep_flat(
             points.append(
                 SweepPoint(0, rec, len(queries) / dt,
                            dt / len(queries) * 1e3, mode)
+            )
+        if big_batch and metric != "dot" and "int8_packed" in indexes:
+            vidx = indexes["int8_packed"]
+            vidx.rerank_width = 20  # the documented 200k headline width
+            reps_idx = np.arange(big_batch) % len(queries)
+            qb = jnp.asarray(np.asarray(queries)[reps_idx])
+            dt, (_, ids_b) = _measure(
+                lambda: vidx.search(qb, k=k), big_batch, repeats
+            )
+            rec = recall_at_k(np.asarray(ids_b)[: len(queries)], gt, k)
+            points.append(
+                SweepPoint(0, rec, big_batch / dt, dt / big_batch * 1e3,
+                           f"flat-packed-b{big_batch}")
             )
         indexes["int8"].rerank_width = None
         if metric != "dot":
