@@ -265,6 +265,7 @@ def main() -> None:
                 line = {
                     "quantizer": tag,
                     "mode": mode,
+                    "R": args.R,
                     "bytes_per_point": bpp,
                     "L": w,
                     "E": e,
