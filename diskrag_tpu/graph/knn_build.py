@@ -55,6 +55,11 @@ from diskrag_tpu.ops.topk import INVALID_ID, mask_duplicates, sort_topk_unique
 
 logger = logging.getLogger(__name__)
 
+# Device-residency ceiling for the [N, knn_k] candidate tables during the
+# alpha-prune phase; larger tables stay host-side and prune blocks slice
+# them on demand (tests monkeypatch this to 0 to force the host path).
+_HOST_KNN_BYTES = 4 << 30
+
 INF = jnp.inf
 
 
@@ -137,7 +142,7 @@ def exact_knn(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("degree_bound", "metric")
+    jax.jit, static_argnames=("degree_bound", "metric", "pre_sliced")
 )
 def _prune_block(
     vectors: jax.Array,
@@ -149,6 +154,7 @@ def _prune_block(
     *,
     degree_bound: int,
     metric: str,
+    pre_sliced: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Alpha-prune one block of points' candidate pools.
 
@@ -157,12 +163,20 @@ def _prune_block(
     jitted program (each host-level indexing op would be its own
     dispatch on this latency-bound platform). Returns (out_ids [W, R],
     out_dists [W, R]); out_dists of -1 slots are +inf.
+
+    `pre_sliced`: the kNN tables are already this block's rows [W, k]
+    (host-resident-table mode for huge builds — see build_vamana_knn's
+    host_knn branch) instead of the full [N, k] device tables.
     """
     n = vectors.shape[0]
-    knn_ids = knn_ids_full[block_ids]
-    # dist tables may be stored bf16 past ~2M points (HBM budget);
-    # candidate ordering tolerates the ~0.4% relative error
-    knn_dists = knn_dists_full[block_ids].astype(jnp.float32)
+    if pre_sliced:
+        knn_ids = knn_ids_full
+        knn_dists = knn_dists_full.astype(jnp.float32)
+    else:
+        knn_ids = knn_ids_full[block_ids]
+        # dist tables may be stored bf16 past ~2M points (HBM budget);
+        # candidate ordering tolerates the ~0.4% relative error
+        knn_dists = knn_dists_full[block_ids].astype(jnp.float32)
     rand_ids = rand_ids_full[block_ids]
     queries = vectors[block_ids]
     rand_vecs = vectors[jnp.clip(rand_ids, 0, n - 1)]
@@ -585,15 +599,34 @@ def build_vamana_knn(
         # would transiently hold both); f32 restored inside _prune_block
         import ml_dtypes
 
-        knn_ids = jnp.asarray(knn_ids_np)
-        knn_dists = jnp.asarray(knn_dists_np16.view(ml_dtypes.bfloat16))
-        del knn_ids_np, knn_dists_np16
+        # Past _HOST_KNN_BYTES of kNN-table bytes the tables stay
+        # HOST-resident and each prune block's rows are sliced + uploaded
+        # on demand: at 10M x R=48 (knn_k=120) the device-resident
+        # [N, knn_k] tables (7.2 GB) pushed the prune phase past HBM
+        # (RESOURCE_EXHAUSTED measured 2026-08-21). Same total bytes
+        # cross the link either way — chunking removes the residency.
+        host_knn = (
+            knn_ids_np.nbytes + knn_dists_np16.nbytes > _HOST_KNN_BYTES
+        )
+        if host_knn:
+            knn_ids = knn_dists = None
+            logger.info(
+                "kNN tables (%.1f GB) stay host-resident; prune blocks "
+                "slice on demand",
+                (knn_ids_np.nbytes + knn_dists_np16.nbytes) / 2**30,
+            )
+        else:
+            knn_ids = jnp.asarray(knn_ids_np)
+            knn_dists = jnp.asarray(knn_dists_np16.view(ml_dtypes.bfloat16))
+            del knn_ids_np, knn_dists_np16
     else:
+        host_knn = False
         knn_ids, knn_dists = exact_knn(
             vectors, knn_k, metric=metric, query_block=query_block
         )
     if progress:
-        np.asarray(knn_ids[0, 0])
+        if knn_ids is not None:
+            np.asarray(knn_ids[0, 0])
         logger.info("exact kNN done (%.1fs)", time.perf_counter() - t0)
 
     if n_random > 0:
@@ -619,12 +652,25 @@ def build_vamana_knn(
     out_dists = jnp.zeros((n, degree_bound), dist_dtype)
     for blk in blocks:
         b = jnp.asarray(blk)
-        o_ids, o_dists = _prune_block(
-            vectors, b, knn_ids, knn_dists, rand_ids, alpha_j,
-            degree_bound=degree_bound, metric=metric,
-        )
+        if host_knn:
+            import ml_dtypes
+
+            o_ids, o_dists = _prune_block(
+                vectors, b,
+                jnp.asarray(knn_ids_np[blk]),
+                jnp.asarray(knn_dists_np16[blk].view(ml_dtypes.bfloat16)),
+                rand_ids, alpha_j,
+                degree_bound=degree_bound, metric=metric, pre_sliced=True,
+            )
+        else:
+            o_ids, o_dists = _prune_block(
+                vectors, b, knn_ids, knn_dists, rand_ids, alpha_j,
+                degree_bound=degree_bound, metric=metric,
+            )
         out_ids = out_ids.at[b].set(o_ids)
         out_dists = out_dists.at[b].set(o_dists.astype(dist_dtype))
+    if host_knn:
+        del knn_ids_np, knn_dists_np16
     del knn_ids, knn_dists, rand_ids  # [N, k] tables — 4 GB at 10M
     if progress:
         np.asarray(out_ids[0, 0])

@@ -418,3 +418,25 @@ def test_reverse_edges_int8_path_recall():
     assert changed.sum() > 50  # repair actually ran
     agree = (f32_rows[changed] == i8_rows[changed]).mean()
     assert agree > 0.9, f"int8 reverse rows diverge: {agree:.3f}"
+
+
+def test_build_vamana_knn_host_resident_tables(clustered_data, monkeypatch):
+    """The huge-build path that keeps kNN tables host-side and slices
+    them per prune block must produce the IDENTICAL graph to the
+    device-resident path (same candidates, same prune) — it is a pure
+    residency change. Regression gate for the 10M x R=48
+    RESOURCE_EXHAUSTED (2026-08-21)."""
+    from diskrag_tpu.graph import knn_build
+
+    pts = clustered_data
+    idx_dev = knn_build.build_vamana_knn(
+        pts, degree_bound=24, alpha=1.2, seed=7, knn_backend="ivf",
+    )
+    monkeypatch.setattr(knn_build, "_HOST_KNN_BYTES", 0)
+    idx_host = knn_build.build_vamana_knn(
+        pts, degree_bound=24, alpha=1.2, seed=7, knn_backend="ivf",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(idx_dev.adjacency), np.asarray(idx_host.adjacency)
+    )
+    assert int(idx_dev.medoid) == int(idx_host.medoid)
