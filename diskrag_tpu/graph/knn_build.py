@@ -650,7 +650,7 @@ def build_vamana_knn(
     dist_dtype = jnp.bfloat16 if huge else jnp.float32
     out_ids = jnp.zeros((n, degree_bound), jnp.int32)
     out_dists = jnp.zeros((n, degree_bound), dist_dtype)
-    for blk in blocks:
+    for bi, blk in enumerate(blocks):
         b = jnp.asarray(blk)
         if host_knn:
             import ml_dtypes
@@ -669,6 +669,13 @@ def build_vamana_knn(
             )
         out_ids = out_ids.at[b].set(o_ids)
         out_dists = out_dists.at[b].set(o_dists.astype(dist_dtype))
+        if huge and bi % 64 == 63:
+            # async dispatch allocates every queued update's [N, R]
+            # OUTPUT buffer up front; thousands of queued blocks at 10M
+            # x R=48 exhausted HBM (2026-08-21) even with host-resident
+            # kNN tables. One scalar drain per 64 blocks bounds the
+            # queue's live buffers at ~35 ms per barrier.
+            np.asarray(out_ids[0, 0])
     if host_knn:
         del knn_ids_np, knn_dists_np16
     del knn_ids, knn_dists, rand_ids  # [N, k] tables — 4 GB at 10M
@@ -682,13 +689,15 @@ def build_vamana_knn(
     )
 
     adjacency = jnp.zeros((n, degree_bound), jnp.int32)
-    for blk in blocks:
+    for bi, blk in enumerate(blocks):
         b = jnp.asarray(blk)
         rows = _merge_block(
             vectors, b, out_ids, out_dists, inc_ids, inc_dists,
             alpha_j, degree_bound=degree_bound, metric=metric,
         )
         adjacency = adjacency.at[b].set(rows)
+        if huge and bi % 64 == 63:
+            np.asarray(adjacency[0, 0])  # bound queued output buffers
 
     # drain via a host fetch (block_until_ready unreliable on this platform)
     np.asarray(adjacency[0, 0])
