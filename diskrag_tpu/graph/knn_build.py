@@ -60,6 +60,25 @@ logger = logging.getLogger(__name__)
 # them on demand (tests monkeypatch this to 0 to force the host path).
 _HOST_KNN_BYTES = 4 << 30
 
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _write_rows(acc_ids, acc_dists, b, o_ids, o_dists):
+    """Donated accumulator update: without donation each functional
+    `.at[b].set` holds BOTH the old and new [N, R] buffer (2 x 2.88 GB
+    at 10M x R=48), and the async dispatch queue multiplies that — the
+    prune phase measured RESOURCE_EXHAUSTED at that geometry
+    (2026-08-21) until the update reused its input buffers."""
+    return (
+        acc_ids.at[b].set(o_ids),
+        acc_dists.at[b].set(o_dists.astype(acc_dists.dtype)),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_rows_one(acc, b, rows):
+    """Single-accumulator variant of _write_rows (merge loop)."""
+    return acc.at[b].set(rows)
+
 INF = jnp.inf
 
 
@@ -667,14 +686,12 @@ def build_vamana_knn(
                 vectors, b, knn_ids, knn_dists, rand_ids, alpha_j,
                 degree_bound=degree_bound, metric=metric,
             )
-        out_ids = out_ids.at[b].set(o_ids)
-        out_dists = out_dists.at[b].set(o_dists.astype(dist_dtype))
+        out_ids, out_dists = _write_rows(
+            out_ids, out_dists, b, o_ids, o_dists
+        )
         if huge and bi % 64 == 63:
-            # async dispatch allocates every queued update's [N, R]
-            # OUTPUT buffer up front; thousands of queued blocks at 10M
-            # x R=48 exhausted HBM (2026-08-21) even with host-resident
-            # kNN tables. One scalar drain per 64 blocks bounds the
-            # queue's live buffers at ~35 ms per barrier.
+            # belt to donation's braces: bound the dispatch queue's
+            # live per-block temporaries too (huge builds only)
             np.asarray(out_ids[0, 0])
     if host_knn:
         del knn_ids_np, knn_dists_np16
@@ -695,9 +712,9 @@ def build_vamana_knn(
             vectors, b, out_ids, out_dists, inc_ids, inc_dists,
             alpha_j, degree_bound=degree_bound, metric=metric,
         )
-        adjacency = adjacency.at[b].set(rows)
+        adjacency = _write_rows_one(adjacency, b, rows)
         if huge and bi % 64 == 63:
-            np.asarray(adjacency[0, 0])  # bound queued output buffers
+            np.asarray(adjacency[0, 0])  # bound queued temporaries
 
     # drain via a host fetch (block_until_ready unreliable on this platform)
     np.asarray(adjacency[0, 0])
