@@ -58,7 +58,10 @@ logger = logging.getLogger(__name__)
 # Device-residency ceiling for the [N, knn_k] candidate tables during the
 # alpha-prune phase; larger tables stay host-side and prune blocks slice
 # them on demand (tests monkeypatch this to 0 to force the host path).
-_HOST_KNN_BYTES = 4 << 30
+# 2 GB: at 10M x R=48 the tables are 3.84 GB and their residency on top
+# of vectors (5.1 GB) + the donated [N, R] accumulators (2.9 GB) was the
+# measured RESOURCE_EXHAUSTED margin (2026-08-21).
+_HOST_KNN_BYTES = 2 << 30
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
