@@ -40,6 +40,10 @@ if os.environ.get("JAX_COMPILATION_CACHE_DIR") != str(SCRATCH):
     env = dict(os.environ)
     env["JAX_COMPILATION_CACHE_DIR"] = str(SCRATCH)
     env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "2"
+    # keys must not embed the cache-dir path (utils/compile_cache.py:
+    # the default xla_gpu_per_fusion_autotune_cache_dir injection made
+    # every archive entry un-hittable from any other cache dir)
+    env["JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES"] = "none"
     os.execve(sys.executable, [sys.executable, "-u", __file__], env)
 
 

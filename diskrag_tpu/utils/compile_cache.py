@@ -100,6 +100,7 @@ def enable_compilation_cache(seed: bool = True) -> pathlib.Path:
         )
     )
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES", "none")
     try:
         import jax
 
@@ -108,6 +109,17 @@ def enable_compilation_cache(seed: bool = True) -> pathlib.Path:
             "jax_persistent_cache_min_compile_time_secs",
             float(os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"]),
         )
+        # CRITICAL for the shipped archive (root-caused 2026-08-21):
+        # with the default "xla_gpu_per_fusion_autotune_cache_dir", jax
+        # 0.9 writes `<cache_dir>/xla_gpu_per_fusion_autotune_cache_dir`
+        # into the compile options' debug_options, and
+        # _hash_serialized_compile_options does NOT strip that field —
+        # so the cache-dir PATH STRING is part of every cache key.
+        # Entries collected at /tmp/prewarm_cache could never hit from
+        # .jax_cache (and even ".jax_cache" vs "/root/repo/.jax_cache"
+        # miss each other). The feature is a GPU autotune cache — dead
+        # weight on TPU — so turn it off and make keys dir-independent.
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     except Exception:  # pre-import call sites still get the env vars
         logger.debug("jax.config.update for the cache failed", exc_info=True)
     if seed:
