@@ -321,3 +321,28 @@ def test_prewarm_cache_gz_fallback(tmp_path, monkeypatch):
     cache = tmp_path / "cache"
     assert compile_cache.seed_cache(cache) == 1
     assert (cache / "xla_prog_c").read_bytes() == b"CCCC"
+
+
+def test_compile_cache_keys_are_dir_independent(tmp_path, monkeypatch):
+    """enable_compilation_cache must disable jax's XLA-cache injection:
+    with the jax-0.9 default, the cache-dir PATH is written into the
+    compile options (xla_gpu_per_fusion_autotune_cache_dir) and is NOT
+    stripped from the persistent-cache key, so entries collected in one
+    dir (the shipped archive, /tmp/prewarm_cache) can never hit from
+    another (.jax_cache) — root-caused 2026-08-21 after two 200k builds
+    against a seeded cache recompiled everything with 0 hits."""
+    import jax
+
+    from diskrag_tpu.utils import compile_cache
+
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "c1"))
+    compile_cache.enable_compilation_cache(seed=False)
+    assert jax.config.jax_persistent_cache_enable_xla_caches == "none"
+    # the injection site itself must now be a no-op: get_compile_options
+    # leaves the autotune-cache path empty, keeping keys dir-independent
+    from jax._src import compiler
+
+    opts = compiler.get_compile_options(num_replicas=1, num_partitions=1)
+    dbg = opts.executable_build_options.debug_options
+    assert dbg.xla_gpu_per_fusion_autotune_cache_dir == ""
+    assert dbg.xla_gpu_kernel_cache_file == ""
