@@ -15,7 +15,13 @@ compile-everything speed.
 
 Staleness: cache keys cover the full XLA program, so any kernel-source
 or jax/libtpu change silently invalidates entries — they stop hitting,
-nothing breaks. The `cache_hits`/`cache_misses` counters exported by
+nothing breaks. (Root-caused 2026-08-21: keys ALSO embedded the cache
+dir's path string via jax 0.9's xla_gpu_per_fusion_autotune_cache_dir
+injection, so archive entries collected under /tmp/prewarm_cache could
+never hit from .jax_cache; `enable_compilation_cache` now sets
+jax_persistent_cache_enable_xla_caches="none", making keys
+dir-independent — verified: a fresh checkout's 200k build went 386 s /
+0 hits -> 74 s / 11 hits on the same chip.) The `cache_hits`/`cache_misses` counters exported by
 `cache_metrics()` (emitted in bench.py's `prewarm` field) are the
 check that the shipped entries still match.
 
